@@ -1,0 +1,70 @@
+"""Benchmark: Spark speech-LM decode throughput on the real chip.
+
+Measures generated-audio-token throughput (the reference's headline runtime
+print, model/llm/llm.py:268-269 / cosy_llm.py:270-271) with the flagship
+decode loop: batched AR generation, everything on device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline north-star: 5000 audio tok/s/chip (BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from rwkvtts_tpu.infer.generate import spark_generate
+    from rwkvtts_tpu.models import spark
+
+    cfg = spark.default_config(hidden_size=768, num_layers=12)
+    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+    # cast big tables to bf16 for the bandwidth-bound decode
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
+    )
+
+    B, T_prompt, T_new = 64, 128, 256
+    k = jax.random.PRNGKey(1)
+    tokens = jax.random.randint(k, (B, T_prompt), 0, 4000)
+    modality = jnp.full((B, T_prompt), spark.MOD_TEXT, jnp.int32)
+    modality = modality.at[:, -1].set(spark.MOD_TAG)
+    mask = jnp.ones((B, T_prompt), jnp.int32)
+
+    def run(key):
+        toks, _ = spark_generate(
+            params, cfg, tokens, modality, mask, key,
+            max_new_tokens=T_new, top_k=50, top_p=0.95, temperature=1.0,
+        )
+        return toks
+
+    # compile + warmup; sync via an explicit host transfer (block_until_ready
+    # alone does not reliably fence on the tunneled axon platform)
+    import numpy as np
+
+    np.asarray(run(jax.random.PRNGKey(2)))
+    t0 = time.perf_counter()
+    iters = 3
+    for i in range(iters):
+        np.asarray(run(jax.random.PRNGKey(3 + i)))
+    dt = (time.perf_counter() - t0) / iters
+
+    toks_per_s = B * T_new / dt
+    baseline = 5000.0
+    print(
+        json.dumps(
+            {
+                "metric": "spark_decode_tokens_per_sec_per_chip",
+                "value": round(toks_per_s, 1),
+                "unit": "audio_tokens/s/chip",
+                "vs_baseline": round(toks_per_s / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

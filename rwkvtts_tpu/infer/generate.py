@@ -1,0 +1,298 @@
+"""Jitted autoregressive generation.
+
+The reference decodes through HF `generate` (host-side Python loop; e.g.
+test_respark/simple_generate.py:46-56) or hand loops (cosy_llm.py:238-261).
+Here the whole decode — embedding, all layers, sampling, EOS logic — is one
+compiled program per step batch, driven by `lax.scan` with a donated state
+pytree: no host round-trips, state in HBM, fixed shapes (SURVEY.md §7 hard
+part #3).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rwkvtts_tpu.models import rwkv7, spark
+from rwkvtts_tpu.ops import sampling
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
+        "max_new_tokens",
+        "top_k",
+        "top_p",
+        "temperature",
+        "eos_id",
+        "min_new_tokens",
+    ),
+    donate_argnums=(),
+)
+def spark_generate(
+    params,
+    cfg: spark.SparkTTSConfig,
+    tokens: jax.Array,
+    modality: jax.Array,
+    attention_mask: jax.Array,
+    key: jax.Array,
+    *,
+    max_new_tokens: int = 1024,
+    min_new_tokens: int = 0,
+    temperature: float = 1.0,
+    top_k: int = 50,
+    top_p: float = 0.95,
+    eos_id: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched Spark semantic-token generation.
+
+    tokens/modality/attention_mask: left-padded prompt batch (B, T).
+    Returns (generated (B, max_new_tokens) int32, lengths (B,)); positions
+    after EOS are filled with eos_id. Defaults follow the reference
+    (top_k 50, top_p 0.95; test_respark/simple_generate.py:46-56).
+    """
+    if eos_id is None:
+        eos_id = cfg.eos_token_id
+    bb = cfg.backbone
+    B = tokens.shape[0]
+
+    h_last, state = spark.prefill(params, cfg, tokens, modality, attention_mask)
+
+    def step(carry, step_key):
+        h, st, done, n = carry
+        logits = (h @ params["head"].astype(bb.dtype)).astype(jnp.float32)
+        # EOS suppression below min length (reference cosy-style bound)
+        if min_new_tokens > 0:
+            logits = jnp.where(
+                (n < min_new_tokens)[..., None]
+                & (jnp.arange(logits.shape[-1]) == eos_id)[None, :],
+                sampling.NEG_INF,
+                logits,
+            )
+        tok = sampling.sample(
+            step_key, logits, temperature=temperature, top_k=top_k, top_p=top_p
+        )
+        tok = jnp.where(done, eos_id, tok)
+        new_done = done | (tok == eos_id)
+        x = spark.decode_embed(params, cfg, tok)
+        h, st = rwkv7.decode_step(params, bb, x, st)
+        return (h, st, new_done, n + 1), tok
+
+    keys = jax.random.split(key, max_new_tokens)
+    init = (h_last, state, jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32))
+    (_, _, done, _), toks = jax.lax.scan(step, init, keys)
+    toks = jnp.moveaxis(toks, 0, 1)  # (B, max_new)
+    lengths = jnp.argmax(toks == eos_id, axis=-1)
+    lengths = jnp.where(jnp.any(toks == eos_id, axis=-1), lengths, max_new_tokens)
+    return toks, lengths
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
+        "max_new_tokens",
+        "min_new_tokens",
+        "top_k",
+        "top_p",
+        "win_size",
+        "tau_r",
+    ),
+)
+def cosy_generate(
+    params,
+    cfg,
+    tokens: jax.Array,
+    modality: jax.Array,
+    attention_mask: jax.Array,
+    key: jax.Array,
+    *,
+    max_new_tokens: int = 1024,
+    min_new_tokens: int = 0,
+    top_k: int = 25,
+    top_p: float = 0.8,
+    win_size: int = 10,
+    tau_r: float = 0.1,
+) -> Tuple[jax.Array, jax.Array]:
+    """CosyVoice speech-token generation with RAS sampling and EOS
+    suppression below min length (reference cosy_llm.py:180-261).
+
+    Returns (generated (B, max_new), lengths (B,)); post-EOS filled with EOS.
+    """
+    from rwkvtts_tpu.models import cosy
+
+    eos_id = cfg.eos_token_id
+    bb = cfg.backbone
+    B = tokens.shape[0]
+    h_last, state = cosy.prefill(params, cfg, tokens, modality, attention_mask)
+
+    def step(carry, xs):
+        h, st, done, recent, n = carry
+        step_key = xs
+        logits = (h @ params["head"].astype(bb.dtype)).astype(jnp.float32)
+        logits = jnp.where(
+            (n < min_new_tokens)[:, None]
+            & (jnp.arange(logits.shape[-1]) == eos_id)[None, :],
+            sampling.NEG_INF,
+            logits,
+        )
+        tok = sampling.ras_sample(
+            step_key, logits, recent,
+            top_p=top_p, top_k=top_k, win_size=win_size, tau_r=tau_r,
+        )
+        tok = jnp.where(done, eos_id, tok)
+        new_done = done | (tok == eos_id)
+        recent = jnp.concatenate([recent[:, 1:], tok[:, None]], axis=1)
+        x = cosy.decode_embed(params, cfg, tok)
+        h, st = rwkv7.decode_step(params, bb, x, st)
+        return (h, st, new_done, recent, n + 1), tok
+
+    keys = jax.random.split(key, max_new_tokens)
+    recent0 = jnp.full((B, win_size), -1, jnp.int32)
+    init = (
+        h_last,
+        state,
+        jnp.zeros((B,), bool),
+        recent0,
+        jnp.zeros((B,), jnp.int32),
+    )
+    (_, _, done, _, _), toks = jax.lax.scan(step, init, keys)
+    toks = jnp.moveaxis(toks, 0, 1)
+    lengths = jnp.argmax(toks == eos_id, axis=-1)
+    lengths = jnp.where(
+        jnp.any(toks == eos_id, axis=-1), lengths, max_new_tokens
+    )
+    return toks, lengths
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
+        "max_new_tokens",
+        "min_new_tokens",
+        "temperature",
+        "allow_eos",
+    ),
+)
+def xy_generate(
+    params,
+    cfg,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    key: jax.Array,
+    *,
+    max_new_tokens: int = 512,
+    min_new_tokens: int = 0,
+    temperature: float = 1.0,
+    allow_eos: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """XY 8-channel generation with the staggered flush automaton.
+
+    input_ids: (B, T, 8) left-padded prompt. Returns
+    (frames (B, max_new, 8), lengths (B,) — audio steps before the flush).
+
+    Semantics follow the reference `CustomGenerationMixin._sample`
+    (xy_llm.py:39-146): ch0 logits hard-masked to the audio range,
+    independent per-channel sampling, and a (channels-1)-step flush that
+    emits EOS on ch0 / staggered PADs on ch1..7 once ch0 leaves the audio
+    range. Divergence by design: with `allow_eos` the ch0 EOS (text pad id)
+    stays sample-able after `min_new_tokens`, so the flush is actually
+    reachable — the reference masks it out and can only stop at max length.
+    """
+    from rwkvtts_tpu.models import xy as xy_model
+
+    bb = cfg.backbone
+    B = input_ids.shape[0]
+    nch = cfg.num_channels
+    lo = cfg.text_shift_size
+    hi = cfg.text_shift_size + cfg.speech_vocab_size
+    eos0 = cfg.text_pad_id
+    pad = cfg.speech_pad_id
+
+    h_last, state = xy_model.prefill(params, cfg, input_ids, attention_mask)
+
+    ch_arange0 = jnp.arange(cfg.text_vocab_size)
+    audio_mask0 = (ch_arange0 >= lo) & (ch_arange0 < hi)
+
+    def step(carry, step_key):
+        h, st, countdown, done, n = carry
+        logits = xy_model.channel_logits(params, cfg, h)
+        l0 = logits[0]
+        allowed = audio_mask0
+        if allow_eos:
+            allowed = allowed | (ch_arange0 == eos0)
+        l0 = jnp.where(allowed[None, :], l0, sampling.NEG_INF)
+        if min_new_tokens > 0:
+            l0 = jnp.where(
+                (n < min_new_tokens)[:, None] & (ch_arange0 == eos0)[None, :],
+                sampling.NEG_INF,
+                l0,
+            )
+        keys = jax.random.split(step_key, nch)
+        toks = [sampling.sample(keys[0], l0, temperature=temperature)]
+        for i in range(1, nch):
+            toks.append(
+                sampling.sample(keys[i], logits[i], temperature=temperature)
+            )
+        frame = jnp.stack(toks, axis=-1)  # (B, 8)
+
+        is_audio = (frame[:, 0] >= lo) & (frame[:, 0] < hi)
+        start_flush = (~is_audio) & (countdown < 0)
+        countdown = jnp.where(start_flush, nch - 1, countdown)
+        flushing = countdown >= 0
+
+        # during flush: ch0 -> EOS; ch i pads once countdown < nch - i
+        frame = frame.at[:, 0].set(jnp.where(flushing, eos0, frame[:, 0]))
+        for i in range(1, nch):
+            pad_i = flushing & (countdown < nch - i)
+            frame = frame.at[:, i].set(jnp.where(pad_i, pad, frame[:, i]))
+
+        # finished sequences emit eos/pad frames
+        frame = frame.at[:, 0].set(jnp.where(done, eos0, frame[:, 0]))
+        frame = jnp.concatenate(
+            [
+                frame[:, :1],
+                jnp.where(done[:, None], pad, frame[:, 1:]),
+            ],
+            axis=1,
+        )
+
+        countdown = jnp.where(flushing, countdown - 1, countdown)
+        new_done = done | (flushing & (countdown < 0))
+        n = n + jnp.where(is_audio & ~done, 1, 0)
+
+        x = xy_model.decode_embed(params, cfg, frame)
+        h, st = rwkv7.decode_step(params, bb, x, st)
+        return (h, st, countdown, new_done, n), frame
+
+    keys = jax.random.split(key, max_new_tokens)
+    init = (
+        h_last,
+        state,
+        jnp.full((B,), -1, jnp.int32),
+        jnp.zeros((B,), bool),
+        jnp.zeros((B,), jnp.int32),
+    )
+    (_, _, _, done, n_audio), frames = jax.lax.scan(step, init, keys)
+    frames = jnp.moveaxis(frames, 0, 1)  # (B, T, 8)
+    return frames, n_audio
+
+
+def greedy_spark_generate(params, cfg, tokens, modality, attention_mask, **kw):
+    """Greedy decode == temperature→0 path used for golden-token tests."""
+    return spark_generate(
+        params,
+        cfg,
+        tokens,
+        modality,
+        attention_mask,
+        jax.random.PRNGKey(0),
+        temperature=1e-6,
+        top_k=1,
+        top_p=1.0,
+        **kw,
+    )

@@ -1,0 +1,128 @@
+"""On-device sampling: temperature / top-k / top-p, fully jittable.
+
+The reference samples on host inside HF's generate loop or with a
+vectorized torch sampler (reference rwkv_asr_cuda_whisper.py:525-571).
+Here everything stays on device so the autoregressive decode loop never
+round-trips to the host (SURVEY.md §7 hard-part #3).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def apply_temperature(logits: jax.Array, temperature) -> jax.Array:
+    t = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
+    return logits.astype(jnp.float32) / t
+
+
+def top_k_mask(logits: jax.Array, k: int) -> jax.Array:
+    """Keep the k largest logits per row; mask the rest to -inf. Static k."""
+    if k <= 0 or k >= logits.shape[-1]:
+        return logits
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def top_p_mask(logits: jax.Array, p) -> jax.Array:
+    """Nucleus filtering. Keeps the smallest prefix of the sorted
+    distribution with cumulative probability >= p (token at the crossing
+    point included, matching torch semantics)."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # number of tokens kept = first index where cum >= p, inclusive
+    keep_sorted = cum - probs < p
+    # threshold logit = smallest kept logit
+    kth = jnp.where(keep_sorted, sorted_logits, jnp.inf).min(
+        axis=-1, keepdims=True
+    )
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def sample(
+    key: jax.Array,
+    logits: jax.Array,
+    *,
+    temperature=1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> jax.Array:
+    """Sample token ids from (..., V) logits. Returns (...,) int32."""
+    x = apply_temperature(logits, temperature)
+    if top_k:
+        x = top_k_mask(x, top_k)
+    if top_p < 1.0:
+        x = top_p_mask(x, top_p)
+    return jax.random.categorical(key, x, axis=-1)
+
+
+def ras_sample(
+    key: jax.Array,
+    logits: jax.Array,
+    recent: jax.Array,
+    *,
+    top_p: float = 0.8,
+    top_k: int = 25,
+    win_size: int = 10,
+    tau_r: float = 0.1,
+) -> jax.Array:
+    """Repetition-aware sampling (VALL-E 2; reference
+    third_party/cosyvoice/utils/common.py:108-113): nucleus-sample, and if
+    the draw already appears >= win_size*tau_r times in the last `win_size`
+    tokens, fall back to a draw from the full distribution.
+
+    logits: (B, V); recent: (B, win_size) rolling window of past draws
+    (pad with -1). Fully on-device, fixed shapes.
+    """
+    k1, k2 = jax.random.split(key)
+    x = logits.astype(jnp.float32)
+    nux = top_k_mask(x, top_k)
+    nux = top_p_mask(nux, top_p)
+    tok = jax.random.categorical(k1, nux, axis=-1)
+    rep = (recent == tok[:, None]).sum(axis=-1)
+    fallback = jax.random.categorical(k2, x, axis=-1)
+    return jnp.where(rep >= win_size * tau_r, fallback, tok)
+
+
+def sample_with_rejection(
+    key: jax.Array,
+    logits: jax.Array,
+    *,
+    temperature=1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    reject_ids: Optional[jax.Array] = None,
+    max_trials: int = 16,
+) -> jax.Array:
+    """RAS-style rejection sampling (reference cosy_llm.py:162-178): resample
+    while the draw is in `reject_ids`, up to max_trials, then fall back to
+    masking the rejected ids outright. Fixed trip count → jit-friendly."""
+    x = apply_temperature(logits, temperature)
+    if top_k:
+        x = top_k_mask(x, top_k)
+    if top_p < 1.0:
+        x = top_p_mask(x, top_p)
+
+    if reject_ids is None:
+        return jax.random.categorical(key, x, axis=-1)
+
+    def is_rejected(tok):
+        return jnp.any(tok[..., None] == reject_ids[None, :], axis=-1)
+
+    k0, k1 = jax.random.split(key)
+    tok = jax.random.categorical(k0, x, axis=-1)
+
+    def body(i, tok):
+        redraw = jax.random.categorical(jax.random.fold_in(k1, i), x, axis=-1)
+        return jnp.where(is_rejected(tok), redraw, tok)
+
+    tok = jax.lax.fori_loop(0, max_trials, body, tok)
+    # final fallback: hard-mask rejected ids
+    masked = x.at[..., reject_ids].set(NEG_INF) if reject_ids.ndim == 1 else x
+    fallback = jnp.argmax(masked, axis=-1)
+    return jnp.where(is_rejected(tok), fallback, tok)

@@ -1,0 +1,339 @@
+"""WKV7 — the RWKV-7 time-mix recurrence, TPU-native.
+
+The recurrence (per 64-dim head, per step; reference semantics:
+/root/reference/model/llm/cuda/wkv7_cuda.cu:10-52 and the pure-Python spec at
+/root/reference/model/llm/rwkv_s2s_single_ffn.py:499-506):
+
+    decay    w_t  = exp(-exp(w_raw_t))            elementwise, w_raw <= -0.5
+    sa_t     = S_{t-1} @ z_t                       (N,) per row of state
+    S_t      = S_{t-1} * w_t[None, :] + sa_t[:, None] * b_t[None, :] + v_t[:, None] * k_t[None, :]
+    y_t      = S_t @ r_t
+
+State S is (N_v x N_k) fp32 per head; rows index the value dim, columns the
+key dim. Inputs/outputs are bf16; state math is fp32. z = -kk, b = kk*a in
+the model (see models/rwkv7.py).
+
+Three implementations, one contract:
+
+  * ``wkv7_scan``    — per-step `lax.scan`. Ground truth + tiny-T fallback.
+  * ``wkv7_chunked`` — chunk-parallel matmul formulation (the TPU-native
+    equivalent of the reference's CHUNK_LEN=16 "wind_backstepping" CUDA
+    kernel). All within-chunk work is batched matmuls that tile onto the
+    MXU; the sequential dependency is only across chunks (a short
+    `lax.scan` carrying the (B,H,N,N) state). Differentiable; the chunk
+    body is `jax.checkpoint`-ed so the backward replays each chunk from its
+    entry state — the same checkpoint-and-recompute strategy as the CUDA
+    backward (wkv7_cuda.cu:54-130), expressed through XLA AD.
+  * ``wkv7_step``    — single decode step carrying persistent state (the
+    equivalent of wkv7s.cu / rwkv7_state_fwd_fp16.cu, but batched and
+    jit-fusable into a whole-model decode step).
+
+Variable-length packing: the reference relies on rwkv-fla's `cu_seqlens`
+varlen kernels (SURVEY.md §2.7). Here packing is expressed as a per-position
+``resets`` flag (True where a new packed segment begins); the kernels zero
+the state carried into such positions so packed samples never leak context.
+
+Chunked math (derivation):
+  With per-chunk entry state S0, cumulative log-decay g_t = sum_{s<=t} log w_s
+  (inclusive) and gp_t = g_t - log w_t (exclusive), define
+      q~_t = r_t * exp(g_t)     z~_t = z_t * exp(gp_t)
+      k~_s = k_s * exp(-g_s)    b~_s = b_s * exp(-g_s)
+  Then with A[t,s] = (z~_t . b~_s) [s<t], Kz[t,s] = (z~_t . k~_s) [s<t]:
+      SA  = (I - A)^{-1} (Z~ S0^T + Kz V)            rows are sa_t
+      Y   = Q~ S0^T + tril(Q~ B~^T) SA + tril(Q~ K~^T) V
+      S_L = S0 * exp(g_L) + SA^T (B~ * exp(g_L)) + V^T (K~ * exp(g_L))
+  (I - A) is unit-lower-triangular and A is nilpotent, so the inverse is the
+  exact Neumann-doubling product (I+A)(I+A^2)(I+A^4)... — log2(L) small
+  matmuls, no triangular solve needed.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+STATE_DTYPE = jnp.float32
+DEFAULT_CHUNK = 64
+# w_raw used for padding positions: exp(-exp(-30)) ~= 1.0 (identity decay).
+_PAD_W_RAW = -30.0
+
+
+def decay_from_raw(w_raw: jax.Array) -> jax.Array:
+    """w = exp(-exp(w_raw)); w_raw is the soft-clamped log-log decay."""
+    return jnp.exp(-jnp.exp(w_raw.astype(jnp.float32)))
+
+
+def log_decay_from_raw(w_raw: jax.Array) -> jax.Array:
+    """log w = -exp(w_raw)."""
+    return -jnp.exp(w_raw.astype(jnp.float32))
+
+
+def init_state(batch: int, n_head: int, head_size: int) -> jax.Array:
+    return jnp.zeros((batch, n_head, head_size, head_size), dtype=STATE_DTYPE)
+
+
+# ---------------------------------------------------------------------------
+# Reference scan implementation
+# ---------------------------------------------------------------------------
+
+
+def wkv7_scan(
+    r: jax.Array,
+    w_raw: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    z: jax.Array,
+    b: jax.Array,
+    state: Optional[jax.Array] = None,
+    resets: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-step scan. Inputs (B, T, H, N); state (B, H, N, N) fp32.
+
+    Returns (y, final_state); y has the dtype of v.
+    """
+    B, T, H, N = r.shape
+    if state is None:
+        state = init_state(B, H, N)
+    w = decay_from_raw(w_raw)
+    f32 = lambda x: x.astype(jnp.float32)
+    xs = tuple(jnp.moveaxis(f32(x), 1, 0) for x in (r, w, k, v, z, b))
+    if resets is None:
+        resets_t = jnp.zeros((T, B), dtype=bool)
+    else:
+        resets_t = jnp.moveaxis(resets, 1, 0)
+
+    def step(s, inp):
+        rt, wt, kt, vt, zt, bt, reset = inp
+        s = jnp.where(reset[:, None, None, None], 0.0, s)
+        sa = jnp.einsum("bhij,bhj->bhi", s, zt)
+        s = (
+            s * wt[:, :, None, :]
+            + sa[..., None] * bt[:, :, None, :]
+            + vt[..., None] * kt[:, :, None, :]
+        )
+        y = jnp.einsum("bhij,bhj->bhi", s, rt)
+        return s, y
+
+    final_state, ys = jax.lax.scan(step, state, xs + (resets_t,))
+    y = jnp.moveaxis(ys, 0, 1).reshape(B, T, H * N).astype(v.dtype)
+    return y.reshape(B, T, H, N), final_state
+
+
+# ---------------------------------------------------------------------------
+# Chunked (MXU) implementation
+# ---------------------------------------------------------------------------
+
+
+def _neumann_inverse(a: jax.Array, chunk: int) -> jax.Array:
+    """(I - A)^{-1} for strictly-lower-triangular A via Neumann doubling.
+
+    A is (..., L, L), nilpotent with A^L = 0, so
+    (I-A)^{-1} = prod_{i} (I + A^{2^i}) exactly, in ceil(log2(L)) matmuls.
+    """
+    eye = jnp.eye(chunk, dtype=a.dtype)
+    out = eye + a
+    power = a
+    steps = max(0, (chunk - 1).bit_length() - 1)
+    for _ in range(steps):
+        power = power @ power
+        out = out @ (eye + power)
+    return out
+
+
+def _chunk_body(s0, seg0, chunk_inputs, *, chunk: int):
+    """Process one chunk. s0: (B,H,N,N) fp32 entry state; seg0: (B,) int32
+    segment counter of the entry state. chunk_inputs are (B,L,H,N) fp32
+    (r, logw, k, v, z, b) plus resets (B,L) int32."""
+    r, logw, k, v, z, b, resets = chunk_inputs
+    L = chunk
+    # Segment bookkeeping (all int32; c counts resets inclusively per chunk).
+    c = jnp.cumsum(resets, axis=1)  # (B, L)
+    # Zero decay at reset positions: their w multiplies state that is masked
+    # away anyway; keeping logw finite keeps all ratios NaN-free.
+    logw = jnp.where(resets[:, :, None, None] > 0, 0.0, logw)
+    g = jnp.cumsum(logw, axis=1)  # inclusive (B,L,H,N)
+    gp = g - logw  # exclusive
+
+    qt = r * jnp.exp(g)
+    zt = z * jnp.exp(gp)
+    kt = k * jnp.exp(-g)
+    bt = b * jnp.exp(-g)
+
+    # (B, H, L, L) pairwise mats; contract over N.
+    def pair(x, y):
+        return jnp.einsum("blhn,bmhn->bhlm", x, y)
+
+    same_seg = (c[:, :, None] == c[:, None, :])[:, None, :, :]  # (B,1,L,L)
+    strict = jnp.tril(jnp.ones((L, L), dtype=bool), k=-1)
+    incl = jnp.tril(jnp.ones((L, L), dtype=bool))
+    m_strict = jnp.where(jnp.logical_and(same_seg, strict), 1.0, 0.0)
+    m_incl = jnp.where(jnp.logical_and(same_seg, incl), 1.0, 0.0)
+
+    A = pair(zt, bt) * m_strict
+    Kz = pair(zt, kt) * m_strict
+    inv = _neumann_inverse(A, L)  # (B,H,L,L)
+
+    # S0 contribution is valid only for positions still in the entry segment.
+    mask0 = (c == 0)[:, :, None, None]  # (B,L,1,1)
+    z0 = jnp.where(mask0, zt, 0.0)
+    q0 = jnp.where(mask0, qt, 0.0)
+
+    # rows of sa: (B, L, H, Nv)
+    sa_in = jnp.einsum("blhn,bhin->blhi", z0, s0) + jnp.einsum(
+        "bhlm,bmhi->blhi", Kz, v
+    )
+    sa = jnp.einsum("bhlm,bmhi->blhi", inv, sa_in)
+
+    y = (
+        jnp.einsum("blhn,bhin->blhi", q0, s0)
+        + jnp.einsum("bhlm,bmhi->blhi", pair(qt, bt) * m_incl, sa)
+        + jnp.einsum("bhlm,bmhi->blhi", pair(qt, kt) * m_incl, v)
+    )
+
+    # Final state: sources with c_s == c_L survive; S0 survives iff c_L == 0.
+    c_last = c[:, -1]  # (B,)
+    live = (c == c_last[:, None])[:, :, None, None]  # (B,L,1,1)
+    wfin = jnp.exp(g[:, -1])[:, None]  # (B,1,H,N) broadcast over sources
+    k_fin = jnp.where(live, kt, 0.0) * wfin
+    b_fin = jnp.where(live, bt, 0.0) * wfin
+    s0_live = jnp.where((c_last == 0)[:, None, None, None], 1.0, 0.0)
+    s_out = (
+        s0 * s0_live * jnp.exp(g[:, -1])[:, :, None, :]
+        + jnp.einsum("blhi,blhn->bhin", sa, b_fin)
+        + jnp.einsum("blhi,blhn->bhin", v, k_fin)
+    )
+    seg_out = seg0 + c_last
+    return s_out, seg_out, y
+
+
+def wkv7_chunked(
+    r: jax.Array,
+    w_raw: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    z: jax.Array,
+    b: jax.Array,
+    state: Optional[jax.Array] = None,
+    resets: Optional[jax.Array] = None,
+    *,
+    chunk: int = DEFAULT_CHUNK,
+    checkpoint: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Chunk-parallel WKV7. Inputs (B, T, H, N). T is padded internally to a
+    multiple of `chunk` with identity-decay/zero-update steps."""
+    B, T, H, N = r.shape
+    out_dtype = v.dtype
+    if state is None:
+        state = init_state(B, H, N)
+    pad = (-T) % chunk
+    f32 = lambda x: x.astype(jnp.float32)
+
+    logw = log_decay_from_raw(w_raw)
+    if pad:
+        zpad = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        r, k, v, z, b = (zpad(f32(x)) for x in (r, k, v, z, b))
+        logw = jnp.pad(logw, ((0, 0), (0, pad), (0, 0), (0, 0)))  # logw=0 → w=1
+    else:
+        r, k, v, z, b = (f32(x) for x in (r, k, v, z, b))
+    Tp = T + pad
+    n_chunks = Tp // chunk
+    if resets is None:
+        resets_i = jnp.zeros((B, Tp), dtype=jnp.int32)
+    else:
+        resets_i = resets.astype(jnp.int32)
+        if pad:
+            resets_i = jnp.pad(resets_i, ((0, 0), (0, pad)))
+
+    def to_chunks(x):
+        return jnp.moveaxis(
+            x.reshape((B, n_chunks, chunk) + x.shape[2:]), 1, 0
+        )
+
+    xs = tuple(to_chunks(x) for x in (r, logw, k, v, z, b, resets_i))
+
+    body = functools.partial(_chunk_body, chunk=chunk)
+    if checkpoint:
+        body = jax.checkpoint(body, static_argnums=())
+
+    def scan_fn(carry, chunk_inputs):
+        s, seg = carry
+        s_out, seg_out, y = body(s, seg, chunk_inputs)
+        return (s_out, seg_out), y
+
+    seg0 = jnp.zeros((B,), dtype=jnp.int32)
+    (s_fin, _), ys = jax.lax.scan(scan_fn, (state, seg0), xs)
+    # ys: (n_chunks, B, L, H, N) → (B, T, H, N)
+    y = jnp.moveaxis(ys, 0, 1).reshape(B, Tp, H, N)[:, :T]
+    return y.astype(out_dtype), s_fin
+
+
+# ---------------------------------------------------------------------------
+# Decode step
+# ---------------------------------------------------------------------------
+
+
+def wkv7_step(
+    state: jax.Array,
+    r: jax.Array,
+    w_raw: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    z: jax.Array,
+    b: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """One decode step. state (B,H,N,N) fp32; r..b (B,H,N). Returns (y, state).
+
+    Equivalent to the persistent-state inference kernels
+    (reference cuda/rwkv7_state_fwd_fp16.cu) but batched and designed to be
+    fused by XLA into a single whole-model decode program.
+    """
+    out_dtype = v.dtype
+    f32 = lambda x: x.astype(jnp.float32)
+    r, k, v, z, b = map(f32, (r, k, v, z, b))
+    w = decay_from_raw(w_raw)
+    sa = jnp.einsum("bhij,bhj->bhi", state, z)
+    state = (
+        state * w[:, :, None, :]
+        + sa[..., None] * b[:, :, None, :]
+        + v[..., None] * k[:, :, None, :]
+    )
+    y = jnp.einsum("bhij,bhj->bhi", state, r)
+    return y.astype(out_dtype), state
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+
+def wkv7(
+    r,
+    w_raw,
+    k,
+    v,
+    z,
+    b,
+    state=None,
+    resets=None,
+    *,
+    impl: str = "chunked",
+    chunk: int = DEFAULT_CHUNK,
+):
+    """Dispatching entry point used by the models.
+
+    impl: 'chunked' (training/prefill), 'scan' (reference), 'pallas'
+    (fused Pallas kernel, see ops/wkv7_pallas.py).
+    """
+    if impl == "scan":
+        return wkv7_scan(r, w_raw, k, v, z, b, state, resets)
+    if impl == "chunked":
+        return wkv7_chunked(r, w_raw, k, v, z, b, state, resets, chunk=chunk)
+    if impl == "pallas":
+        from rwkvtts_tpu.ops import wkv7_pallas
+
+        return wkv7_pallas.wkv7_pallas(
+            r, w_raw, k, v, z, b, state, resets, chunk=chunk
+        )
+    raise ValueError(f"unknown wkv7 impl: {impl!r}")
