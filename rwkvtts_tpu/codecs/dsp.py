@@ -137,7 +137,10 @@ def _hz_to_mel_slaney(f):
     min_log_hz = 1000.0
     min_log_mel = min_log_hz / f_sp
     logstep = math.log(6.4) / 27.0
-    return np.where(f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mel)
+    safe_f = np.maximum(f, 1e-10)
+    return np.where(
+        f >= min_log_hz, min_log_mel + np.log(safe_f / min_log_hz) / logstep, mel
+    )
 
 
 def _mel_to_hz_slaney(m):
@@ -207,3 +210,30 @@ def mel_spectrogram(
     spec = mag if power == 1.0 else mag**power
     fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax))
     return spec @ fb
+
+
+def log_mel_hifigan(
+    x: jax.Array,
+    sample_rate: int = 24000,
+    n_fft: int = 1920,
+    win_length: int = 1920,
+    hop_length: int = 480,
+    n_mels: int = 80,
+    fmin: float = 0.0,
+    fmax: Optional[float] = 8000.0,
+) -> jax.Array:
+    """HiFi-GAN/matcha-style log-mel: center=False with manual reflect pad of
+    (n_fft - hop)/2, magnitude spectrogram (+1e-9 floor), slaney mel,
+    ln(clamp(mel, 1e-5)). x: (..., T) -> (..., frames, n_mels).
+
+    This is the CosyVoice2 flow-prompt/HiFT feature
+    (matcha.utils.audio.mel_spectrogram, configured at
+    model/flow/train_sfm_flow.yaml:11-19).
+    """
+    pad = (n_fft - hop_length) // 2
+    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    real, imag = stft(x, n_fft, hop_length, win_length, center=False)
+    mag = jnp.sqrt(real * real + imag * imag + 1e-9)
+    fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax))
+    mel = mag @ fb
+    return jnp.log(jnp.clip(mel, 1e-5))
