@@ -15,6 +15,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from rwkvtts_tpu.utils import jit_cache
+
+jit_cache.enable()
+
 
 def main():
     from rwkvtts_tpu.infer.generate import spark_generate
