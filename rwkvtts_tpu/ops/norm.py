@@ -35,5 +35,9 @@ def group_norm(x, scale, bias, num_groups: int, eps: float):
 def l2_normalize(x, axis: int = -1, eps: float = 1e-12):
     """Torch-style F.normalize(p=2): x / max(||x||, eps)."""
     xf = x.astype(jnp.float32)
-    n = jnp.sqrt((xf * xf).sum(axis=axis, keepdims=True))
-    return (xf / jnp.maximum(n, eps)).astype(x.dtype)
+    s = (xf * xf).sum(axis=axis, keepdims=True)
+    # max(s, eps^2) BEFORE the sqrt: grad(sqrt) at 0 is inf, and even with a
+    # clamped forward the inf leaks as NaN through 0*inf on fully-masked
+    # (exactly zero) positions. Clamping s keeps both passes finite.
+    n = jnp.sqrt(jnp.maximum(s, eps * eps))
+    return (xf / n).astype(x.dtype)
