@@ -133,6 +133,8 @@ def cosy_generate(
         h, st, done, recent, n = carry
         step_key = xs
         logits = (h @ params["head"].astype(bb.dtype)).astype(jnp.float32)
+        if "head_bias" in params:
+            logits = logits + params["head_bias"].astype(jnp.float32)
         logits = jnp.where(
             (n < min_new_tokens)[:, None]
             & (jnp.arange(logits.shape[-1]) == eos_id)[None, :],

@@ -75,6 +75,7 @@ def init_params(key, cfg: CosyConfig) -> Dict[str, Any]:
     p["llm_embedding"] = emb(k2, 2)
     p["speech_embedding"] = emb(k3, cfg.speech_head_size)
     p["head"] = jax.random.normal(k4, (C, cfg.speech_head_size), jnp.float32) * 0.02
+    p["head_bias"] = jnp.zeros((cfg.speech_head_size,))  # reference lm_head has bias (cosy_llm.py:44)
     return p
 
 
@@ -121,6 +122,7 @@ def forward(
         h,
         params["head"],
         labels,
+        bias=params.get("head_bias"),
         shift=False,
         smoothing=cfg.lsm_weight,
         normalize_length=cfg.length_normalized_loss,
