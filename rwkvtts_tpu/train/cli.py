@@ -1,0 +1,181 @@
+"""Unified training CLI — one entry point for every engine.
+
+Replaces the reference's 21 DeepSpeed launch scripts (SURVEY.md §2.6) with
+one GSPMD-sharded trainer:
+
+    python -m rwkvtts_tpu.train.cli --task spark_properties \\
+        --data '/data/*.jsonl' --hidden 768 --layers 12 \\
+        --batch-size 8 --pad-to 2048 --run-dir runs/spark
+
+Tasks: spark | spark_properties | spark_global | cosy | xy | asr | s2s |
+tts_two_tower. Checkpoints rotate under <run-dir>/ckpt (orbax); metrics in
+<run-dir>/metrics.jsonl; --resume continues from the latest checkpoint
+including the mid-epoch data position.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import logging
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from rwkvtts_tpu.data import jsonl_dataset
+from rwkvtts_tpu.train import metrics as metrics_lib
+from rwkvtts_tpu.train import trainer as trainer_lib
+
+log = logging.getLogger("rwkvtts_tpu")
+
+
+def build_model(task: str, args):
+    kw = dict(
+        hidden_size=args.hidden, num_layers=args.layers,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    key = jax.random.PRNGKey(args.seed)
+    if task.startswith("spark"):
+        from rwkvtts_tpu.models import spark
+
+        cfg = spark.default_config(**kw)
+        return cfg, spark.init_params(key, cfg)
+    if task == "cosy":
+        from rwkvtts_tpu.models import cosy
+
+        cfg = cosy.default_config(**kw)
+        return cfg, cosy.init_params(key, cfg)
+    if task == "xy":
+        from rwkvtts_tpu.models import xy
+
+        cfg = xy.default_config(**kw)
+        return cfg, xy.init_params(key, cfg)
+    if task == "asr":
+        from rwkvtts_tpu.models import asr
+
+        cfg = asr.default_config(
+            hidden_size=args.hidden, num_layers=args.layers,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        )
+        return cfg, asr.init_params(key, cfg)
+    if task == "s2s":
+        from rwkvtts_tpu.models import s2s
+
+        cfg = s2s.default_config(**kw)
+        return cfg, s2s.init_params(key, cfg)
+    if task == "tts_two_tower":
+        from rwkvtts_tpu.models import tts_two_tower as tt
+
+        cfg = tt.default_config(
+            text_hidden=args.hidden, text_layers=args.layers,
+            audio_hidden=args.hidden, audio_layers=args.layers,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        )
+        return cfg, tt.init_params(key, cfg)
+    raise ValueError(f"unknown task {task}")
+
+
+def build_collate(task: str, args, model_cfg) -> Callable:
+    from rwkvtts_tpu.utils.tokenizer import get_world_tokenizer
+
+    tok = get_world_tokenizer(n_spct=64 if "properties" in task or "global" in task else 0)
+    if task.startswith("spark"):
+        from rwkvtts_tpu.data import spark_collator as sc
+
+        fn = {
+            "spark": sc.collate_plain,
+            "spark_properties": sc.collate_with_properties,
+            "spark_global": sc.collate_global_tokens,
+        }[task]
+        return functools.partial(
+            fn, tokenizer=tok, eos_id=model_cfg.eos_token_id,
+            pad_to=args.pad_to, packed=args.packed,
+        )
+    if task == "cosy":
+        from rwkvtts_tpu.data import cosy_collator as cc
+
+        return functools.partial(
+            cc.collate, tokenizer=tok, eos_id=model_cfg.eos_token_id,
+            drop_prompt_audio_rate=args.drop_prompt_audio_rate,
+            pad_to=args.pad_to, packed=args.packed,
+        )
+    if task == "xy":
+        from rwkvtts_tpu.data import xy_collator as xc
+
+        return functools.partial(xc.collate, tokenizer=tok, pad_to=args.pad_to)
+    if task == "asr":
+        from rwkvtts_tpu.data import asr_collator as ac
+
+        return functools.partial(ac.collate, tokenizer=tok)
+    raise ValueError(f"no jsonl collator for task {task} — use a custom driver")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--task", required=True, choices=sorted(trainer_lib.LOSS_FNS))
+    p.add_argument("--data", nargs="+", required=True, help="jsonl glob(s)")
+    p.add_argument("--run-dir", default="runs/default")
+    p.add_argument("--hidden", type=int, default=768)
+    p.add_argument("--layers", type=int, default=12)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--pad-to", type=int, default=2048)
+    p.add_argument("--packed", action="store_true")
+    p.add_argument("--max-tokens-k", type=int, default=0, help="token budget (thousands)")
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr-final", type=float, default=1e-5)
+    p.add_argument("--warmup-steps", type=int, default=1000)
+    p.add_argument("--total-steps", type=int, default=100_000)
+    p.add_argument("--weight-decay", type=float, default=0.01)
+    p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--save-steps", type=int, default=1000)
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--warm-start", default=None, help="ckpt file to init params from")
+    p.add_argument("--drop-prompt-audio-rate", type=float, default=0.5)
+    p.add_argument("--wandb-project", default=None)
+    p.add_argument("--run-name", default=None)
+    p.add_argument("--max-rows", type=int, default=None)
+    args = p.parse_args(argv)
+
+    metrics_lib.setup_logging()
+    cfg, params = build_model(args.task, args)
+
+    if args.warm_start:
+        from rwkvtts_tpu.convert import rwkv7_ckpt, speech_init
+
+        sd = rwkv7_ckpt.load_torch_or_safetensors(args.warm_start)
+        if args.task.startswith("spark"):
+            params = speech_init.spark_from_text(sd, params, cfg)
+        else:
+            log.warning("warm-start surgery only wired for spark tasks here")
+        params = jax.tree.map(jnp.asarray, params)
+
+    collate = build_collate(args.task, args, cfg)
+    rows = jsonl_dataset.load_jsonl_rows(
+        args.data, jax.process_index(), jax.process_count(), max_rows=args.max_rows
+    )
+    log.info("loaded %d rows", len(rows))
+    ds = jsonl_dataset.JsonlDataset(
+        rows, collate, args.batch_size, seed=args.seed,
+        max_tokens=args.max_tokens_k * 1000 if args.max_tokens_k else None,
+    )
+
+    tcfg = trainer_lib.TrainerConfig(
+        run_dir=args.run_dir, epochs=args.epochs, save_steps=args.save_steps,
+        log_every=args.log_every, peak_lr=args.lr, final_lr=args.lr_final,
+        warmup_steps=args.warmup_steps, total_steps=args.total_steps,
+        weight_decay=args.weight_decay, grad_clip=args.grad_clip,
+        seed=args.seed, wandb_project=args.wandb_project, run_name=args.run_name,
+    )
+    tr = trainer_lib.Trainer(cfg, params, trainer_lib.LOSS_FNS[args.task], tcfg)
+    if args.resume:
+        tr.maybe_resume()
+    tr.fit(ds)
+
+
+if __name__ == "__main__":
+    main()

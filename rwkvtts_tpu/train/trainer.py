@@ -1,0 +1,214 @@
+"""Generic training orchestration: jitted GSPMD step + data + checkpoints.
+
+The TPU replacement for the reference's 21 per-engine DeepSpeed scripts
+(SURVEY.md §2.6): one Trainer, per-task loss adapters, orbax rotation,
+metrics, warm-start and (new) mid-epoch resume.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rwkvtts_tpu.parallel import mesh as mesh_lib
+from rwkvtts_tpu.parallel import train_step as ts
+from rwkvtts_tpu.train import checkpoint as ckpt_lib
+from rwkvtts_tpu.train import metrics as metrics_lib
+from rwkvtts_tpu.train import optimizer as opt_lib
+
+log = logging.getLogger("rwkvtts_tpu")
+
+
+# ---------------------------------------------------------------------------
+# Per-task loss adapters: loss_fn(params, cfg, batch, rng) -> (loss, n_valid)
+
+
+def spark_loss(params, cfg, batch, rng, l2_wrap=0.0):
+    from rwkvtts_tpu.models import spark
+
+    return spark.forward(
+        params, cfg, batch["tokens"], batch["modality"], labels=batch["labels"],
+        attention_mask=batch.get("attention_mask"), resets=batch.get("resets"),
+        dropout_rng=rng, l2_wrap=l2_wrap,
+    )
+
+
+def cosy_loss(params, cfg, batch, rng, l2_wrap=0.0):
+    from rwkvtts_tpu.models import cosy
+
+    return cosy.forward(
+        params, cfg, batch["tokens"], batch["modality"], labels=batch["labels"],
+        attention_mask=batch.get("attention_mask"), resets=batch.get("resets"),
+        dropout_rng=rng,
+    )
+
+
+def xy_loss(params, cfg, batch, rng, l2_wrap=0.0):
+    from rwkvtts_tpu.models import xy
+
+    return xy.forward(
+        params, cfg, batch["input_ids"], labels=batch["labels"],
+        attention_mask=batch.get("attention_mask"), resets=batch.get("resets"),
+        dropout_rng=rng,
+    )
+
+
+def asr_loss(params, cfg, batch, rng, l2_wrap=1e-4):
+    from rwkvtts_tpu.models import asr
+
+    return asr.forward(params, cfg, batch, l2_wrap=l2_wrap)
+
+
+def two_tower_loss(params, cfg, batch, rng, l2_wrap=0.0):
+    from rwkvtts_tpu.models import tts_two_tower as tt
+
+    return tt.forward(
+        params, cfg, batch["text_ids"], batch["text_mask"],
+        batch["audio_ids"], batch["audio_mask"], batch["labels"],
+    )
+
+
+def s2s_loss(params, cfg, batch, rng, l2_wrap=1e-4):
+    from rwkvtts_tpu.models import s2s
+
+    # batches carry an `is_text` python bool via the collate fn's metadata;
+    # text and audio batches alternate (reference T10)
+    return s2s.forward(
+        params, cfg, batch["input_ids"], attention_mask=batch.get("attention_mask"),
+        is_text=bool(batch.get("_is_text", True)), labels=batch["labels"],
+        l2_wrap=l2_wrap,
+    )
+
+
+LOSS_FNS: Dict[str, Callable] = {
+    "spark": spark_loss,
+    "spark_properties": spark_loss,
+    "spark_global": spark_loss,
+    "cosy": cosy_loss,
+    "xy": xy_loss,
+    "asr": asr_loss,
+    "tts_two_tower": two_tower_loss,
+    "s2s": s2s_loss,
+}
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    run_dir: str = "runs/default"
+    epochs: int = 1
+    save_steps: int = 1000
+    keep_checkpoints: int = 2
+    log_every: int = 10
+    peak_lr: float = 1e-4
+    final_lr: float = 1e-5
+    warmup_steps: int = 1000
+    total_steps: int = 100_000
+    weight_decay: float = 0.01
+    grad_clip: float = 1.0
+    seed: int = 0
+    wandb_project: Optional[str] = None
+    run_name: Optional[str] = None
+    mesh_shape: Optional[Dict[str, int]] = None  # e.g. {"dp": 8}
+
+
+class Trainer:
+    def __init__(
+        self,
+        model_cfg,
+        params,
+        loss_fn: Callable,
+        tcfg: TrainerConfig,
+    ):
+        self.model_cfg = model_cfg
+        self.tcfg = tcfg
+        self.tx = opt_lib.build_optimizer(
+            params,
+            peak_lr=tcfg.peak_lr,
+            final_lr=tcfg.final_lr,
+            warmup_steps=tcfg.warmup_steps,
+            total_steps=tcfg.total_steps,
+            weight_decay=tcfg.weight_decay,
+            grad_clip=tcfg.grad_clip,
+        )
+        n_dev = jax.device_count()
+        self.mesh = None
+        if n_dev > 1:
+            shape = tcfg.mesh_shape or {"dp": n_dev}
+            self.mesh = mesh_lib.make_mesh(**shape)
+            params = mesh_lib.shard_params(self.mesh, params)
+        self.state = ts.init_train_state(params, self.tx)
+        self.step_fn = ts.make_train_step(
+            model_cfg, self.tx, loss_fn=loss_fn, mesh=self.mesh
+        )
+        self.logger = metrics_lib.MetricLogger(
+            tcfg.run_dir, tcfg.wandb_project, tcfg.run_name
+        )
+        self.throughput = metrics_lib.Throughput()
+        self.start_epoch = 0
+        self.start_batch = 0
+
+    @property
+    def ckpt_dir(self):
+        return os.path.join(self.tcfg.run_dir, "ckpt")
+
+    def maybe_resume(self) -> bool:
+        step = ckpt_lib.latest_step(self.ckpt_dir)
+        if step is None:
+            return False
+        self.state, meta = ckpt_lib.restore(self.ckpt_dir, self.state, step)
+        self.start_epoch = int(meta.get("epoch", 0))
+        self.start_batch = int(meta.get("batch", 0))
+        log.info("resumed at step %d (epoch %d batch %d)", step, self.start_epoch, self.start_batch)
+        return True
+
+    def save(self, epoch: int, batch: int):
+        step = int(self.state.step)
+        ckpt_lib.save(
+            self.ckpt_dir, step, self.state,
+            meta={"epoch": epoch, "batch": batch},
+            keep=self.tcfg.keep_checkpoints,
+        )
+        log.info("saved checkpoint at step %d", step)
+
+    def fit(self, dataset, demo_fn: Optional[Callable] = None, demo_every: int = 0):
+        rng = jax.random.PRNGKey(self.tcfg.seed)
+        step = int(self.state.step)
+        for epoch in range(self.start_epoch, self.tcfg.epochs):
+            start_batch = self.start_batch if epoch == self.start_epoch else 0
+            for bi, batch in enumerate(dataset.epoch(epoch, start_batch), start=start_batch):
+                rng, sub = jax.random.split(rng)
+                jb = {
+                    k: jnp.asarray(v)
+                    for k, v in batch.items()
+                    if not k.startswith("_")
+                }
+                self.state, metrics = self.step_fn(self.state, jb, sub)
+                step += 1
+                n_tok = int(metrics["tokens"])
+                kts = self.throughput.update(n_tok)
+                if step % self.tcfg.log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    if kts is not None:
+                        m["kt_per_s"] = kts
+                    self.logger.log(step, m, tokens=n_tok)
+                    loss = m["loss"]
+                    if not np.isfinite(loss):
+                        log.warning("non-finite loss %s at step %d", loss, step)
+                    log.info("step %d loss %.4f", step, loss)
+                if self.tcfg.save_steps and step % self.tcfg.save_steps == 0:
+                    self.save(epoch, bi + 1)
+                if demo_fn is not None and demo_every and step % demo_every == 0:
+                    try:
+                        demo_fn(self.state.params, step)
+                    except Exception as e:  # demos must never kill training
+                        log.warning("demo generation failed: %s", e)
+            self.save(epoch + 1, 0)
+        self.logger.close()
+        return self.state
