@@ -212,11 +212,13 @@ def build_prompt(
     text_ids: Sequence[int],
     global_tokens: Sequence[int],
     *,
+    prompt_semantic_tokens: Sequence[int] = (),
     properties: Optional[str] = None,
     tokenizer=None,
 ) -> Sample:
-    """Inference prompt [props?][TAG2][text][TAG0][global][TAG1] — decoding
-    starts right after TAG1 (reference utils/utilities.py:199-206)."""
+    """Inference prompt [props?][TAG2][text][TAG0][global][TAG1][prompt_sem…]
+    — decoding continues after the prompt's semantic tokens (zero-shot
+    continuation; reference utils/utilities.py:170-206)."""
     s = Sample([], [], [])
     if properties is not None:
         prop_ids = tokenizer.encode(properties)
@@ -226,6 +228,11 @@ def build_prompt(
     s.extend([TAG_GLOBAL], MOD_TAG, [IGNORE])
     s.extend(list(global_tokens), MOD_GLOBAL, [IGNORE] * len(global_tokens))
     s.extend([TAG_SEMANTIC], MOD_TAG, [IGNORE])
+    if prompt_semantic_tokens:
+        s.extend(
+            list(prompt_semantic_tokens), MOD_SEMANTIC,
+            [IGNORE] * len(prompt_semantic_tokens),
+        )
     return s
 
 

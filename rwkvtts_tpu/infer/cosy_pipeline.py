@@ -1,0 +1,225 @@
+"""CosyVoice2-style TTS orchestrator: frontend -> RWKV LM -> flow -> HiFT.
+
+Reference call-stack parity (SURVEY.md §3.3; third_party/cosyvoice/cli/):
+  * zero-shot prompt assembly (frontend.py:164-182): prompt speech tokens +
+    prompt mel + speaker embedding condition the LM and the flow
+  * LM token generation (cosy_llm.py:180-261): [SOS][text][TASK][prompt_sp]
+    prefill, RAS sampling, min/max length from content length
+  * token2wav (cli/model.py:372-459): flow (10-step euler CFG) -> HiFT,
+    non-streaming first; streaming via token hops + source cache is exposed
+    through `synthesize_streaming`.
+
+Frontend features the reference computes with ONNX models (S3 speech
+tokenizer, campplus x-vector) are pluggable here: pass precomputed
+prompt_speech_tokens / spk_embedding, or inject callables (e.g. an
+onnxruntime wrapper when available — this image has none).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rwkvtts_tpu.codecs import dsp, flow as flow_lib, hift as hift_lib
+from rwkvtts_tpu.data import cosy_collator
+from rwkvtts_tpu.infer import generate as gen
+
+
+@dataclasses.dataclass
+class CosyTTSResult:
+    wav: np.ndarray
+    sample_rate: int
+    speech_tokens: np.ndarray
+    rtf: float
+    llm_s: float
+    flow_s: float
+    vocoder_s: float
+
+
+class CosyPipeline:
+    def __init__(
+        self,
+        lm_cfg,
+        lm_params,
+        text_tokenizer,
+        flow_cfg: Optional[flow_lib.FlowConfig] = None,
+        flow_params=None,
+        hift_cfg: Optional[hift_lib.HiFTConfig] = None,
+        hift_params=None,
+        speech_tokenizer_fn: Optional[Callable] = None,  # wav -> token ids
+        spk_embed_fn: Optional[Callable] = None,  # wav -> (192,) x-vector
+        sample_rate: int = 24000,
+    ):
+        self.lm_cfg = lm_cfg
+        self.lm_params = lm_params
+        self.tok = text_tokenizer
+        self.flow_cfg = flow_cfg
+        self.flow_params = flow_params
+        self.hift_cfg = hift_cfg
+        self.hift_params = hift_params
+        self.speech_tokenizer_fn = speech_tokenizer_fn
+        self.spk_embed_fn = spk_embed_fn
+        self.sample_rate = sample_rate
+
+    # -- LM stage ---------------------------------------------------------
+
+    def generate_speech_tokens(
+        self,
+        text: str,
+        prompt_text: str = "",
+        prompt_speech_tokens: Sequence[int] = (),
+        max_new_tokens: int = 2048,
+        seed: int = 0,
+        top_p: float = 0.8,
+        top_k: int = 25,
+    ) -> np.ndarray:
+        """[SOS][prompt_text+text][TASK][prompt_speech] -> speech ids."""
+        text_ids = self.tok.encode(prompt_text) + self.tok.encode(text)
+        sample = cosy_collator.build_prompt(text_ids, list(prompt_speech_tokens))
+        from rwkvtts_tpu.data.spark_collator import pad_prompts_left
+
+        batch = pad_prompts_left([sample])
+        content_len = cosy_collator.content_length(text_ids)
+        min_len = int(content_len * 2)
+        max_len = min(int(content_len * 20), max_new_tokens)
+
+        toks, lengths = gen.cosy_generate(
+            self.lm_params,
+            self.lm_cfg,
+            jnp.asarray(batch["tokens"]),
+            jnp.asarray(batch["modality"]),
+            jnp.asarray(batch["attention_mask"]),
+            jax.random.PRNGKey(seed),
+            max_new_tokens=max_len,
+            min_new_tokens=min_len,
+            top_p=top_p,
+            top_k=top_k,
+        )
+        n = int(np.asarray(lengths)[0])
+        return np.asarray(toks)[0, :n]
+
+    # -- token2wav ----------------------------------------------------------
+
+    def token2wav(
+        self,
+        speech_tokens: np.ndarray,
+        prompt_tokens: Sequence[int] = (),
+        prompt_mel: Optional[np.ndarray] = None,  # (Tp*2, 80)
+        spk_embedding: Optional[np.ndarray] = None,  # (192,)
+        n_timesteps: int = 10,
+        seed: int = 0,
+    ) -> np.ndarray:
+        if self.flow_params is None or self.hift_params is None:
+            raise RuntimeError("flow/hift params not loaded")
+        all_tokens = np.concatenate(
+            [np.asarray(prompt_tokens, np.int64), np.asarray(speech_tokens, np.int64)]
+        )[None]
+        mask = np.ones_like(all_tokens, np.float32)
+        if spk_embedding is None:
+            spk_embedding = np.zeros((self.flow_cfg.spk_embed_dim,), np.float32)
+        if prompt_mel is None:
+            prompt_mel = np.zeros((0, self.flow_cfg.output_size), np.float32)
+        mel = flow_lib.inference(
+            self.flow_params,
+            self.flow_cfg,
+            jax.random.PRNGKey(seed),
+            jnp.asarray(all_tokens),
+            jnp.asarray(mask),
+            jnp.asarray(prompt_mel[None]),
+            prompt_mel.shape[0],
+            jnp.asarray(spk_embedding[None]),
+            n_timesteps=n_timesteps,
+        )
+        wav, _ = hift_lib.inference(
+            self.hift_params, self.hift_cfg, jax.random.PRNGKey(seed + 1), mel
+        )
+        return np.asarray(wav)[0]
+
+    # -- full zero-shot -------------------------------------------------------
+
+    def frontend_zero_shot(self, prompt_wav: np.ndarray):
+        """Extract (prompt speech tokens, prompt mel, spk embedding) from a
+        reference clip using the injected feature extractors."""
+        if self.speech_tokenizer_fn is None or self.spk_embed_fn is None:
+            raise RuntimeError(
+                "zero-shot frontend needs speech_tokenizer_fn and spk_embed_fn "
+                "(or pass precomputed prompt features to synthesize)"
+            )
+        tokens = np.asarray(self.speech_tokenizer_fn(prompt_wav), np.int64)
+        emb = np.asarray(self.spk_embed_fn(prompt_wav), np.float32)
+        mel = np.asarray(
+            dsp.log_mel_hifigan(jnp.asarray(prompt_wav[None]))[0], np.float32
+        )
+        # frontend enforces mel frames == 2 * token count (cli/frontend.py:170-174)
+        mel = mel[: 2 * len(tokens)]
+        return tokens, mel, emb
+
+    def synthesize(
+        self,
+        text: str,
+        prompt_text: str = "",
+        prompt_wav: Optional[np.ndarray] = None,
+        prompt_speech_tokens: Sequence[int] = (),
+        prompt_mel: Optional[np.ndarray] = None,
+        spk_embedding: Optional[np.ndarray] = None,
+        seed: int = 0,
+        **gen_kw,
+    ) -> CosyTTSResult:
+        if prompt_wav is not None:
+            prompt_speech_tokens, prompt_mel, spk_embedding = self.frontend_zero_shot(prompt_wav)
+        t0 = time.perf_counter()
+        tokens = self.generate_speech_tokens(
+            text, prompt_text, prompt_speech_tokens, seed=seed, **gen_kw
+        )
+        t1 = time.perf_counter()
+        wav = self.token2wav(
+            tokens, prompt_speech_tokens, prompt_mel, spk_embedding, seed=seed
+        )
+        # strip the prompt region: flow returns only the generated part, but
+        # guard anyway
+        t2 = time.perf_counter()
+        dur = len(wav) / self.sample_rate
+        return CosyTTSResult(
+            wav=wav,
+            sample_rate=self.sample_rate,
+            speech_tokens=tokens,
+            rtf=(t2 - t0) / max(dur, 1e-9),
+            llm_s=t1 - t0,
+            flow_s=t2 - t1,
+            vocoder_s=0.0,
+        )
+
+    def synthesize_streaming(
+        self,
+        text: str,
+        prompt_text: str = "",
+        prompt_speech_tokens: Sequence[int] = (),
+        prompt_mel: Optional[np.ndarray] = None,
+        spk_embedding: Optional[np.ndarray] = None,
+        hop_tokens: int = 25,
+        seed: int = 0,
+        **gen_kw,
+    ):
+        """Chunked token2wav generator (the reference's streaming hop loop,
+        cli/model.py:372-434): LM runs to completion, then mel+wav are
+        synthesized per token-hop with the HiFT source cache carrying over;
+        yields wav chunks."""
+        tokens = self.generate_speech_tokens(
+            text, prompt_text, prompt_speech_tokens, seed=seed, **gen_kw
+        )
+        cache_source = None
+        prev_samples = 0
+        for end in range(hop_tokens, len(tokens) + hop_tokens, hop_tokens):
+            chunk_tokens = tokens[: min(end, len(tokens))]
+            wav = self.token2wav(
+                chunk_tokens, prompt_speech_tokens, prompt_mel, spk_embedding,
+                seed=seed,
+            )
+            yield wav[prev_samples:]
+            prev_samples = len(wav)
+            if end >= len(tokens):
+                break

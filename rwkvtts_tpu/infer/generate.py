@@ -284,6 +284,53 @@ def xy_generate(
     return frames, n_audio
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_tokens", "top_k", "top_p", "temperature"),
+)
+def spark_global_generate(
+    params,
+    cfg,
+    tokens: jax.Array,
+    modality: jax.Array,
+    attention_mask: jax.Array,
+    key: jax.Array,
+    *,
+    num_tokens: int = 32,
+    temperature: float = 1.0,
+    top_k: int = 50,
+    top_p: float = 0.95,
+):
+    """Voice-designer decode: sample exactly `num_tokens` global (speaker)
+    ids from the shared head restricted to [0, 4096), embedding each via the
+    global_embedder (the `_global_tokens` training variant's inference path;
+    reference utils/multiple_jsonl.py:313-400, test_respark
+    tts_using_webrwkv_osx.py voice-design flow)."""
+    from rwkvtts_tpu.models import spark
+
+    bb = cfg.backbone
+    B = tokens.shape[0]
+    V = cfg.audio_global_vocab_size
+    h_last, state = spark.prefill(params, cfg, tokens, modality, attention_mask)
+    vocab_mask = jnp.arange(cfg.semantic_vocab_size) >= V
+
+    def step(carry, step_key):
+        h, st = carry
+        logits = (h @ params["head"].astype(bb.dtype)).astype(jnp.float32)
+        logits = jnp.where(vocab_mask[None, :], sampling.NEG_INF, logits)
+        tok = sampling.sample(
+            step_key, logits, temperature=temperature, top_k=top_k, top_p=top_p
+        )
+        x = params["global_embedder"][tok].astype(bb.dtype)
+        h, st = rwkv7.decode_step(params, bb, x, st)
+        return (h, st), tok
+
+    keys = jax.random.split(key, num_tokens)
+    (_, _), toks = jax.lax.scan(step, (h_last, state), keys)
+    toks = jnp.moveaxis(toks, 0, 1)  # (B, num_tokens)
+    return toks, jnp.full((B,), num_tokens, jnp.int32)
+
+
 def greedy_spark_generate(params, cfg, tokens, modality, attention_mask, **kw):
     """Greedy decode == temperature→0 path used for golden-token tests."""
     return spark_generate(

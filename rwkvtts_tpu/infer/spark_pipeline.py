@@ -1,0 +1,202 @@
+"""End-to-end Spark TTS pipeline: text (+ zero-shot prompt / SPCT voice
+properties) -> wav.
+
+Reference call stack parity (SURVEY.md §3.2; test_respark/simple_generate.py):
+  bicodec.tokenize(prompt) -> [TAG2|text|TAG0|global|TAG1|prompt_sem] prompt
+  -> AR decode (top_k 50, top_p 0.95) -> bicodec.detokenize -> wav.
+Voice-design flow (tts_using_webrwkv_osx.py): SPCT properties -> generate 32
+global tokens with the designer head -> generate semantics.
+
+All device work is two jitted programs (generate, detokenize); everything
+else is host-side token bookkeeping.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rwkvtts_tpu.data import spark_collator
+from rwkvtts_tpu.data.properties import properties_string
+from rwkvtts_tpu.infer import generate as gen
+from rwkvtts_tpu.models import spark as spark_model
+
+
+@dataclasses.dataclass
+class SparkTTSResult:
+    wav: np.ndarray
+    sample_rate: int
+    semantic_tokens: np.ndarray
+    global_tokens: np.ndarray
+    prefill_s: float
+    decode_s: float
+    tokens_per_s: float
+
+
+class SparkPipeline:
+    def __init__(
+        self,
+        lm_cfg,
+        lm_params,
+        text_tokenizer,
+        audio_tokenizer=None,  # codecs.spark_tokenizer.SparkAudioTokenizer
+        sample_rate: int = 16000,
+    ):
+        self.cfg = lm_cfg
+        self.params = lm_params
+        self.tok = text_tokenizer
+        self.codec = audio_tokenizer
+        self.sample_rate = sample_rate
+
+    # -- prompt construction --------------------------------------------------
+
+    def _prompt_batch(
+        self,
+        texts: Sequence[str],
+        global_tokens: Sequence[Sequence[int]],
+        prompt_semantics: Sequence[Sequence[int]],
+        properties: Sequence[Optional[str]],
+        pad_to: Optional[int] = None,
+    ) -> Dict[str, np.ndarray]:
+        samples = [
+            spark_collator.build_prompt(
+                self.tok.encode(t),
+                g,
+                prompt_semantic_tokens=s,
+                properties=p,
+                tokenizer=self.tok,
+            )
+            for t, g, s, p in zip(texts, global_tokens, prompt_semantics, properties)
+        ]
+        return spark_collator.pad_prompts_left(samples, pad_to=pad_to)
+
+    # -- public API -----------------------------------------------------------
+
+    def synthesize(
+        self,
+        text: Union[str, Sequence[str]],
+        prompt_wav=None,
+        prompt_text: Optional[str] = None,
+        properties: Optional[Dict[str, Any]] = None,
+        global_tokens: Optional[Sequence[int]] = None,
+        max_new_tokens: int = 1024,
+        temperature: float = 1.0,
+        top_k: int = 50,
+        top_p: float = 0.95,
+        seed: int = 0,
+        pad_to: Optional[int] = None,
+    ) -> SparkTTSResult:
+        """Zero-shot (prompt_wav [+ prompt_text]) or voice-controlled
+        (properties dict / explicit global_tokens) synthesis."""
+        texts = [text] if isinstance(text, str) else list(text)
+        B = len(texts)
+
+        prompt_sem: List[List[int]] = [[] for _ in texts]
+        if prompt_wav is not None:
+            if self.codec is None:
+                raise RuntimeError("audio tokenizer required for prompt_wav")
+            glob, sem = self.codec.tokenize(prompt_wav)
+            g = glob.reshape(-1).tolist()
+            s = sem.reshape(-1).tolist()
+            globals_ = [g] * B
+            if prompt_text is not None:
+                texts = [prompt_text + t for t in texts]
+                prompt_sem = [s] * B
+        elif global_tokens is not None:
+            globals_ = [list(global_tokens)] * B
+        elif properties is not None:
+            globals_ = [self.design_voice(properties)] * B
+        else:
+            raise ValueError("need prompt_wav, global_tokens, or properties")
+
+        props_str = None
+        if properties is not None:
+            props_str = properties_string(
+                properties.get("age", "youth-adult"),
+                properties.get("gender", "female"),
+                properties.get("emotion", "NEUTRAL"),
+                properties.get("pitch", "medium_pitch"),
+                properties.get("speed", "medium"),
+            )
+        batch = self._prompt_batch(
+            texts, globals_, prompt_sem, [props_str] * B, pad_to=pad_to
+        )
+
+        t0 = time.perf_counter()
+        toks, lengths = gen.spark_generate(
+            self.params,
+            self.cfg,
+            jnp.asarray(batch["tokens"]),
+            jnp.asarray(batch["modality"]),
+            jnp.asarray(batch["attention_mask"]),
+            jax.random.PRNGKey(seed),
+            max_new_tokens=max_new_tokens,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+        )
+        toks = np.asarray(toks)
+        lengths = np.asarray(lengths)
+        t1 = time.perf_counter()
+
+        results: List[SparkTTSResult] = []
+        total_tok = int(lengths.sum())
+        for i in range(B):
+            n = int(lengths[i])
+            semantic = toks[i, :n]
+            wav = np.zeros(0, np.float32)
+            if self.codec is not None and n > 0:
+                g = np.asarray(globals_[i], np.int64)[None, None, :]
+                wav = self.codec.detokenize(g, semantic[None].astype(np.int64))[0]
+            results.append(
+                SparkTTSResult(
+                    wav=wav,
+                    sample_rate=self.sample_rate,
+                    semantic_tokens=semantic,
+                    global_tokens=np.asarray(globals_[i]),
+                    prefill_s=t1 - t0,
+                    decode_s=time.perf_counter() - t1,
+                    tokens_per_s=total_tok / max(t1 - t0, 1e-9),
+                )
+            )
+        return results[0] if isinstance(text, str) else results
+
+    def design_voice(
+        self,
+        properties: Dict[str, Any],
+        temperature: float = 1.0,
+        top_k: int = 50,
+        top_p: float = 0.95,
+        seed: int = 0,
+    ) -> List[int]:
+        """Voice designer: SPCT properties -> 32 global tokens using the
+        global-token head path (reference tts_using_webrwkv_osx.py flow)."""
+        props = properties_string(
+            properties.get("age", "youth-adult"),
+            properties.get("gender", "female"),
+            properties.get("emotion", "NEUTRAL"),
+            properties.get("pitch", "medium_pitch"),
+            properties.get("speed", "medium"),
+        )
+        prop_ids = self.tok.encode(props)
+        s = spark_collator.Sample([], [], [])
+        s.extend(prop_ids, spark_model.MOD_TEXT, [spark_collator.IGNORE] * len(prop_ids))
+        s.extend([spark_model.TAG_GLOBAL], spark_model.MOD_TAG, [spark_collator.IGNORE])
+        batch = spark_collator.pad_prompts_left([s])
+        toks, _ = gen.spark_global_generate(
+            self.params,
+            self.cfg,
+            jnp.asarray(batch["tokens"]),
+            jnp.asarray(batch["modality"]),
+            jnp.asarray(batch["attention_mask"]),
+            jax.random.PRNGKey(seed),
+            num_tokens=32,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+        )
+        return np.asarray(toks)[0].tolist()

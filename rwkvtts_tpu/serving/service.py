@@ -1,0 +1,204 @@
+"""TTS serving core: speaker library + batched request worker.
+
+Reference parity (/root/reference/service/):
+  * tts_service.py:14-120 — TTS_Service with a worker queue over engines
+  * rwkv_tts_service.py:67-178 — /api/rwkv_tts payloads: {text, prompt_text?,
+    audio (base64 wav)? , speaker?}, wav response; /api/speakers lists the
+    demo prompt library (demos/<speaker>/*.wav)
+
+TPU-first redesign (SURVEY.md §7.12): instead of a thread per engine, one
+dispatcher thread groups queued requests that share a speaker/voice into a
+single batched decode call — RWKV decode throughput scales with batch on
+the MXU, so batching is the serving win.
+"""
+from __future__ import annotations
+
+import base64
+import dataclasses
+import io
+import os
+import queue
+import threading
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from rwkvtts_tpu.utils import audio_io
+
+
+@dataclasses.dataclass
+class TTSRequest:
+    text: str
+    speaker: Optional[str] = None
+    prompt_text: Optional[str] = None
+    prompt_wav: Optional[np.ndarray] = None
+    properties: Optional[Dict[str, Any]] = None
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class TTSResponse:
+    wav: np.ndarray
+    sample_rate: int
+    error: Optional[str] = None
+
+
+class SpeakerLibrary:
+    """demos/<speaker>/*.wav prompt library; caches codec tokens per speaker."""
+
+    def __init__(self, demo_dir: Optional[str], codec=None, sample_rate: int = 16000):
+        self.demo_dir = demo_dir
+        self.codec = codec
+        self.sample_rate = sample_rate
+        self._cache: Dict[str, Dict[str, Any]] = {}
+
+    def speakers(self) -> List[str]:
+        if not self.demo_dir or not os.path.isdir(self.demo_dir):
+            return []
+        return sorted(
+            d for d in os.listdir(self.demo_dir)
+            if os.path.isdir(os.path.join(self.demo_dir, d))
+        )
+
+    def register(self, name: str, global_tokens: Sequence[int], semantic_tokens: Sequence[int] = ()):
+        self._cache[name] = {
+            "global_tokens": list(global_tokens),
+            "semantic_tokens": list(semantic_tokens),
+        }
+
+    def get(self, name: str) -> Dict[str, Any]:
+        if name in self._cache:
+            return self._cache[name]
+        if not self.demo_dir:
+            raise KeyError(name)
+        d = os.path.join(self.demo_dir, name)
+        wavs = sorted(
+            f for f in os.listdir(d) if f.endswith(".wav")
+        )
+        if not wavs:
+            raise KeyError(name)
+        wav = audio_io.load_wav(os.path.join(d, wavs[0]), self.sample_rate, volume_normalize=True)
+        if self.codec is None:
+            raise RuntimeError("codec required to tokenize speaker prompts")
+        glob, sem = self.codec.tokenize(wav)
+        entry = {
+            "global_tokens": glob.reshape(-1).tolist(),
+            "semantic_tokens": sem.reshape(-1).tolist(),
+        }
+        self._cache[name] = entry
+        return entry
+
+
+class BatchedTTSService:
+    """Queue + dispatcher: groups same-voice requests into one batched
+    pipeline call. synthesize() is the blocking client API; the HTTP layers
+    sit on top."""
+
+    def __init__(
+        self,
+        pipeline,  # SparkPipeline-compatible: synthesize(list[str], global_tokens=…)
+        speakers: Optional[SpeakerLibrary] = None,
+        max_batch: int = 8,
+        max_wait_ms: float = 30.0,
+        max_new_tokens: int = 1024,
+    ):
+        self.pipeline = pipeline
+        self.speakers = speakers or SpeakerLibrary(None)
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self.max_new_tokens = max_new_tokens
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- client API ---------------------------------------------------------
+
+    def synthesize(self, req: TTSRequest, timeout: float = 300.0) -> TTSResponse:
+        done = threading.Event()
+        box: Dict[str, Any] = {}
+        self._q.put((req, done, box))
+        if not done.wait(timeout):
+            return TTSResponse(np.zeros(0, np.float32), 16000, error="timeout")
+        return box["resp"]
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    # -- dispatcher -----------------------------------------------------------
+
+    def _voice_key(self, req: TTSRequest):
+        if req.speaker:
+            return ("spk", req.speaker)
+        if req.properties:
+            return ("props", tuple(sorted(req.properties.items())))
+        return ("unique", id(req))
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.max_wait_ms / 1e3
+            key0 = self._voice_key(first[0])
+            while len(batch) < self.max_batch and time.perf_counter() < deadline:
+                try:
+                    item = self._q.get(timeout=max(deadline - time.perf_counter(), 0.001))
+                except queue.Empty:
+                    break
+                if self._voice_key(item[0]) == key0:
+                    batch.append(item)
+                else:
+                    self._q.put(item)  # different voice: next round
+                    break
+            self._process(batch)
+
+    def _process(self, batch):
+        reqs = [b[0] for b in batch]
+        try:
+            kw: Dict[str, Any] = {"max_new_tokens": self.max_new_tokens, "seed": reqs[0].seed}
+            r0 = reqs[0]
+            if r0.speaker:
+                entry = self.speakers.get(r0.speaker)
+                kw["global_tokens"] = entry["global_tokens"]
+            elif r0.prompt_wav is not None:
+                kw["prompt_wav"] = r0.prompt_wav
+                kw["prompt_text"] = r0.prompt_text
+            elif r0.properties is not None:
+                kw["properties"] = r0.properties
+            texts = [r.text for r in reqs]
+            results = self.pipeline.synthesize(texts, **kw)
+            if not isinstance(results, list):
+                results = [results]
+            for (req, done, box), res in zip(batch, results):
+                box["resp"] = TTSResponse(res.wav, res.sample_rate)
+                done.set()
+        except Exception as e:  # noqa: BLE001 — service must answer
+            for req, done, box in batch:
+                box["resp"] = TTSResponse(np.zeros(0, np.float32), 16000, error=str(e))
+                done.set()
+
+
+def decode_audio_b64(b64: str, sample_rate: int = 16000) -> np.ndarray:
+    """base64 wav payload -> float32 mono (the service's audio input format,
+    rwkv_tts_service.py request contract)."""
+    raw = base64.b64decode(b64)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+        f.write(raw)
+        f.flush()
+        return audio_io.load_wav(f.name, sample_rate)
+
+
+def wav_bytes(wav: np.ndarray, sample_rate: int) -> bytes:
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+        audio_io.save_wav(f.name, wav, sample_rate)
+        f.seek(0)
+        return open(f.name, "rb").read()
