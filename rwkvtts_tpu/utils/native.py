@@ -1,0 +1,97 @@
+"""Native (C++) runtime components: build + ctypes loading.
+
+The C++ sources live in csrc/; they are compiled on demand with the system
+g++ into csrc/build/ and loaded via ctypes (no pybind11 in this image).
+Every native path has a pure-Python fallback — absence of a compiler never
+breaks the framework.
+"""
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from typing import Optional
+
+log = logging.getLogger("rwkvtts_tpu")
+
+_CSRC = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", "csrc"))
+_BUILD = os.path.join(_CSRC, "build")
+_LOCK = threading.Lock()
+
+
+def _build(name: str, extra_flags=()) -> Optional[str]:
+    src = os.path.join(_CSRC, f"{name}.cpp")
+    out = os.path.join(_BUILD, f"lib{name}.so")
+    if not os.path.exists(src):
+        return None
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    os.makedirs(_BUILD, exist_ok=True)
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", out, src, *extra_flags]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return out
+    except Exception as e:  # noqa: BLE001
+        log.info("native build of %s failed (%s); using Python fallback", name, e)
+        return None
+
+
+def load(name: str, extra_flags=()) -> Optional[ctypes.CDLL]:
+    with _LOCK:
+        path = _build(name, extra_flags)
+    if path is None:
+        return None
+    try:
+        return ctypes.CDLL(path)
+    except OSError:
+        return None
+
+
+class NativeTrieEncoder:
+    """ctypes wrapper over csrc/world_tokenizer.cpp."""
+
+    def __init__(self, vocab_items):
+        """vocab_items: iterable of (id, bytes)."""
+        self._lib = load("world_tokenizer")
+        if self._lib is None:
+            raise RuntimeError("native tokenizer unavailable")
+        self._lib.wt_create.restype = ctypes.c_void_p
+        self._lib.wt_create.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        self._lib.wt_encode.restype = ctypes.c_int64
+        self._lib.wt_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ]
+        self._lib.wt_destroy.argtypes = [ctypes.c_void_p]
+
+        parts = []
+        for tid, bs in vocab_items:
+            parts.append(
+                int(tid).to_bytes(4, "little")
+                + len(bs).to_bytes(4, "little")
+                + bs
+            )
+        blob = b"".join(parts)
+        self._h = self._lib.wt_create(blob, len(blob))
+        if not self._h:
+            raise RuntimeError("wt_create failed")
+
+    def encode_bytes(self, src: bytes):
+        cap = max(len(src), 16)
+        out = (ctypes.c_int32 * cap)()
+        n = self._lib.wt_encode(self._h, src, len(src), out, cap)
+        if n == -1000000000:
+            raise RuntimeError("token buffer overflow")
+        if n < 0:
+            pos = -int(n) - 1
+            raise ValueError(f"unencodable byte {src[pos]:#x} at position {pos}")
+        return list(out[: int(n)])
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.wt_destroy(self._h)
+        except Exception:
+            pass

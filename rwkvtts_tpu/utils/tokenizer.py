@@ -57,6 +57,18 @@ class WorldTokenizer:
                 self.id_to_bytes[idx] = bs
                 self.bytes_to_id[bs] = idx
 
+        # Native C++ trie fast path (csrc/world_tokenizer.cpp); falls back
+        # to the pure-Python matcher below when no compiler is available.
+        self._native = None
+        try:
+            from rwkvtts_tpu.utils.native import NativeTrieEncoder
+
+            self._native = NativeTrieEncoder(
+                (tid, bs) for bs, tid in self.bytes_to_id.items()
+            )
+        except Exception:
+            self._native = None
+
         # Longest-match acceleration: for each first byte, the sorted set of
         # token lengths that occur, longest first.
         by_first: Dict[int, set] = {}
@@ -80,6 +92,8 @@ class WorldTokenizer:
 
     # -- core byte-level encode ---------------------------------------------
     def _encode_bytes(self, src: bytes) -> List[int]:
+        if self._native is not None:
+            return self._native.encode_bytes(src)
         out: List[int] = []
         i, n = 0, len(src)
         b2id = self.bytes_to_id
