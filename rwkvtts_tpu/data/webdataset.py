@@ -1,0 +1,126 @@
+"""Webdataset-style tar reading: (wav, json/txt) sample streams.
+
+Replaces the reference's HF load_dataset("webdataset") wrapper
+(data/spark/multiple_webdataset.py:17-110: eager load, 16 kHz mono cast,
+global shuffle, retry-on-read, tar validity pre-check) with a stdlib
+tarfile implementation — no datasets dependency, streaming or eager.
+"""
+from __future__ import annotations
+
+import io
+import json
+import logging
+import tarfile
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from rwkvtts_tpu.utils import audio_io
+
+log = logging.getLogger("rwkvtts_tpu")
+
+
+def check_tar(path: str) -> bool:
+    """Validity pre-check (multiple_webdataset.py:76-88 equivalent)."""
+    try:
+        with tarfile.open(path) as tf:
+            tf.getmembers()
+        return True
+    except (tarfile.TarError, OSError, EOFError):
+        return False
+
+
+def _decode_member(name: str, data: bytes, sample: Dict[str, Any], sample_rate: int):
+    ext = name.rsplit(".", 1)[-1].lower()
+    if ext == "wav":
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            f.write(data)
+            f.flush()
+            sample["audio"] = audio_io.load_wav(f.name, sample_rate)
+    elif ext == "json":
+        sample.update(json.loads(data))
+    elif ext in ("txt", "text"):
+        sample["text"] = data.decode("utf-8", errors="replace")
+    else:
+        sample[ext] = data
+
+
+def iter_tar_samples(
+    path: str,
+    sample_rate: int = 16000,
+    retries: int = 2,
+) -> Iterator[Dict[str, Any]]:
+    """Yield grouped samples {__key__, audio (float32), text, ...} from one
+    tar; members sharing a basename form one sample."""
+    for attempt in range(retries + 1):
+        try:
+            with tarfile.open(path) as tf:
+                current_key: Optional[str] = None
+                sample: Dict[str, Any] = {}
+                for m in tf:
+                    if not m.isfile():
+                        continue
+                    base = m.name.rsplit(".", 1)[0]
+                    if current_key is not None and base != current_key:
+                        if sample:
+                            yield {"__key__": current_key, **sample}
+                        sample = {}
+                    current_key = base
+                    data = tf.extractfile(m).read()
+                    _decode_member(m.name, data, sample, sample_rate)
+                if current_key is not None and sample:
+                    yield {"__key__": current_key, **sample}
+            return
+        except (tarfile.TarError, OSError, EOFError) as e:
+            log.warning("tar read failed (%s), attempt %d/%d", e, attempt + 1, retries + 1)
+    return
+
+
+class MultipleWebDataset:
+    """Eager multi-tar dataset with global shuffle (the reference's
+    MultipleWebDataset semantics)."""
+
+    def __init__(
+        self,
+        tar_paths: Sequence[str],
+        sample_rate: int = 16000,
+        shuffle: bool = True,
+        seed: int = 0,
+        verify: bool = True,
+    ):
+        self.samples: List[Dict[str, Any]] = []
+        for p in tar_paths:
+            if verify and not check_tar(p):
+                log.warning("skipping invalid tar %s", p)
+                continue
+            self.samples.extend(iter_tar_samples(p, sample_rate))
+        if shuffle:
+            rng = np.random.default_rng(seed)
+            order = rng.permutation(len(self.samples))
+            self.samples = [self.samples[i] for i in order]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        return self.samples[i]
+
+    def __iter__(self):
+        return iter(self.samples)
+
+
+def stream_tars(
+    tar_paths: Sequence[str],
+    sample_rate: int = 16000,
+    shard_index: int = 0,
+    num_shards: int = 1,
+) -> Iterator[Dict[str, Any]]:
+    """Streaming pipeline over many tars (the ASR webdataset path,
+    utils/webdataset_utils.py:245-392 equivalent): tars are sharded across
+    workers, samples stream without materializing."""
+    for i, p in enumerate(tar_paths):
+        if i % num_shards != shard_index:
+            continue
+        yield from iter_tar_samples(p, sample_rate)

@@ -1,0 +1,54 @@
+"""Text frontend tests: language detect, splitting, emotion tags, IPA marks."""
+from rwkvtts_tpu.data import text_frontend as tf
+
+
+def test_detect_language():
+    assert tf.detect_language("你好世界") == "zh"
+    assert tf.detect_language("hello world") == "en"
+    assert tf.detect_language("hello 世界你好啊朋友") == "zh"
+
+
+def test_basic_normalize_zh():
+    out = tf.basic_normalize("你好.  世界 - 再见，，")
+    assert out.endswith("。")
+    assert " " not in out
+
+
+def test_split_paragraph_budget():
+    enc = lambda s: list(s)  # 1 token per char
+    text = "一二三。四五六。七八九。十十一。"
+    chunks = tf.split_paragraph(text, enc, "zh", token_max_n=8, merge_len=2)
+    assert all(len(c) <= 8 for c in chunks)
+    assert "".join(chunks) == text
+
+
+def test_split_merges_small_tail():
+    enc = lambda s: list(s)
+    text = "aaaa. bb."
+    chunks = tf.split_paragraph(text, enc, "en", token_max_n=6, merge_len=5)
+    assert chunks == ["aaaa. bb."] or len(chunks) == 1
+
+
+def test_emotion_parse():
+    e, t = tf.parse_emotion_and_text("(happy) nice to meet you")
+    assert e == "happy" and t == "nice to meet you"
+    e2, t2 = tf.parse_emotion_and_text("no tag here")
+    assert e2 is None and t2 == "no tag here"
+    assert "情绪" in tf.rewrite_with_emotion("(开心) 你好")
+    assert tf.rewrite_with_emotion("plain") == "plain"
+
+
+def test_mark_phonemes_en():
+    out = tf.mark_phonemes("hello world", "en", max_mark=1)
+    assert "pronounced as /" in out
+    assert out.count("pronounced") == 1
+
+
+def test_mark_phonemes_zh():
+    out = tf.mark_phonemes("你好", "zh", max_mark=1)
+    assert "读作" in out
+
+
+def test_instruction_templates():
+    s = tf.INSTRUCTION.format(text="hi")
+    assert s.startswith("User:") and s.endswith("Assistant:")
