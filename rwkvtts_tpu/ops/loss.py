@@ -27,7 +27,9 @@ def _chunk_ce(hidden, w_head, bias, labels, valid, smoothing=0.0):
     """CE (optionally label-smoothed KL) for one time-chunk. hidden (M, C),
     labels (M,). Returns (sum_loss, sum_maxlogit_sq); invalid positions
     contribute zero."""
-    logits = hidden.astype(jnp.float32) @ w_head.astype(jnp.float32)
+    # matmul in the input dtype (bf16 on the MXU) with fp32 accumulation;
+    # all softmax statistics stay fp32
+    logits = jnp.matmul(hidden, w_head, preferred_element_type=jnp.float32)
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     V = logits.shape[-1]

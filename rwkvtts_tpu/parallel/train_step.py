@@ -45,6 +45,30 @@ def spark_loss_fn(params, cfg, batch, rng, l2_wrap=0.0):
     return loss, n_valid
 
 
+def _infer_compute_dtype(cfg) -> Any:
+    for attr in ("backbone", "llm"):
+        inner = getattr(cfg, attr, None)
+        if inner is not None and hasattr(inner, "dtype"):
+            return inner.dtype
+    return getattr(cfg, "dtype", None)
+
+
+def cast_weights(params, dtype):
+    """One whole-tree weight cast, applied OUTSIDE the remat regions.
+
+    The model bodies cast per-leaf (`p.astype(cfg.dtype)`); under
+    jax.checkpoint those casts replay in the backward pass, re-reading the
+    fp32 master weights from HBM. Pre-casting makes every in-body cast an
+    identity, so forward + remat replay read bf16 — half the weight
+    bandwidth on the HBM-bound train step (PERF.md round-2 item 2)."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if (hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 2)
+        else x,
+        params,
+    )
+
+
 def make_train_step(
     cfg,
     tx: optax.GradientTransformation,
@@ -54,9 +78,16 @@ def make_train_step(
 ):
     """Returns step(state, batch, rng) -> (state, metrics), jitted with
     sharded in/out when a mesh is given."""
+    compute_dtype = _infer_compute_dtype(cfg)
+    precast = compute_dtype == jnp.bfloat16
 
     def step(state: TrainState, batch, rng):
-        (loss, n_valid), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        def wrapped_loss(params, cfg, batch, rng):
+            if precast:
+                params = cast_weights(params, jnp.bfloat16)
+            return loss_fn(params, cfg, batch, rng)
+
+        (loss, n_valid), grads = jax.value_and_grad(wrapped_loss, has_aux=True)(
             state.params, cfg, batch, rng
         )
         updates, opt_state = tx.update(
