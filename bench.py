@@ -30,6 +30,10 @@ def main():
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
     )
+    # fuse the seven per-block input projections into two matmuls
+    from rwkvtts_tpu.models import rwkv7
+
+    params = rwkv7.pack_decode_params(params, cfg.backbone)
 
     B, T_prompt, T_new = 64, 128, 256
     k = jax.random.PRNGKey(1)

@@ -54,8 +54,10 @@ class CosyPipeline:
         spk_embed_fn: Optional[Callable] = None,  # wav -> (192,) x-vector
         sample_rate: int = 24000,
     ):
+        from rwkvtts_tpu.models import rwkv7
+
         self.lm_cfg = lm_cfg
-        self.lm_params = lm_params
+        self.lm_params = rwkv7.pack_decode_params(lm_params, lm_cfg.backbone)
         self.tok = text_tokenizer
         self.flow_cfg = flow_cfg
         self.flow_params = flow_params

@@ -46,8 +46,11 @@ class SparkPipeline:
         audio_tokenizer=None,  # codecs.spark_tokenizer.SparkAudioTokenizer
         sample_rate: int = 16000,
     ):
+        from rwkvtts_tpu.models import rwkv7
+
         self.cfg = lm_cfg
-        self.params = lm_params
+        # fused decode projections (exact same math, fewer dispatches)
+        self.params = rwkv7.pack_decode_params(lm_params, lm_cfg.backbone)
         self.tok = text_tokenizer
         self.codec = audio_tokenizer
         self.sample_rate = sample_rate

@@ -39,8 +39,10 @@ class XYPipeline:
         speaker_id: int = 0,
         sample_rate: int = 24000,
     ):
+        from rwkvtts_tpu.models import rwkv7
+
         self.cfg = lm_cfg
-        self.params = lm_params
+        self.params = rwkv7.pack_decode_params(lm_params, lm_cfg.backbone)
         self.tok = text_tokenizer
         self.codec_cfg = codec_cfg
         self.codec_params = codec_params

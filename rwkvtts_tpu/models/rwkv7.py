@@ -29,6 +29,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rwkvtts_tpu.ops import wkv7 as wkv7_ops
 from rwkvtts_tpu.ops.norm import group_norm, l2_normalize, layer_norm
@@ -385,6 +386,45 @@ def logits(params: Params, cfg: RWKV7Config, hidden: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def pack_decode_params(params: Params, cfg: RWKV7Config) -> Params:
+    """Precompute fused decode projections (done once, host/amortized).
+
+    Each block's seven input projections consume (xn + xx * x_s) @ W_s for
+    per-projection token-shift deltas x_s. Since
+        (xn + xx*x_s) @ W = xn @ W + xx @ (diag(x_s) W),
+    all of r/k/v and the four lora-in matmuls collapse into TWO matmuls
+    against concatenated weights — the decode step is dispatch/latency
+    bound at small batch, so fewer, larger matmuls win (PERF.md).
+    Returns params + blocks.att.{fused_a, fused_b} of shape
+    (L, C, 3C+Dw+Da+Dv+Dg), both stored in cfg.dtype.
+    """
+    att = params["blocks"]["att"]
+    dt = cfg.dtype
+
+    def scale(xs, w):  # (L,C) deltas, (L,C,D) weights
+        return xs[:, :, None] * w
+
+    ws = [
+        ("x_r", "receptance"),
+        ("x_k", "key"),
+        ("x_v", "value"),
+        ("x_w", "w1"),
+        ("x_a", "a1"),
+        ("x_v", "v1"),
+        ("x_g", "g1"),
+    ]
+    fused_a = jnp.concatenate([att[w] for _, w in ws], axis=-1).astype(dt)
+    fused_b = jnp.concatenate(
+        [scale(att[x], att[w]) for x, w in ws], axis=-1
+    ).astype(dt)
+    out = dict(params)
+    out["blocks"] = dict(params["blocks"])
+    out["blocks"]["att"] = dict(att)
+    out["blocks"]["att"]["fused_a"] = fused_a
+    out["blocks"]["att"]["fused_b"] = fused_b
+    return out
+
+
 def decode_step(
     params: Params,
     cfg: RWKV7Config,
@@ -411,23 +451,44 @@ def decode_step(
 
         xn = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"], cfg.norm_eps)
         xx = st["att_x"].astype(dt) - xn
-        xr, xw, xk, xv, xa, xg = (
-            xn + xx * cast(att[f"x_{s}"]) for s in "rwkvag"
-        )
-        r = xr @ cast(att["receptance"])
-        w_raw = -jax.nn.softplus(
-            -(cast(att["w0"]) + _lora(xw, cast(att["w1"]), cast(att["w2"]), jnp.tanh))
-        ) - 0.5
-        k = xk @ cast(att["key"])
-        v = xv @ cast(att["value"])
-        v_resid = v + (v_first - v) * jax.nn.sigmoid(
-            cast(att["v0"]) + _lora(xv, cast(att["v1"]), cast(att["v2"]))
-        )
+        if "fused_a" in att:
+            # two fused matmuls replace the seven per-projection ones
+            # (see pack_decode_params)
+            fused = xn @ att["fused_a"].astype(dt) + xx @ att["fused_b"].astype(dt)
+            Dw, Da, Dv, Dg = (
+                cfg.decay_lora, cfg.a_lora, cfg.v_lora, cfg.gate_lora,
+            )
+            r, k, v, w_h, a_h, v_h, g_h = (
+                jnp.split(fused, np.cumsum([C, C, C, Dw, Da, Dv])[
+                    :6
+                ].tolist(), axis=-1)
+            )
+            w_raw = -jax.nn.softplus(
+                -(cast(att["w0"]) + jnp.tanh(w_h) @ cast(att["w2"]))
+            ) - 0.5
+            v_resid = v + (v_first - v) * jax.nn.sigmoid(
+                cast(att["v0"]) + v_h @ cast(att["v2"])
+            )
+            a = jax.nn.sigmoid(cast(att["a0"]) + a_h @ cast(att["a2"]))
+            g = jax.nn.sigmoid(g_h) @ cast(att["g2"])
+        else:
+            xr, xw, xk, xv, xa, xg = (
+                xn + xx * cast(att[f"x_{s}"]) for s in "rwkvag"
+            )
+            r = xr @ cast(att["receptance"])
+            w_raw = -jax.nn.softplus(
+                -(cast(att["w0"]) + _lora(xw, cast(att["w1"]), cast(att["w2"]), jnp.tanh))
+            ) - 0.5
+            k = xk @ cast(att["key"])
+            v = xv @ cast(att["value"])
+            v_resid = v + (v_first - v) * jax.nn.sigmoid(
+                cast(att["v0"]) + _lora(xv, cast(att["v1"]), cast(att["v2"]))
+            )
+            a = jax.nn.sigmoid(cast(att["a0"]) + _lora(xa, cast(att["a1"]), cast(att["a2"])))
+            g = _lora(xg, cast(att["g1"]), cast(att["g2"]), jax.nn.sigmoid)
         is_first = lid == 0
         v = jnp.where(is_first, v, v_resid)
         v_first = jnp.where(is_first, v, v_first)
-        a = jax.nn.sigmoid(cast(att["a0"]) + _lora(xa, cast(att["a1"]), cast(att["a2"])))
-        g = _lora(xg, cast(att["g1"]), cast(att["g2"]), jax.nn.sigmoid)
         kk = l2_normalize((k * cast(att["k_k"])).reshape(B, H, N)).reshape(B, C)
         k = k * (1 + (a - 1) * cast(att["k_a"]))
 
@@ -456,10 +517,13 @@ def decode_step(
         return (x, v_first), new_st
 
     L = cfg.num_layers
+    # fully unrolled over layers: decode is latency-bound, and unrolling
+    # lets XLA schedule/fuse across the whole depth (PERF.md)
     (x, _), new_state = jax.lax.scan(
         body,
         (x, jnp.zeros_like(x)),
         (params["blocks"], jnp.arange(L), state),
+        unroll=True,
     )
     x = layer_norm(x, params["ln_out_scale"], params["ln_out_bias"], cfg.norm_eps)
     return x, new_state

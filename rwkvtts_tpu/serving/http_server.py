@@ -21,6 +21,52 @@ from rwkvtts_tpu.serving import service as svc
 
 log = logging.getLogger("rwkvtts_tpu.serving")
 
+# Built-in web demo (the reference's gradio/tts_demo_page.py equivalent —
+# a thin page over the HTTP API; no gradio dependency).
+DEMO_PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>RWKV TTS (TPU)</title>
+<style>
+body{font-family:system-ui;max-width:720px;margin:40px auto;padding:0 16px}
+textarea{width:100%;height:90px;font-size:15px}
+select,button{font-size:15px;padding:6px 14px;margin:8px 4px 8px 0}
+fieldset{border:1px solid #ccc;margin:12px 0}
+#status{color:#666;margin-left:8px}
+</style></head><body>
+<h2>RWKV TTS — TPU service demo</h2>
+<textarea id="text" placeholder="Text to speak…">今天天气不错。</textarea>
+<fieldset><legend>Voice</legend>
+<label>Speaker <select id="speaker"><option value="">(properties)</option></select></label>
+<label>Gender <select id="gender"><option>female</option><option>male</option></select></label>
+<label>Pitch <select id="pitch"><option>medium_pitch</option><option>low_pitch</option><option>high_pitch</option><option>very_high_pitch</option></select></label>
+<label>Speed <select id="speed"><option>medium</option><option>slow</option><option>fast</option><option>very_fast</option><option>very_slow</option></select></label>
+</fieldset>
+<button onclick="speak()">Speak</button><span id="status"></span>
+<div><audio id="player" controls style="width:100%;margin-top:12px"></audio></div>
+<script>
+fetch('/api/speakers').then(r=>r.json()).then(d=>{
+  const s=document.getElementById('speaker');
+  for(const name of d.speakers){const o=document.createElement('option');o.value=name;o.textContent=name;s.appendChild(o);}
+});
+async function speak(){
+  const status=document.getElementById('status');status.textContent='synthesizing…';
+  const speaker=document.getElementById('speaker').value;
+  const text=document.getElementById('text').value;
+  let url='/api/rwkv_tts', body={text};
+  if(speaker){body.speaker=speaker;}
+  else{url='/api/rwkv_tts_instruct';body.properties={
+    gender:document.getElementById('gender').value,
+    pitch:document.getElementById('pitch').value,
+    speed:document.getElementById('speed').value};}
+  const r=await fetch(url,{method:'POST',headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
+  if(!r.ok){status.textContent='error: '+(await r.text());return;}
+  const blob=await r.blob();
+  document.getElementById('player').src=URL.createObjectURL(blob);
+  document.getElementById('player').play();
+  status.textContent='done';
+}
+</script></body></html>
+"""
+
 
 def _make_handler(tts: svc.BatchedTTSService):
     class Handler(BaseHTTPRequestHandler):
@@ -48,6 +94,13 @@ def _make_handler(tts: svc.BatchedTTSService):
                 self._json(200, {"speakers": tts.speakers.speakers()})
             elif self.path == "/health":
                 self._json(200, {"status": "ok"})
+            elif self.path in ("/", "/demo"):
+                body = DEMO_PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "not found"})
 

@@ -63,6 +63,11 @@ def build_model(task: str, args):
 
         cfg = s2s.default_config(**kw)
         return cfg, s2s.init_params(key, cfg)
+    if task == "sfm_flow":
+        from rwkvtts_tpu.codecs import flow as flow_lib
+
+        cfg = flow_lib.FlowConfig(sfm=True)
+        return cfg, flow_lib.init_params(key, cfg)
     if task == "tts_two_tower":
         from rwkvtts_tpu.models import tts_two_tower as tt
 
@@ -107,6 +112,10 @@ def build_collate(task: str, args, model_cfg) -> Callable:
         from rwkvtts_tpu.data import asr_collator as ac
 
         return functools.partial(ac.collate, tokenizer=tok)
+    if task == "sfm_flow":
+        from rwkvtts_tpu.data import sfm_collator as sfc
+
+        return functools.partial(sfc.collate, pad_tokens_to=args.pad_to)
     raise ValueError(f"no jsonl collator for task {task} — use a custom driver")
 
 
@@ -139,6 +148,11 @@ def main(argv=None):
     p.add_argument("--wandb-project", default=None)
     p.add_argument("--run-name", default=None)
     p.add_argument("--max-rows", type=int, default=None)
+    p.add_argument(
+        "--dry-run", action="store_true",
+        help="load model+data, run one collated batch through the train "
+        "step, then exit (the reference's test_training_setup.py)",
+    )
     args = p.parse_args(argv)
 
     metrics_lib.setup_logging()
@@ -172,6 +186,15 @@ def main(argv=None):
         seed=args.seed, wandb_project=args.wandb_project, run_name=args.run_name,
     )
     tr = trainer_lib.Trainer(cfg, params, trainer_lib.LOSS_FNS[args.task], tcfg)
+    if args.dry_run:
+        import numpy as np
+
+        batch = next(ds.epoch(0))
+        jb = {k: jnp.asarray(v) for k, v in batch.items() if not k.startswith("_")}
+        tr.state, m = tr.step_fn(tr.state, jb, jax.random.PRNGKey(0))
+        log.info("dry run ok: loss=%.4f tokens=%d", float(m["loss"]), int(m["tokens"]))
+        assert np.isfinite(float(m["loss"]))
+        return
     if args.resume:
         tr.maybe_resume()
     tr.fit(ds)

@@ -87,6 +87,17 @@ def s2s_loss(params, cfg, batch, rng, l2_wrap=1e-4):
     )
 
 
+def sfm_loss(params, cfg, batch, rng, l2_wrap=0.0):
+    from rwkvtts_tpu.codecs import flow as flow_lib
+
+    total, _ = flow_lib.sfm_loss(
+        params, cfg, rng, batch["tokens"], batch["token_mask"],
+        batch["feat"], batch["feat_mask"], batch["embedding"],
+    )
+    n = batch["feat_mask"].sum().astype("int32")
+    return total, n
+
+
 LOSS_FNS: Dict[str, Callable] = {
     "spark": spark_loss,
     "spark_properties": spark_loss,
@@ -96,6 +107,7 @@ LOSS_FNS: Dict[str, Callable] = {
     "asr": asr_loss,
     "tts_two_tower": two_tower_loss,
     "s2s": s2s_loss,
+    "sfm_flow": sfm_loss,
 }
 
 

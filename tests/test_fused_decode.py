@@ -1,0 +1,52 @@
+"""Fused decode projections must match the unfused decode step exactly
+(same math, reassociated — fp32 test config keeps tolerance tight)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rwkvtts_tpu.models import rwkv7
+
+
+def test_fused_decode_matches_unfused():
+    cfg = rwkv7.RWKV7Config(
+        vocab_size=64, hidden_size=64, num_layers=3, head_size=16,
+        gate_lora=16, dtype=jnp.float32, wkv_chunk=4, remat=False,
+    )
+    params = rwkv7.init_params(jax.random.PRNGKey(0), cfg)
+    # randomize the zero-initialized lora ins so the fusion is exercised
+    k = jax.random.PRNGKey(1)
+    att = dict(params["blocks"]["att"])
+    for name in ("w1", "a1", "v1", "g1"):
+        k, sub = jax.random.split(k)
+        att[name] = 0.1 * jax.random.normal(sub, att[name].shape)
+    params["blocks"] = dict(params["blocks"], att=att)
+
+    packed = rwkv7.pack_decode_params(params, cfg)
+    B = 2
+    x = jax.random.normal(jax.random.PRNGKey(2), (B, 64))
+    st = rwkv7.init_model_state(cfg, B)
+    # prime the state so att_x/ffn_x are non-trivial
+    h0, st = rwkv7.decode_step(params, cfg, x, st)
+    st_packed = jax.tree.map(jnp.copy, st)
+
+    x2 = jax.random.normal(jax.random.PRNGKey(3), (B, 64))
+    h_ref, st_ref = rwkv7.decode_step(params, cfg, x2, st)
+    h_fused, st_fused = rwkv7.decode_step(packed, cfg, x2, st_packed)
+    np.testing.assert_allclose(np.asarray(h_ref), np.asarray(h_fused), atol=2e-5)
+    for key in ("att_x", "ffn_x", "wkv"):
+        np.testing.assert_allclose(
+            np.asarray(st_ref[key]), np.asarray(st_fused[key]), atol=2e-5
+        )
+
+
+def test_pack_shapes():
+    cfg = rwkv7.RWKV7Config(
+        vocab_size=8, hidden_size=32, num_layers=2, head_size=8,
+        gate_lora=8, dtype=jnp.float32, wkv_chunk=4, remat=False,
+    )
+    params = rwkv7.init_params(jax.random.PRNGKey(0), cfg)
+    packed = rwkv7.pack_decode_params(params, cfg)
+    C = 32
+    D = 3 * C + cfg.decay_lora + cfg.a_lora + cfg.v_lora + cfg.gate_lora
+    assert packed["blocks"]["att"]["fused_a"].shape == (2, C, D)
+    assert packed["blocks"]["att"]["fused_b"].shape == (2, C, D)
