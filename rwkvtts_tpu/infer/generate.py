@@ -83,6 +83,8 @@ def spark_generate(
 
     keys = jax.random.split(key, max_new_tokens)
     init = (h_last, state, jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32))
+    # NOTE: unroll=2 on this scan was measured SLOWER (13.7k vs 14.1k tok/s)
+    # — the win lives in unrolling the inner layer scan, not the AR loop.
     (_, _, done, _), toks = jax.lax.scan(step, init, keys)
     toks = jnp.moveaxis(toks, 0, 1)  # (B, max_new)
     lengths = jnp.argmax(toks == eos_id, axis=-1)
