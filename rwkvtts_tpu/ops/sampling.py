@@ -54,6 +54,17 @@ def sample(
 ) -> jax.Array:
     """Sample token ids from (..., V) logits. Returns (...,) int32."""
     x = apply_temperature(logits, temperature)
+    if top_k and 0 < top_k < x.shape[-1] and top_p < 1.0:
+        # fused top-k + nucleus: lax.top_k returns values sorted descending,
+        # so the nucleus mask is a cumsum over k values — no full-vocab sort
+        # (identical semantics to masking sequentially: NEG_INF'd entries
+        # carry ~0 probability mass either way)
+        vals, idx = jax.lax.top_k(x, top_k)
+        probs = jax.nn.softmax(vals, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        vals = jnp.where(cum - probs < top_p, vals, NEG_INF)
+        choice = jax.random.categorical(key, vals, axis=-1)
+        return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]
     if top_k:
         x = top_k_mask(x, top_k)
     if top_p < 1.0:
@@ -81,9 +92,13 @@ def ras_sample(
     """
     k1, k2 = jax.random.split(key)
     x = logits.astype(jnp.float32)
-    nux = top_k_mask(x, top_k)
-    nux = top_p_mask(nux, top_p)
-    tok = jax.random.categorical(k1, nux, axis=-1)
+    # fused top-k + nucleus (no full-vocab sort — see sample())
+    vals, idx = jax.lax.top_k(x, min(top_k, x.shape[-1]))
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    vals = jnp.where(cum - probs < top_p, vals, NEG_INF)
+    choice = jax.random.categorical(k1, vals, axis=-1)
+    tok = jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]
     rep = (recent == tok[:, None]).sum(axis=-1)
     fallback = jax.random.categorical(k2, x, axis=-1)
     return jnp.where(rep >= win_size * tau_r, fallback, tok)
