@@ -33,6 +33,7 @@ def build_model(task: str, args):
     kw = dict(
         hidden_size=args.hidden, num_layers=args.layers,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        head_size=args.head_size,
     )
     key = jax.random.PRNGKey(args.seed)
     if task.startswith("spark"):
@@ -56,6 +57,7 @@ def build_model(task: str, args):
         cfg = asr.default_config(
             hidden_size=args.hidden, num_layers=args.layers,
             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            head_size=args.head_size,
         )
         return cfg, asr.init_params(key, cfg)
     if task == "s2s":
@@ -75,6 +77,7 @@ def build_model(task: str, args):
             text_hidden=args.hidden, text_layers=args.layers,
             audio_hidden=args.hidden, audio_layers=args.layers,
             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            head_size=args.head_size,
         )
         return cfg, tt.init_params(key, cfg)
     raise ValueError(f"unknown task {task}")
@@ -116,6 +119,26 @@ def build_collate(task: str, args, model_cfg) -> Callable:
         from rwkvtts_tpu.data import sfm_collator as sfc
 
         return functools.partial(sfc.collate, pad_tokens_to=args.pad_to)
+    if task == "s2s":
+        from rwkvtts_tpu.data import s2s_collator as s2c
+
+        # text/audio batches alternate per call via a stateful toggle
+        state = {"text": True}
+
+        def alternating(rows):
+            state["text"] = not state["text"]
+            return s2c.collate_s2s(
+                rows, tok, is_text=state["text"], pad_to=args.pad_to,
+                text_vocab=model_cfg.text_vocab_size,
+            )
+
+        return alternating
+    if task == "tts_two_tower":
+        from rwkvtts_tpu.data import s2s_collator as s2c
+
+        return functools.partial(
+            s2c.collate_two_tower, tokenizer=tok, pad_audio_to=args.pad_to
+        )
     raise ValueError(f"no jsonl collator for task {task} — use a custom driver")
 
 
@@ -126,6 +149,7 @@ def main(argv=None):
     p.add_argument("--run-dir", default="runs/default")
     p.add_argument("--hidden", type=int, default=768)
     p.add_argument("--layers", type=int, default=12)
+    p.add_argument("--head-size", type=int, default=64)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--batch-size", type=int, default=8)
