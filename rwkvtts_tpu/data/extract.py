@@ -128,6 +128,51 @@ def extract_cosy_tokens(
     return n
 
 
+def extract_higgs_tokens(
+    samples: Iterable[Dict[str, Any]],
+    codec_cfg,
+    codec_params,
+    hubert_fn: Callable[[np.ndarray], np.ndarray],
+    out_path: str,
+    batch_size: int = 4,
+    max_seconds: float = 30.0,
+    sample_rate: int = 16000,
+) -> int:
+    """Higgs tokenization (utils/extract_higgs_tokens.py parity) -> JSONL
+    rows {text, audio_tokens (nq, T)}. hubert_fn: (B, T_wav) -> (B, T50, 768)
+    semantic teacher (codecs.higgs.hubert_feature_fn for the torch teacher)."""
+    import jax.numpy as jnp
+
+    from rwkvtts_tpu.codecs import higgs
+
+    n = 0
+    hop = codec_cfg.hop_length
+    with open(out_path, "a") as f:
+        for batch in _batched(samples, batch_size):
+            T_max = int(max_seconds * sample_rate)
+            wavs = np.zeros((len(batch), T_max), np.float32)
+            lens = []
+            for i, s in enumerate(batch):
+                w = np.asarray(s["audio"], np.float32)[:T_max]
+                wavs[i, : len(w)] = w
+                lens.append(len(w))
+            feats = np.asarray(hubert_fn(wavs), np.float32)
+            codes = np.asarray(
+                higgs.encode(codec_params, codec_cfg, jnp.asarray(wavs), jnp.asarray(feats))
+            )
+            for i, s in enumerate(batch):
+                T_codes = max(lens[i] // hop, 1)
+                f.write(
+                    json.dumps(
+                        {"text": s.get("text", ""), "audio_tokens": codes[:, i, :T_codes].tolist()},
+                        ensure_ascii=False,
+                    )
+                    + "\n"
+                )
+                n += 1
+    return n
+
+
 def run_sharded(
     shard_paths: Sequence[str],
     worker_fn: Callable[[str, str], int],
