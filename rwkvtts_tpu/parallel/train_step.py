@@ -90,15 +90,32 @@ def make_train_step(
         (loss, n_valid), grads = jax.value_and_grad(wrapped_loss, has_aux=True)(
             state.params, cfg, batch, rng
         )
+        gnorm = optax.global_norm(grads)
+        # failure containment (SURVEY.md §5 — the reference only prints on
+        # NaN/Inf loss): a non-finite loss or grad norm skips the update
+        # entirely, keeping params/opt state intact. The step still counts
+        # so LR schedules stay aligned with the data position.
+        finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        safe_grads = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
         updates, opt_state = tx.update(
-            grads, state.opt_state, state.params
+            safe_grads, state.opt_state, state.params
+        )
+        updates = jax.tree.map(
+            lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates
+        )
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old)
+            if hasattr(new, "dtype") else new,
+            opt_state, state.opt_state,
         )
         params = optax.apply_updates(state.params, updates)
-        gnorm = optax.global_norm(grads)
         metrics = {
             "loss": loss,
             "tokens": n_valid,
             "grad_norm": gnorm,
+            "skipped": (~finite).astype(jnp.int32),
         }
         return TrainState(params, opt_state, state.step + 1), metrics
 

@@ -145,7 +145,10 @@ def build_collate(task: str, args, model_cfg) -> Callable:
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--task", required=True, choices=sorted(trainer_lib.LOSS_FNS))
-    p.add_argument("--data", nargs="+", required=True, help="jsonl glob(s)")
+    p.add_argument("--data", nargs="+", required=True, help="jsonl glob(s) or tar paths")
+    p.add_argument("--data-format", choices=["jsonl", "webdataset"], default="jsonl")
+    p.add_argument("--codec-dir", default=None,
+                   help="SparkTTS model dir for inline tokenization (webdataset format)")
     p.add_argument("--run-dir", default="runs/default")
     p.add_argument("--hidden", type=int, default=768)
     p.add_argument("--layers", type=int, default=12)
@@ -193,9 +196,30 @@ def main(argv=None):
         params = jax.tree.map(jnp.asarray, params)
 
     collate = build_collate(args.task, args, cfg)
-    rows = jsonl_dataset.load_jsonl_rows(
-        args.data, jax.process_index(), jax.process_count(), max_rows=args.max_rows
-    )
+    if args.data_format == "webdataset":
+        import glob as _glob
+
+        from rwkvtts_tpu.data import webdataset as wds
+
+        tars: list = []
+        for pat in args.data:
+            tars.extend(sorted(_glob.glob(pat)))
+        ds_w = wds.MultipleWebDataset(tars, seed=args.seed)
+        rows = ds_w.samples[: args.max_rows] if args.max_rows else ds_w.samples
+        if args.task.startswith("spark") and args.codec_dir:
+            from rwkvtts_tpu.codecs.spark_tokenizer import SparkAudioTokenizer
+            from rwkvtts_tpu.data.inline_spark import make_inline_spark_collate
+            from rwkvtts_tpu.utils.tokenizer import get_world_tokenizer
+
+            codec = SparkAudioTokenizer.from_pretrained(args.codec_dir)
+            collate = make_inline_spark_collate(
+                codec, get_world_tokenizer(), cfg.eos_token_id,
+                pad_to=args.pad_to, packed=args.packed,
+            )
+    else:
+        rows = jsonl_dataset.load_jsonl_rows(
+            args.data, jax.process_index(), jax.process_count(), max_rows=args.max_rows
+        )
     log.info("loaded %d rows", len(rows))
     ds = jsonl_dataset.JsonlDataset(
         rows, collate, args.batch_size, seed=args.seed,
