@@ -11,7 +11,6 @@ The token id spaces are hard contracts with the speech LMs:
 """
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, Sequence, Tuple
 
 import jax

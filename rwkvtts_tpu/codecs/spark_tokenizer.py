@@ -13,7 +13,6 @@ Pretrained weights are read from a SparkTTS model dir:
 """
 from __future__ import annotations
 
-import dataclasses
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple, Union
 

@@ -8,7 +8,7 @@ ranks, one scatter per tensor, static shapes, GSPMD-compatible.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,13 +8,12 @@ communication code.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from rwkvtts_tpu.models import spark as spark_model
 from rwkvtts_tpu.parallel import mesh as mesh_lib

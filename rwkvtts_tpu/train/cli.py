@@ -17,7 +17,7 @@ from __future__ import annotations
 import argparse
 import functools
 import logging
-from typing import Any, Callable, Dict
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -9,13 +9,11 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
-import time
-from typing import Any, Callable, Dict, Iterator, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from rwkvtts_tpu.parallel import mesh as mesh_lib
 from rwkvtts_tpu.parallel import train_step as ts
