@@ -86,3 +86,26 @@ def test_xy_pipeline_frames(xy_setup):
     nq, T = res.codes.shape
     assert nq == 3
     assert (res.codes[0] >= 0).all() or T == 0  # ch0 un-shifted into codec range
+
+
+def test_xy_pipeline_full_wav(xy_setup):
+    """Full XY slice: text -> frames -> codec decode -> wav."""
+    from rwkvtts_tpu.codecs import xy_tokenizer as xt
+
+    cfg, params = xy_setup
+    ccfg = xt.XYTokenizerConfig(
+        n_mels=16, d_model=32, enc_layers=1, heads=2, ffn_dim=64,
+        adapter_layers=1, nq=3, codebook_size=16, codebook_dim=16,
+        rvq_dim=16, quantizer_io_dim=32 * 4, dec_layers=1,
+        vocos_dim=32, vocos_intermediate_dim=64, vocos_layers=1,
+        vocos_n_fft=64, vocos_hop=16,
+    )
+    cparams = xt.init_params(jax.random.PRNGKey(9), ccfg)
+    # LM speech vocab (16) == codec codebook (16) in this fixture
+    pipe = XYPipeline(cfg, params, FakeTok(), codec_cfg=ccfg, codec_params=cparams)
+    res = pipe.synthesize("hello", max_new_tokens=9, seed=0)
+    T = res.codes.shape[1]
+    if T > 0:
+        # wav length = T * up(4) * dec(2) * vocos hop(16)
+        assert res.wav.shape == (T * 4 * 2 * 16,)
+        assert np.isfinite(res.wav).all()
