@@ -386,7 +386,29 @@ def logits(params: Params, cfg: RWKV7Config, hidden: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def pack_decode_params(params: Params, cfg: RWKV7Config) -> Params:
+def _quantize_int8(w: jax.Array) -> Dict[str, jax.Array]:
+    """Per-output-channel symmetric int8. w: (..., in, out)."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": scale.astype(jnp.bfloat16)}
+
+
+def _qmat(att: Params, name: str, dt):
+    """Effective weight for `name`: int8 storage is dequantized on the fly
+    (XLA fuses the convert into the dot's operand load, so HBM traffic is
+    the int8 bytes)."""
+    qk = f"{name}_q8"
+    if qk in att:
+        p = att[qk]
+        return p["q"].astype(dt) * p["s"].astype(dt)
+    return att[name].astype(dt)
+
+
+def pack_decode_params(
+    params: Params, cfg: RWKV7Config, quantize_int8: bool = False
+) -> Params:
     """Precompute fused decode projections (done once, host/amortized).
 
     Each block's seven input projections consume (xn + xx * x_s) @ W_s for
@@ -419,9 +441,22 @@ def pack_decode_params(params: Params, cfg: RWKV7Config) -> Params:
     ).astype(dt)
     out = dict(params)
     out["blocks"] = dict(params["blocks"])
-    out["blocks"]["att"] = dict(att)
-    out["blocks"]["att"]["fused_a"] = fused_a
-    out["blocks"]["att"]["fused_b"] = fused_b
+    new_att = dict(att)
+    new_ffn = dict(params["blocks"]["ffn"])
+    if quantize_int8:
+        # int8 storage for the bandwidth-dominant decode weights (fused
+        # projections, output, FFN); per-output-channel scales, dequantized
+        # in the matmul operand load. ~2x fewer weight bytes per step.
+        new_att["fused_a_q8"] = _quantize_int8(fused_a)
+        new_att["fused_b_q8"] = _quantize_int8(fused_b)
+        new_att["output_q8"] = _quantize_int8(att["output"])
+        new_ffn["key_q8"] = _quantize_int8(params["blocks"]["ffn"]["key"])
+        new_ffn["value_q8"] = _quantize_int8(params["blocks"]["ffn"]["value"])
+    else:
+        new_att["fused_a"] = fused_a
+        new_att["fused_b"] = fused_b
+    out["blocks"]["att"] = new_att
+    out["blocks"]["ffn"] = new_ffn
     return out
 
 
@@ -451,10 +486,10 @@ def decode_step(
 
         xn = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"], cfg.norm_eps)
         xx = st["att_x"].astype(dt) - xn
-        if "fused_a" in att:
+        if "fused_a" in att or "fused_a_q8" in att:
             # two fused matmuls replace the seven per-projection ones
-            # (see pack_decode_params)
-            fused = xn @ att["fused_a"].astype(dt) + xx @ att["fused_b"].astype(dt)
+            # (see pack_decode_params); weights may be int8-quantized
+            fused = xn @ _qmat(att, "fused_a", dt) + xx @ _qmat(att, "fused_b", dt)
             Dw, Da, Dv, Dg = (
                 cfg.decay_lora, cfg.a_lora, cfg.v_lora, cfg.gate_lora,
             )
@@ -504,14 +539,14 @@ def decode_step(
             * v.reshape(B, H, N)
         ).reshape(B, C)
         y = y + bonus
-        x = x + (y * g) @ cast(att["output"])
+        x = x + (y * g) @ _qmat(att, "output", dt)
 
         ffn = bp["ffn"]
         xn2 = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"], cfg.norm_eps)
         xx2 = st["ffn_x"].astype(dt) - xn2
         kf = xn2 + xx2 * cast(ffn["x_k"])
-        kf = jnp.square(jax.nn.relu(kf @ cast(ffn["key"])))
-        x = x + kf @ cast(ffn["value"])
+        kf = jnp.square(jax.nn.relu(kf @ _qmat(ffn, "key", dt)))
+        x = x + kf @ _qmat(ffn, "value", dt)
 
         new_st = {"att_x": xn, "wkv": wkv_state, "ffn_x": xn2}
         return (x, v_first), new_st

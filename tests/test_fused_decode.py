@@ -39,6 +39,33 @@ def test_fused_decode_matches_unfused():
         )
 
 
+def test_int8_decode_close_to_fp():
+    cfg = rwkv7.RWKV7Config(
+        vocab_size=64, hidden_size=64, num_layers=2, head_size=16,
+        gate_lora=16, dtype=jnp.float32, wkv_chunk=4, remat=False,
+    )
+    params = rwkv7.init_params(jax.random.PRNGKey(0), cfg)
+    k = jax.random.PRNGKey(1)
+    att = dict(params["blocks"]["att"])
+    for name in ("w1", "a1", "v1", "g1", "output"):
+        k, sub = jax.random.split(k)
+        att[name] = 0.1 * jax.random.normal(sub, att[name].shape)
+    params["blocks"] = dict(params["blocks"], att=att)
+
+    fp = rwkv7.pack_decode_params(params, cfg)
+    q8 = rwkv7.pack_decode_params(params, cfg, quantize_int8=True)
+    assert q8["blocks"]["att"]["fused_a_q8"]["q"].dtype == jnp.int8
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64))
+    st1 = rwkv7.init_model_state(cfg, 2)
+    st2 = rwkv7.init_model_state(cfg, 2)
+    h1, _ = rwkv7.decode_step(fp, cfg, x, st1)
+    h2, _ = rwkv7.decode_step(q8, cfg, x, st2)
+    # per-channel int8: small relative error on hidden states
+    rel = float(jnp.abs(h1 - h2).max() / (jnp.abs(h1).max() + 1e-6))
+    assert rel < 0.05, rel
+
+
 def test_pack_shapes():
     cfg = rwkv7.RWKV7Config(
         vocab_size=8, hidden_size=32, num_layers=2, head_size=8,
