@@ -159,12 +159,27 @@ def collate_plain(rows, tokenizer, eos_id: int, pad_to=None, packed=False):
     return pack_batch(samples, pad_to) if packed else pad_batch(samples, pad_to)
 
 
-def collate_with_properties(rows, tokenizer, eos_id: int, pad_to=None, packed=False):
+def collate_with_properties(
+    rows, tokenizer, eos_id: int, pad_to=None, packed=False,
+    mark_phonemes_prob: float = 0.0, rng=None,
+):
     """Two samples per row: plain + SPCT-prefixed controllable sample whose
-    labels also cover the global tokens (reference multiple_jsonl.py:139-233)."""
+    labels also cover the global tokens (reference multiple_jsonl.py:139-233).
+
+    mark_phonemes_prob > 0 gives the pronunciation-controllable ft variant
+    (T5 `_ipa_ft`): text is randomly phoneme-annotated via
+    data/text_frontend.mark_phonemes before tokenization."""
+    import random as _random
+
+    rng = rng or _random.Random(0)
     samples: List[Sample] = []
     for r in rows:
-        text_ids = tokenizer.encode(r["text"])
+        text = r["text"]
+        if mark_phonemes_prob > 0 and rng.random() < mark_phonemes_prob:
+            from rwkvtts_tpu.data.text_frontend import mark_phonemes
+
+            text = mark_phonemes(text, rng=rng)
+        text_ids = tokenizer.encode(text)
         samples.append(
             _spark_core(text_ids, r["global_tokens"], r["semantic_tokens"], eos_id)
         )

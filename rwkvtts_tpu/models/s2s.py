@@ -53,6 +53,60 @@ def init_params(key, cfg: S2SConfig) -> Params:
     return p
 
 
+def generate(
+    params: Params,
+    cfg: S2SConfig,
+    input_ids: jax.Array,
+    key: jax.Array,
+    *,
+    is_text: bool = True,
+    attention_mask: Optional[jax.Array] = None,
+    max_new_tokens: int = 256,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    eos_id: int = 0,
+):
+    """AR decode with the selected head (text or audio). Audio-head draws
+    are offset by text_vocab_size on the input side (the enlarged-vocab
+    embedding contract). Returns (tokens (B, max_new), lengths)."""
+    from rwkvtts_tpu.ops import sampling
+
+    bb = cfg.backbone
+    dt = bb.dtype
+    h, state = rwkv7.forward(
+        params, bb, input_ids=input_ids, attention_mask=attention_mask,
+        return_state=True,
+    )
+    h_last = h[:, -1]
+    B = h_last.shape[0]
+    w = params["head"] if is_text else params["audio_head"]
+    offset = 0 if is_text else cfg.text_vocab_size
+
+    def step(carry, step_key):
+        h, st, done = carry
+        logits = (h @ w.astype(dt)).astype(jnp.float32)
+        if temperature <= 0.0:
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        else:
+            tok = sampling.sample(
+                step_key, logits, temperature=temperature, top_k=top_k, top_p=top_p
+            )
+        tok = jnp.where(done, eos_id, tok)
+        done = done | (tok == eos_id)
+        x = params["embedding"][tok + offset].astype(dt)
+        h2, st2 = rwkv7.decode_step(params, bb, x, st)
+        return (h2, st2, done), tok
+
+    keys = jax.random.split(key, max_new_tokens)
+    (_, _, _), toks = jax.lax.scan(step, (h_last, state, jnp.zeros((B,), bool)), keys)
+    toks = toks.T
+    lengths = jnp.sum(
+        (jnp.cumsum(toks == eos_id, axis=1) == 0).astype(jnp.int32), axis=1
+    )
+    return toks, lengths
+
+
 def forward(
     params: Params,
     cfg: S2SConfig,

@@ -95,9 +95,12 @@ def build_collate(task: str, args, model_cfg) -> Callable:
             "spark_properties": sc.collate_with_properties,
             "spark_global": sc.collate_global_tokens,
         }[task]
+        kw2 = {}
+        if task == "spark_properties" and args.mark_phonemes_prob > 0:
+            kw2["mark_phonemes_prob"] = args.mark_phonemes_prob
         return functools.partial(
             fn, tokenizer=tok, eos_id=model_cfg.eos_token_id,
-            pad_to=args.pad_to, packed=args.packed,
+            pad_to=args.pad_to, packed=args.packed, **kw2,
         )
     if task == "cosy":
         from rwkvtts_tpu.data import cosy_collator as cc
@@ -175,6 +178,10 @@ def main(argv=None):
     p.add_argument("--wandb-project", default=None)
     p.add_argument("--run-name", default=None)
     p.add_argument("--max-rows", type=int, default=None)
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host slices")
+    p.add_argument("--mark-phonemes-prob", type=float, default=0.0,
+                   help="IPA-annotate text with this probability (spark_properties ipa-ft variant)")
     p.add_argument(
         "--dry-run", action="store_true",
         help="load model+data, run one collated batch through the train "
@@ -183,6 +190,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     metrics_lib.setup_logging()
+    if args.multihost:
+        jax.distributed.initialize()
     cfg, params = build_model(args.task, args)
 
     if args.warm_start:
