@@ -398,6 +398,18 @@ def sfm_head_apply(p: Params, h, mel_channels: int):
     return x_h, t_h, log_sig
 
 
+def _positional_noise(key, shape):
+    """Per-frame counter-based gaussian noise: z[:, t] depends only on
+    (key, t), so prefixes are STABLE as the sequence grows. This replaces
+    the reference's flow_cache (flow_matching.py:57-65, which caches z/mu
+    for the prompt+overlap region between streaming hops) — with stable
+    noise every hop re-derives exactly the same prefix, no cache needed."""
+    B, T, C = shape
+    keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(jnp.arange(T))
+    z = jax.vmap(lambda k: jax.random.normal(k, (B, C)))(keys)  # (T, B, C)
+    return jnp.moveaxis(z, 0, 1)
+
+
 # ---------------------------------------------------------------------------
 # Flow wrapper (CausalMaskedDiffWithXvec)
 
@@ -456,7 +468,7 @@ def inference(
         conds, prompt_feat.astype(mu.dtype), (0, 0, 0)
     )
 
-    z = jax.random.normal(key, mu.shape)
+    z = _positional_noise(key, mu.shape)
     feat = cfm_solve(
         p["estimator"], cfg.estimator, cfg.cfm, z, mu, mel_mask, spks, conds,
         n_timesteps=n_timesteps,
