@@ -195,6 +195,49 @@ class CosyPipeline:
             vocoder_s=0.0,
         )
 
+    def synthesize_long(
+        self,
+        text: str,
+        prompt_text: str = "",
+        prompt_wav: Optional[np.ndarray] = None,
+        prompt_speech_tokens: Sequence[int] = (),
+        prompt_mel: Optional[np.ndarray] = None,
+        spk_embedding: Optional[np.ndarray] = None,
+        seed: int = 0,
+        token_max_n: int = 80,
+        **gen_kw,
+    ) -> CosyTTSResult:
+        """Long-text orchestration (cli/cosyvoice.py:78-99): normalize, split
+        into token-budget sentences, synthesize each with the same voice
+        condition, concatenate. Per-sentence prefill also realizes the
+        reference's cache-reset-past-2048 contract — state never grows
+        across sentences."""
+        from rwkvtts_tpu.data import text_frontend
+
+        if prompt_wav is not None:
+            prompt_speech_tokens, prompt_mel, spk_embedding = self.frontend_zero_shot(prompt_wav)
+        norm = text_frontend.basic_normalize(text)
+        chunks = text_frontend.split_paragraph(
+            norm, self.tok.encode, token_max_n=token_max_n
+        ) or [norm]
+        wavs, all_tokens = [], []
+        t0 = time.perf_counter()
+        for i, chunk in enumerate(chunks):
+            res = self.synthesize(
+                chunk, prompt_text, None, prompt_speech_tokens, prompt_mel,
+                spk_embedding, seed=seed + i, **gen_kw,
+            )
+            wavs.append(res.wav)
+            all_tokens.append(res.speech_tokens)
+        wav = np.concatenate(wavs) if wavs else np.zeros(0, np.float32)
+        dur = len(wav) / self.sample_rate
+        total = time.perf_counter() - t0
+        return CosyTTSResult(
+            wav=wav, sample_rate=self.sample_rate,
+            speech_tokens=np.concatenate(all_tokens) if all_tokens else np.zeros(0, np.int64),
+            rtf=total / max(dur, 1e-9), llm_s=0.0, flow_s=0.0, vocoder_s=0.0,
+        )
+
     def synthesize_streaming(
         self,
         text: str,

@@ -70,3 +70,12 @@ def test_cosy_streaming_chunks(pipe):
     assert len(chunks) >= 1
     total = np.concatenate(chunks)
     assert np.isfinite(total).all()
+
+
+def test_cosy_synthesize_long_splits(pipe):
+    res = pipe.synthesize_long(
+        "first part. second part. third part.", token_max_n=6, max_new_tokens=6
+    )
+    assert res.wav.size > 0
+    assert np.isfinite(res.wav).all()
+    assert res.speech_tokens.size >= 2
