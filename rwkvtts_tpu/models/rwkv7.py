@@ -53,7 +53,7 @@ class RWKV7Config:
     ln_x_eps: float = 64e-5
     dtype: Any = jnp.bfloat16
     wkv_impl: str = "chunked"
-    wkv_chunk: int = 64
+    wkv_chunk: int = 32
     remat: bool = True
     # When True the lm head is present in params (core-only submodels skip it)
     with_head: bool = True

@@ -55,7 +55,7 @@ import jax
 import jax.numpy as jnp
 
 STATE_DTYPE = jnp.float32
-DEFAULT_CHUNK = 64
+DEFAULT_CHUNK = 32  # sweep: 32 -> 37.6 KT/s, 64 -> 36.5, 128 -> 34.0 (PERF.md)
 # w_raw used for padding positions: exp(-exp(-30)) ~= 1.0 (identity decay).
 _PAD_W_RAW = -30.0
 
