@@ -159,12 +159,16 @@ def _chunk_body(s0, seg0, chunk_inputs, *, chunk: int):
     # away anyway; keeping logw finite keeps all ratios NaN-free.
     logw = jnp.where(resets[:, :, None, None] > 0, 0.0, logw)
     g = jnp.cumsum(logw, axis=1)  # inclusive (B,L,H,N)
-    gp = g - logw  # exclusive
 
-    qt = r * jnp.exp(g)
-    zt = z * jnp.exp(gp)
-    kt = k * jnp.exp(-g)
-    bt = b * jnp.exp(-g)
+    # 2 exps + 1 reciprocal instead of 3 exps (the prep fusion is the
+    # hottest VPU op in the chunk loop — PERF.md profiler notes):
+    # exp(gp) = exp(g - logw) = e_g * exp(-logw);  exp(-g) = 1 / e_g
+    e_g = jnp.exp(g)
+    e_ginv = jnp.reciprocal(e_g)
+    qt = r * e_g
+    zt = z * e_g * jnp.exp(-logw)
+    kt = k * e_ginv
+    bt = b * e_ginv
 
     # (B, H, L, L) pairwise mats; contract over N.
     def pair(x, y):
