@@ -230,6 +230,28 @@ def _hift_resblock_p(sd: SD, b: str, n_dil: int) -> Params:
     }
 
 
+def load_flow(path: str, cfg) -> Params:
+    """flow.pt / .safetensors -> jnp param tree for codecs.flow."""
+    import jax
+    import jax.numpy as jnp
+
+    from rwkvtts_tpu.convert.rwkv7_ckpt import load_torch_or_safetensors
+
+    sd = load_torch_or_safetensors(path)
+    return jax.tree.map(jnp.asarray, flow_from_state_dict(sd, cfg))
+
+
+def load_hift(path: str, cfg) -> Params:
+    """hift.pt / .safetensors -> jnp param tree for codecs.hift."""
+    import jax
+    import jax.numpy as jnp
+
+    from rwkvtts_tpu.convert.rwkv7_ckpt import load_torch_or_safetensors
+
+    sd = load_torch_or_safetensors(path)
+    return jax.tree.map(jnp.asarray, hift_from_state_dict(sd, cfg))
+
+
 def hift_from_state_dict(sd: SD, cfg) -> Params:
     """hift.pt state_dict -> params for codecs.hift."""
     n_up = len(cfg.upsample_rates)
