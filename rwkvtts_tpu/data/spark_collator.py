@@ -18,6 +18,7 @@ consumed by the WKV kernel.
 from __future__ import annotations
 
 import dataclasses
+import random
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -35,6 +36,10 @@ from rwkvtts_tpu.models.spark import (
 )
 
 IGNORE = -100
+
+# Persistent default rng for augmentation draws (seeded for determinism of a
+# full run but advancing across batches — see collate_with_properties).
+_DEFAULT_RNG = random.Random(0)
 
 
 @dataclasses.dataclass
@@ -168,10 +173,13 @@ def collate_with_properties(
 
     mark_phonemes_prob > 0 gives the pronunciation-controllable ft variant
     (T5 `_ipa_ft`): text is randomly phoneme-annotated via
-    data/text_frontend.mark_phonemes before tokenization."""
-    import random as _random
+    data/text_frontend.mark_phonemes before tokenization.
 
-    rng = rng or _random.Random(0)
+    rng defaults to a persistent module-level Random so the augmentation
+    draws differ across batches; a fresh Random(0) per call would make row i
+    of every batch take the same marking decision. Pass rng explicitly for
+    reproducible runs."""
+    rng = rng or _DEFAULT_RNG
     samples: List[Sample] = []
     for r in rows:
         text = r["text"]

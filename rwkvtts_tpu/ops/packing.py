@@ -36,7 +36,10 @@ def right_align_pack(
         suffix = sum(v[j] for j in range(k, n))  # (B,)
         rank = jnp.cumsum(mask_i, axis=1) - 1
         dest = T_total - suffix[:, None] + rank
-        dest = jnp.where(mask_i > 0, dest, T_total)  # dump slot
+        # Invalid positions AND overflow (total valid > T_total would make
+        # dest negative, and JAX scatter would silently wrap) both go to the
+        # dump slot at index T_total, which is cropped off on return.
+        dest = jnp.where((mask_i > 0) & (dest >= 0), dest, T_total)
         out_emb = out_emb.at[bidx, dest].set(emb)
         out_mask = out_mask.at[bidx, dest].set(mask_i)
         if lab is not None:

@@ -59,13 +59,22 @@ def cast_weights(params, dtype):
     jax.checkpoint those casts replay in the backward pass, re-reading the
     fp32 master weights from HBM. Pre-casting makes every in-body cast an
     identity, so forward + remat replay read bf16 — half the weight
-    bandwidth on the HBM-bound train step (PERF.md round-2 item 2)."""
-    return jax.tree.map(
-        lambda x: x.astype(dtype)
-        if (hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 2)
-        else x,
-        params,
-    )
+    bandwidth on the HBM-bound train step (PERF.md round-2 item 2).
+
+    Norm parameters (ln0/ln1/ln2/ln_x/ln_out scales+biases — stacked (L,C)
+    so ndim>=2) are exempt: the model consumes them in fp32 inside
+    ops/norm.py with no in-body bf16 cast, so precasting them would NOT be
+    an identity — it would silently round the norm affine terms to bf16."""
+
+    def one(path, x):
+        if not (hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 2):
+            return x
+        key = str(getattr(path[-1], "key", path[-1])) if path else ""
+        if key.startswith("ln"):
+            return x
+        return x.astype(dtype)
+
+    return jax.tree_util.tree_map_with_path(one, params)
 
 
 def make_train_step(

@@ -76,8 +76,11 @@ def two_tower_loss(params, cfg, batch, rng, l2_wrap=0.0):
 def s2s_loss(params, cfg, batch, rng, l2_wrap=1e-4):
     from rwkvtts_tpu.models import s2s
 
-    # batches carry an `is_text` python bool via the collate fn's metadata;
-    # text and audio batches alternate (reference T10)
+    # `_is_text` is static per-batch metadata (a python bool, not a traced
+    # array): Trainer.fit strips '_'-keys from the traced batch and re-merges
+    # them into the dict the loss sees via a per-metadata step_fn cache, so
+    # text and audio batches get separate traces (reference T10 alternates
+    # text/audio head batches).
     return s2s.forward(
         params, cfg, batch["input_ids"], attention_mask=batch.get("attention_mask"),
         is_text=bool(batch.get("_is_text", True)), labels=batch["labels"],
@@ -154,15 +157,37 @@ class Trainer:
             self.mesh = mesh_lib.make_mesh(**shape)
             params = mesh_lib.shard_params(self.mesh, params)
         self.state = ts.init_train_state(params, self.tx)
-        self.step_fn = ts.make_train_step(
-            model_cfg, self.tx, loss_fn=loss_fn, mesh=self.mesh
-        )
+        self.loss_fn = loss_fn
+        # step_fns are cached per static-batch-metadata key ('_'-prefixed
+        # collator fields like s2s's _is_text). The metadata can't ride the
+        # traced batch (bool(tracer) fails; and values must specialize the
+        # trace), so each distinct metadata tuple gets its own jitted step.
+        self._step_cache: Dict[tuple, Callable] = {}
+        self.step_fn = self._step_for(())
         self.logger = metrics_lib.MetricLogger(
             tcfg.run_dir, tcfg.wandb_project, tcfg.run_name
         )
         self.throughput = metrics_lib.Throughput()
         self.start_epoch = 0
         self.start_batch = 0
+
+    def _step_for(self, static_meta: tuple) -> Callable:
+        """Jitted step specialized to a batch's static '_'-metadata."""
+        fn = self._step_cache.get(static_meta)
+        if fn is None:
+            meta = dict(static_meta)
+            base = self.loss_fn
+
+            def loss_with_meta(params, cfg, batch, rng):
+                merged = dict(batch)
+                merged.update(meta)
+                return base(params, cfg, merged, rng)
+
+            fn = ts.make_train_step(
+                self.model_cfg, self.tx, loss_fn=loss_with_meta, mesh=self.mesh
+            )
+            self._step_cache[static_meta] = fn
+        return fn
 
     @property
     def ckpt_dir(self):
@@ -199,7 +224,15 @@ class Trainer:
                     for k, v in batch.items()
                     if not k.startswith("_")
                 }
-                self.state, metrics = self.step_fn(self.state, jb, sub)
+                static_meta = tuple(
+                    sorted(
+                        (k, batch[k])
+                        for k in batch
+                        if k.startswith("_")
+                    )
+                )
+                step_fn = self._step_for(static_meta)
+                self.state, metrics = step_fn(self.state, jb, sub)
                 step += 1
                 n_tok = int(metrics["tokens"])
                 kts = self.throughput.update(n_tok)

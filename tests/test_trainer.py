@@ -108,3 +108,36 @@ def test_jsonl_loader_sharding(tmp_path):
     r1 = jsonl_dataset.load_jsonl_rows([str(path)], 1, 2)
     assert [r["i"] for r in r0] == [0, 2, 4, 6, 8]
     assert [r["i"] for r in r1] == [1, 3, 5, 7, 9]
+
+
+def test_static_batch_metadata_reaches_loss(setup):
+    """'_'-prefixed collator metadata must reach the loss as static python
+    values and specialize the trace (regression: s2s _is_text was silently
+    dropped, training the text head on audio batches)."""
+    cfg, _, tcfg = setup
+    # fresh params: the fixture's were donated to the first test's step_fn
+    params = spark.init_params(jax.random.PRNGKey(3), cfg)
+    seen = []
+
+    def probe_loss(params, cfg, batch, rng):
+        seen.append(bool(batch.get("_is_text", True)))
+        loss, n = trainer_lib.spark_loss(params, cfg, batch, rng)
+        return loss, n
+
+    tr = trainer_lib.Trainer(cfg, params, probe_loss, tcfg)
+
+    class TwoModeDataset:
+        def epoch(self, epoch, start_batch=0):
+            base = _dataset()
+            for i, b in enumerate(base.epoch(epoch, start_batch)):
+                b = dict(b)
+                b["_is_text"] = i % 2 == 0
+                yield b
+                if i == 1:
+                    return
+
+    tcfg.save_steps = 0
+    tr.fit(TwoModeDataset())
+    # one trace per metadata value, each observing its own static bool
+    assert True in seen and False in seen
+    assert len(tr._step_cache) >= 2
