@@ -52,8 +52,14 @@ class RWKV7Config:
     # GroupNorm eps = 1e-5 * head_size_divisor**2 with divisor 8
     ln_x_eps: float = 64e-5
     dtype: Any = jnp.bfloat16
-    wkv_impl: str = "chunked"
+    # 'auto': fused Pallas kernels on a single TPU chip, XLA chunked
+    # elsewhere (ops/wkv7.wkv7 resolves it; PERF.md round-2 numbers)
+    wkv_impl: str = "auto"
     wkv_chunk: int = 32
+    # pallas-impl knobs (ignored by other impls): (batch*head) slices per
+    # grid step, and matmul operand precision ('f32' | 'bf16')
+    wkv_group: int = 8
+    wkv_mm: str = "f32"
     remat: bool = True
     # When True the lm head is present in params (core-only submodels skip it)
     with_head: bool = True
@@ -291,6 +297,8 @@ def block_forward(
         resets=resets,
         impl=cfg.wkv_impl,
         chunk=cfg.wkv_chunk,
+        group=cfg.wkv_group,
+        mm_dtype=cfg.wkv_mm,
     )
     y = y.reshape(B, T, C)
     y = group_norm(y, att["ln_x_scale"], att["ln_x_bias"], H, cfg.ln_x_eps)

@@ -469,12 +469,28 @@ def wkv7(
     *,
     impl: str = "chunked",
     chunk: int = DEFAULT_CHUNK,
+    group: int = 8,
+    mm_dtype: str = "f32",
 ):
     """Dispatching entry point used by the models.
 
     impl: 'chunked' (training/prefill), 'scan' (reference), 'pallas'
-    (fused Pallas kernel, see ops/wkv7_pallas.py).
+    (fused Pallas fwd+bwd kernels, see ops/wkv7_pallas.py; group/mm_dtype
+    apply only there), or 'auto'.
+
+    'auto' resolves to the fused Pallas kernels on a single TPU chip
+    (measured: 435 -> 352 ms train step on the 103M flagship, PERF.md r2)
+    and to the XLA chunked path elsewhere — CPU (tests) and multi-device
+    GSPMD jit, where an unsharded Pallas call would force XLA to gather
+    its operands (wrap wkv7_pallas in shard_map for multi-chip use; see
+    tests/test_wkv7_pallas.py::test_pallas_under_shard_map).
     """
+    if impl == "auto":
+        if jax.default_backend() == "tpu" and jax.device_count() == 1:
+            impl = "pallas"
+            chunk = max(chunk, 64)  # pallas tiles want 128-row pairs
+        else:
+            impl = "chunked"
     if impl == "scan":
         return wkv7_scan(r, w_raw, k, v, z, b, state, resets)
     if impl == "chunked":
@@ -489,6 +505,7 @@ def wkv7(
         from rwkvtts_tpu.ops import wkv7_pallas
 
         return wkv7_pallas.wkv7_pallas(
-            r, w_raw, k, v, z, b, state, resets, chunk=chunk
+            r, w_raw, k, v, z, b, state, resets,
+            chunk=chunk, group=group, mm_dtype=mm_dtype,
         )
     raise ValueError(f"unknown wkv7 impl: {impl!r}")

@@ -1,20 +1,40 @@
-"""Fused Pallas TPU kernel for the chunked WKV7 recurrence.
+"""Fused Pallas TPU kernels for the chunked WKV7 recurrence — fwd AND bwd.
 
-Same math as ops/wkv7.py::wkv7_chunked (see that module's derivation), fused
-into one kernel. Layout: grid = (BH/G, T/CHUNK) with the chunk axis
-innermost; each grid step processes G (batch·head) slices of one chunk as
-*batched* MXU matmuls, and the G fp32 states live in VMEM scratch across the
-whole chunk sweep — no HBM round-trips between chunks, no per-op dispatch
-between the ~15 matmuls of a chunk.
+Same chunk math as ops/wkv7.py::wkv7_chunked (see that module's derivation),
+fused into one forward kernel and one backward kernel wired through
+`jax.custom_vjp`. This is the TPU-native counterpart of the reference CUDA
+training kernel pair (reference model/llm/cuda/wkv7_cuda.cu:10-52 forward,
+:54-130 backward): like the CUDA kernel, the forward checkpoints the fp32
+state at every chunk boundary and the backward re-derives all within-chunk
+intermediates from those checkpoints (checkpoint-and-recompute), never
+materializing per-step states to HBM.
 
-This is the TPU-native counterpart of the reference CUDA training kernel
-(reference model/llm/cuda/wkv7_cuda.cu: one thread-block per (head, batch),
-shared-memory staging, fp32 state, CHUNK_LEN=16). Differences by design:
-chunk math is dense batched matmuls instead of per-step scalar loops, and
-CHUNK defaults to 64 to match MXU tiling.
+Design notes (what round 1 got wrong and this rewrite fixes):
 
-Used for inference/prefill forward (`impl='pallas'`); training uses the
-differentiable chunked formulation (same math, XLA AD + checkpointing).
+* **Head-pair packing.** N=64-wide per-head matmuls use a quarter of the
+  128x128 MXU and their G-batched `dot_general`s were serialized by Mosaic
+  (125 ms vs 46 ms XLA, PERF.md). Here two (batch, head) slices are packed
+  into one (2L, .) problem: the pairwise chunk matrices become (2L, 2L)
+  block-diagonal (built with block-diag masks, and block-diagonality is
+  closed under the Neumann products), and the state-coupled matmuls use
+  lane-expanded (2L, 2N) operands so each op is a full 128-wide MXU tile.
+* **State lives in VMEM scratch** (external layout: value-dim rows, key-dim
+  lanes) for the whole chunk sweep — no HBM round-trips between chunks, and
+  the key-in-lanes orientation keeps the final-state decay a lane-direction
+  broadcast (the sublane-direction variant crashes Mosaic on this target).
+* **In-chunk cumsum as a triangular matmul** (cumsum has no TPU Pallas
+  lowering, and the XLA path's cumsum+exp prep fusion was the single
+  hottest op at 24.7 ms — here it rides the MXU).
+* **Backward = jax.vjp of the chunk function, traced inside the kernel.**
+  The reverse-sweep kernel walks chunks back-to-front (reversed index
+  maps), carries dS^T in VMEM scratch, recomputes the chunk forward from
+  the checkpointed entry state, and emits all six input gradients plus the
+  initial-state gradient. Exactly the CUDA backward's strategy, but the
+  within-chunk math is dense MXU matmuls instead of per-step scalar loops.
+
+Segment resets (packed training, the rwkv-fla `cu_seqlens` equivalent) are
+supported natively: a per-position segment counter rides along as an f32
+side input and shapes the chunk masks, matching wkv7_chunked's semantics.
 """
 from __future__ import annotations
 
@@ -27,85 +47,484 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_CHUNK = 64
+DEFAULT_GROUP = 8
+
+_PAD_W_RAW = -30.0  # exp(-exp(-30)) ~= 1.0: identity decay on padded steps
 
 
-def _wkv7_kernel(r_ref, w_ref, k_ref, v_ref, z_ref, b_ref, s0_ref,
-                 y_ref, sout_ref, state, *, chunk: int, n_chunks: int):
-    L = chunk
+def _neumann_steps(L: int) -> int:
+    return max(0, (L - 1).bit_length() - 1)
+
+
+# ---------------------------------------------------------------------------
+# The per-pair chunk function (pure jnp; traced inside both kernels, and
+# differentiated by jax.vjp inside the backward kernel)
+# ---------------------------------------------------------------------------
+
+
+def _pair_chunk(
+    s0p, r, w_raw, k, v, z, b, c2,
+    *,
+    L: int,
+    with_resets: bool,
+    mm_dtype,
+):
+    """One chunk for a packed pair of (batch, head) slices.
+
+    s0p: (2N, N) f32 — entry states stacked [S_h0; S_h1], value-dim rows /
+         key-dim lanes (the external layout). Keeping the key dim in LANES
+         matters: the final-state decay is then a lane-direction broadcast;
+         the transposed layout would need a (2, N) -> (2N, 1) lane->sublane
+         relayout, which crashes the Mosaic compiler on this target.
+    r..b: (2L, N) — the two slices' chunk inputs stacked along rows.
+    c2:   (2, L) f32 — within-chunk inclusive segment counters (all zeros
+          when with_resets=False).
+    Returns (y (2L, Nv), s_out (2N, Nk)), both f32.
+    """
     f32 = jnp.float32
-    G = r_ref.shape[0]
-    c = pl.program_id(1)
+    N = r.shape[-1]
+    L2 = 2 * L
+    mm = lambda x: x.astype(mm_dtype)
 
-    @pl.when(c == 0)
-    def _():
-        state[...] = s0_ref[...]
-
-    r = r_ref[:, 0].astype(f32)
-    w_raw = w_ref[:, 0].astype(f32)
-    k = k_ref[:, 0].astype(f32)
-    v = v_ref[:, 0].astype(f32)
-    z = z_ref[:, 0].astype(f32)
-    b = b_ref[:, 0].astype(f32)
-
-    r_i = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
-    c_i = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    incl = (c_i <= r_i).astype(f32)
-    strict = (c_i < r_i).astype(f32)
-    eye = jnp.eye(L, dtype=f32)
-
-    # batched helpers over the leading G dim
-    def bdotT(a, bm):  # (G,L,N) x (G,M,N) -> (G,L,M)
+    def dot(a, bm):  # (M,K)@(K,P) f32 accum
         return jax.lax.dot_general(
-            a, bm, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+            mm(a), mm(bm), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
         )
 
-    def bdot(a, bm):  # (G,L,M) x (G,M,K) -> (G,L,K)
+    def dotT(a, bm):  # (M,K)@(P,K)^T -> (M,P)
         return jax.lax.dot_general(
-            a, bm, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32
+            mm(a), mm(bm), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
         )
 
-    logw = -jnp.exp(w_raw)                      # (G, L, N)
-    # inclusive cumsum over the chunk axis as a triangular matmul
-    # (cumsum has no Pallas TPU lowering; this also rides the MXU)
+    def dotTl(a, bm):  # (K,M)^T@(K,P) -> (M,P)
+        return jax.lax.dot_general(
+            mm(a), mm(bm), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+    r, k, v, z, b = (x.astype(f32) for x in (r, k, v, z, b))
+    ew = jnp.exp(w_raw.astype(f32))  # = -log w, in (0, e^-0.5]
+    logw = -ew
+
+    ri = jax.lax.broadcasted_iota(jnp.int32, (L2, L2), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (L2, L2), 1)
+    same_block = (ri // L) == (ci // L)
+    rb0 = jax.lax.broadcasted_iota(jnp.int32, (L2, 1), 0) < L  # row in block 0
+
+    if with_resets:
+        cprev = jnp.concatenate(
+            [jnp.zeros((2, 1), f32), c2[:, :-1]], axis=1
+        )
+        reset = (c2 != cprev).reshape(L2, 1)
+        # zero decay at reset positions (their incoming state is masked away)
+        logw = jnp.where(reset, 0.0, logw)
+        ew_eff = jnp.where(reset, 0.0, ew)
+    else:
+        ew_eff = ew
+
+    # in-chunk inclusive cumsum of log-decay as a block-diag triangular
+    # matmul (f32 operands: the cumulative sums feed exp and must not round)
+    incl_nb = jnp.where((ri >= ci) & same_block, 1.0, 0.0).astype(f32)
     g = jax.lax.dot_general(
-        jnp.broadcast_to(incl, (G, L, L)), logw,
-        (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32,
-    )
-    gp = g - logw
-    eg = jnp.exp(g)
-    qt = r * eg
-    zt = z * jnp.exp(gp)
-    kt = k * jnp.exp(-g)
-    bt = b * jnp.exp(-g)
+        incl_nb, logw, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    )  # (2L, N)
 
-    A = bdotT(zt, bt) * strict                  # (G, L, L)
-    Kz = bdotT(zt, kt) * strict
+    e_g = jnp.exp(g)
+    e_gneg = jnp.exp(-g)
+    qt = r * e_g
+    zt = z * (e_g * jnp.exp(ew_eff))  # z * exp(g - logw)
+    kt = k * e_gneg
+    bt = b * e_gneg
 
-    # (I - A)^{-1} via Neumann doubling (A nilpotent)
+    if with_resets:
+        cc = c2.reshape(L2, 1)
+        same_seg = (cc == cc.reshape(1, L2)) & same_block
+        m_strict = jnp.where((ri > ci) & same_seg, 1.0, 0.0).astype(f32)
+        m_incl = jnp.where((ri >= ci) & same_seg, 1.0, 0.0).astype(f32)
+        mask0 = cc == 0.0
+    else:
+        m_strict = jnp.where((ri > ci) & same_block, 1.0, 0.0).astype(f32)
+        m_incl = incl_nb
+        mask0 = None
+
+    A = dotT(zt, bt) * m_strict
+    Kz = dotT(zt, kt) * m_strict
+    QB = dotT(qt, bt) * m_incl
+    QK = dotT(qt, kt) * m_incl
+
+    # (I - A)^{-1} by Neumann doubling; A is per-block nilpotent (A^L = 0)
+    # and block-diagonal (closed under these products).
+    eye = jnp.where(ri == ci, 1.0, 0.0).astype(f32)
     inv = eye + A
     power = A
-    for _ in range(max(0, (L - 1).bit_length() - 1)):
-        power = bdot(power, power)
-        inv = bdot(inv, eye + power)
+    for _ in range(_neumann_steps(L)):
+        power = dot(power, power)
+        inv = dot(inv, eye + power)
 
-    s0 = state[...]                             # (G, Nv, Nk)
-    sa_in = bdotT(zt, s0) + bdot(Kz, v)         # (G, L, Nv)
-    sa = bdot(inv, sa_in)
+    z0 = jnp.where(mask0, zt, 0.0) if with_resets else zt
+    q0 = jnp.where(mask0, qt, 0.0) if with_resets else qt
 
-    y = bdotT(qt, s0) + bdot(bdotT(qt, bt) * incl, sa) + bdot(
-        bdotT(qt, kt) * incl, v
+    rbN = jax.lax.broadcasted_iota(jnp.int32, (2 * N, 1), 0) < N
+
+    def expand(x, blk):  # (2L, N)/(2N, N) -> (., 2N): block p data in lanes p
+        return jnp.concatenate(
+            [jnp.where(blk, x, 0.0), jnp.where(blk, 0.0, x)], axis=1
+        )
+
+    def collapse(x):  # (2L, 2N) block-structured -> (2L, N)
+        return x[:, :N] + x[:, N:]
+
+    z0e = expand(z0, rb0)
+    q0e = expand(q0, rb0)
+    s0e = expand(s0p, rbN)  # (2N, 2N): block-diag state
+
+    # dotT(row-expanded, state-expanded) contracts the 2N lane dim; the
+    # disjoint lane blocks kill all cross-head terms, and the output comes
+    # back lane-expanded -> collapse.
+    sa_in = collapse(dotT(z0e, s0e)) + dot(Kz, v)  # (2L, Nv)
+    sa = dot(inv, sa_in)
+    y = collapse(dotT(q0e, s0e)) + dot(QB, sa) + dot(QK, v)
+
+    # final state: sources in the chunk's last segment survive, scaled by
+    # the remaining decay; the entry state survives iff no reset occurred
+    e_g_last = jnp.concatenate(
+        [e_g[L - 1 : L, :], e_g[L2 - 1 : L2, :]], axis=0
+    )  # (2, N)
+    wl = jnp.where(rb0, e_g_last[0:1, :], e_g_last[1:2, :])  # (2L, N)
+    wfin = jnp.where(rbN, e_g_last[0:1, :], e_g_last[1:2, :])  # (2N, N)
+    if with_resets:
+        c_last0 = c2[0:1, L - 1 : L]  # (1, 1)
+        c_last1 = c2[1:2, L - 1 : L]
+        lastvec = jnp.where(rb0, c_last0, c_last1)  # (2L, 1)
+        live = c2.reshape(L2, 1) == lastvec
+        k_fin = jnp.where(live, kt, 0.0) * wl
+        b_fin = jnp.where(live, bt, 0.0) * wl
+        live0 = jnp.where(
+            rbN, (c_last0 == 0.0), (c_last1 == 0.0)
+        ).astype(f32)
+    else:
+        k_fin = kt * wl
+        b_fin = bt * wl
+        live0 = 1.0
+    s_out = (
+        s0p * (wfin * live0)
+        + dotTl(expand(sa, rb0), b_fin)
+        + dotTl(expand(v, rb0), k_fin)
     )
-    y_ref[:, 0] = y.astype(y_ref.dtype)
+    return y, s_out
 
-    wL = eg[:, -1:, :]                          # (G, 1, N)
-    s_new = s0 * wL + bdot(
-        jnp.swapaxes(sa, 1, 2), bt * wL
-    ) + bdot(jnp.swapaxes(v, 1, 2), kt * wL)
-    state[...] = s_new
 
-    @pl.when(c == n_chunks - 1)
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    c_ref, r_ref, w_ref, k_ref, v_ref, z_ref, b_ref, s0_ref,
+    y_ref, sfin_ref, sentry_ref, st,
+    *, L: int, with_resets: bool, mm_dtype,
+):
+    G = r_ref.shape[0]
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
     def _():
-        sout_ref[...] = s_new
+        st[...] = s0_ref[...]
+
+    sentry_ref[:, 0] = st[...]
+
+    for p in range(G // 2):
+        sl = slice(2 * p, 2 * p + 2)
+        N = r_ref.shape[-1]
+        pair = lambda ref: ref[sl, 0].reshape(2 * L, N)
+        s0t = st[sl].reshape(2 * N, N)
+        c2 = c_ref[sl, 0].reshape(2, L) if with_resets else jnp.zeros((2, L), jnp.float32)
+        y, s_out_t = _pair_chunk(
+            s0t, pair(r_ref), pair(w_ref), pair(k_ref), pair(v_ref),
+            pair(z_ref), pair(b_ref), c2,
+            L=L, with_resets=with_resets, mm_dtype=mm_dtype,
+        )
+        y_ref[sl, 0] = y.reshape(2, L, N).astype(y_ref.dtype)
+        st[sl] = s_out_t.reshape(2, N, N)
+
+    sfin_ref[...] = st[...]
+
+
+def _bwd_kernel(
+    c_ref, r_ref, w_ref, k_ref, v_ref, z_ref, b_ref, sentry_ref,
+    dy_ref, dsfin_ref,
+    dr_ref, dw_ref, dk_ref, dv_ref, dz_ref, db_ref, ds0_ref, dst,
+    *, L: int, n_chunks: int, with_resets: bool, mm_dtype,
+):
+    """Reverse chunk sweep: index maps deliver chunk n_chunks-1-i at grid
+    step i; dS^T is carried in scratch; each chunk's forward is recomputed
+    from the checkpointed entry state and differentiated in place."""
+    G = r_ref.shape[0]
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dst[...] = dsfin_ref[...]
+
+    for p in range(G // 2):
+        sl = slice(2 * p, 2 * p + 2)
+        N = r_ref.shape[-1]
+        pair = lambda ref: ref[sl, 0].reshape(2 * L, N)
+        s0t = sentry_ref[sl, 0].reshape(2 * N, N)
+        c2 = c_ref[sl, 0].reshape(2, L) if with_resets else jnp.zeros((2, L), jnp.float32)
+
+        def f(rr, ww, kk, vv, zz, bb, s0t_):
+            return _pair_chunk(
+                s0t_, rr, ww, kk, vv, zz, bb, c2,
+                L=L, with_resets=with_resets, mm_dtype=mm_dtype,
+            )
+
+        args = (pair(r_ref), pair(w_ref), pair(k_ref), pair(v_ref),
+                pair(z_ref), pair(b_ref), s0t)
+        _, vjp = jax.vjp(f, *args)
+        dy = dy_ref[sl, 0].reshape(2 * L, N).astype(jnp.float32)
+        ds_out = dst[sl].reshape(2 * N, N)
+        dr, dw, dk, dv, dz, db, ds0t = vjp((dy, ds_out))
+
+        wr = lambda ref, val: ref.__setitem__(
+            (sl, 0), val.reshape(2, L, N).astype(ref.dtype)
+        )
+        wr(dr_ref, dr)
+        wr(dw_ref, dw)
+        wr(dk_ref, dk)
+        wr(dv_ref, dv)
+        wr(dz_ref, dz)
+        wr(db_ref, db)
+        dst[sl] = ds0t.reshape(2, N, N)
+
+    ds0_ref[...] = dst[...]
+
+
+# ---------------------------------------------------------------------------
+# Host-side plumbing
+# ---------------------------------------------------------------------------
+
+
+def _auto_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _prep(r, w_raw, k, v, z, b, state, resets, chunk, group):
+    """Common layout work: pad T, flatten (B,H), build segment counters.
+
+    Returns a dict of kernel-ready arrays plus layout metadata.
+    """
+    B, T, H, N = r.shape
+    pad = (-T) % chunk
+    if pad:
+        zpad = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        r, k, v, z, b = map(zpad, (r, k, v, z, b))
+        w_raw = jnp.pad(
+            w_raw, ((0, 0), (0, pad), (0, 0), (0, 0)),
+            constant_values=_PAD_W_RAW,
+        )
+    Tp = T + pad
+    n_chunks = Tp // chunk
+    BH = B * H
+
+    with_resets = resets is not None
+    if with_resets:
+        ri = resets.astype(jnp.float32)
+        if pad:
+            ri = jnp.pad(ri, ((0, 0), (0, pad)))
+        c = jnp.cumsum(ri.reshape(B, n_chunks, chunk), axis=2)
+        c = jnp.broadcast_to(c[:, None], (B, H, n_chunks, chunk)).reshape(
+            BH, n_chunks, chunk, 1
+        )
+    else:
+        # trailing singleton keeps the block tiling legal ((L, 1) block on
+        # an (..., L, 1) array; a 3-D (G, 1, L) block violates the (8, 128)
+        # minor-dims rule)
+        c = jnp.zeros((BH, n_chunks, chunk, 1), jnp.float32)
+
+    def to_blocks(x):  # (B, Tp, H, N) -> (BH, n_chunks, L, N)
+        return jnp.moveaxis(x, 2, 1).reshape(BH, n_chunks, chunk, N)
+
+    blocks = tuple(map(to_blocks, (r, w_raw, k, v, z, b)))
+    s0 = state.reshape(BH, N, N)  # (value-dim rows, key-dim lanes)
+
+    G = min(group, BH)
+    G -= G % 2
+    G = max(G, 2)
+    padBH = (-BH) % G
+    if padBH:
+        zb = lambda x: jnp.pad(
+            x, ((0, padBH),) + ((0, 0),) * (x.ndim - 1)
+        )
+        blocks = tuple(map(zb, blocks))
+        c = zb(c)
+        s0 = zb(s0)
+    return dict(
+        blocks=blocks, c=c, s0=s0, B=B, T=T, H=H, N=N, Tp=Tp,
+        n_chunks=n_chunks, BH=BH, BHp=BH + padBH, G=G,
+        with_resets=with_resets,
+    )
+
+
+def _specs(G, L, N, n_chunks, reverse=False):
+    cmap = (lambda gi, ci: (gi, n_chunks - 1 - ci, 0, 0)) if reverse else (
+        lambda gi, ci: (gi, ci, 0, 0)
+    )
+    chunk_spec = pl.BlockSpec((G, 1, L, N), cmap, memory_space=pltpu.VMEM)
+    cseg_spec = pl.BlockSpec((G, 1, L, 1), cmap, memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec(
+        (G, N, N), lambda gi, ci: (gi, 0, 0), memory_space=pltpu.VMEM
+    )
+    sentry_spec = pl.BlockSpec((G, 1, N, N), cmap, memory_space=pltpu.VMEM)
+    return chunk_spec, cseg_spec, state_spec, sentry_spec
+
+
+def _fwd_call(c, blocks, s0, meta, *, chunk, mm_dtype, interpret):
+    G, BHp, n_chunks, N = meta["G"], meta["BHp"], meta["n_chunks"], meta["N"]
+    L = chunk
+    chunk_spec, cseg_spec, state_spec, sentry_spec = _specs(G, L, N, n_chunks)
+    out_dtype = blocks[2].dtype  # v's dtype
+    kernel = functools.partial(
+        _fwd_kernel, L=L, with_resets=meta["with_resets"], mm_dtype=mm_dtype
+    )
+    y, s_fin, s_entry = pl.pallas_call(
+        kernel,
+        grid=(BHp // G, n_chunks),
+        in_specs=[cseg_spec] + [chunk_spec] * 6 + [state_spec],
+        out_specs=(chunk_spec, state_spec, sentry_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((BHp, n_chunks, L, N), out_dtype),
+            jax.ShapeDtypeStruct((BHp, N, N), jnp.float32),
+            jax.ShapeDtypeStruct((BHp, n_chunks, N, N), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((G, N, N), jnp.float32)],
+        interpret=interpret,
+    )(c, *blocks, s0)
+    return y, s_fin, s_entry
+
+
+def _bwd_call(c, blocks, s_entry, dy, dsfin, meta, *, chunk, mm_dtype,
+              interpret):
+    G, BHp, n_chunks, N = meta["G"], meta["BHp"], meta["n_chunks"], meta["N"]
+    L = chunk
+    chunk_spec, cseg_spec, state_spec, sentry_spec = _specs(
+        G, L, N, n_chunks, reverse=True
+    )
+    kernel = functools.partial(
+        _bwd_kernel, L=L, n_chunks=n_chunks,
+        with_resets=meta["with_resets"], mm_dtype=mm_dtype,
+    )
+    in_dtypes = [b.dtype for b in blocks]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(BHp // G, n_chunks),
+        in_specs=[cseg_spec] + [chunk_spec] * 6 + [sentry_spec]
+        + [chunk_spec, state_spec],
+        out_specs=tuple([chunk_spec] * 6 + [state_spec]),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((BHp, n_chunks, L, N), dt)
+            for dt in in_dtypes
+        )
+        + (jax.ShapeDtypeStruct((BHp, N, N), jnp.float32),),
+        scratch_shapes=[pltpu.VMEM((G, N, N), jnp.float32)],
+        interpret=interpret,
+    )(c, *blocks, s_entry, dy, dsfin)
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _wkv7_pallas_core(
+    r, w_raw, k, v, z, b, state, resets,
+    chunk, group, mm_name, interpret, has_resets,
+):
+    y, s_fin = _core_fwd(
+        r, w_raw, k, v, z, b, state, resets,
+        chunk, group, mm_name, interpret, has_resets,
+    )[0]
+    return y, s_fin
+
+
+def _core_fwd(
+    r, w_raw, k, v, z, b, state, resets,
+    chunk, group, mm_name, interpret, has_resets,
+):
+    mm_dtype = jnp.bfloat16 if mm_name == "bf16" else jnp.float32
+    meta = _prep(
+        r, w_raw, k, v, z, b, state, resets if has_resets else None,
+        chunk, group,
+    )
+    yb, s_fin_t, s_entry = _fwd_call(
+        meta["c"], meta["blocks"], meta["s0"], meta,
+        chunk=chunk, mm_dtype=mm_dtype, interpret=interpret,
+    )
+    B, T, H, N, BH = meta["B"], meta["T"], meta["H"], meta["N"], meta["BH"]
+    y = jnp.moveaxis(
+        yb[:BH].reshape(B, H, meta["Tp"], N), 1, 2
+    )[:, :T]
+    s_fin = s_fin_t[:BH].reshape(B, H, N, N)
+    return (y, s_fin), (meta, s_entry)
+
+
+def _core_fwd_vjp(
+    r, w_raw, k, v, z, b, state, resets,
+    chunk, group, mm_name, interpret, has_resets,
+):
+    (y, s_fin), (meta, s_entry) = _core_fwd(
+        r, w_raw, k, v, z, b, state, resets,
+        chunk, group, mm_name, interpret, has_resets,
+    )
+    res = (meta["c"], meta["blocks"], s_entry, resets)
+    return (y, s_fin), res
+
+
+def _core_bwd(chunk, group, mm_name, interpret, has_resets, res, cts):
+    c, blocks, s_entry, resets = res
+    dy, dsfin = cts
+    mm_dtype = jnp.bfloat16 if mm_name == "bf16" else jnp.float32
+    BHp, n_chunks, L, N = blocks[0].shape
+    B, T, H, _ = dy.shape
+    BH = B * H
+    pad = n_chunks * L - T
+    dyp = jnp.pad(
+        dy, ((0, 0), (0, pad), (0, 0), (0, 0))
+    ) if pad else dy
+    dyb = jnp.moveaxis(dyp, 2, 1).reshape(BH, n_chunks, L, N)
+    if BHp > BH:
+        dyb = jnp.pad(dyb, ((0, BHp - BH), (0, 0), (0, 0), (0, 0)))
+    dsfin_t = dsfin.reshape(BH, N, N).astype(jnp.float32)
+    if BHp > BH:
+        dsfin_t = jnp.pad(dsfin_t, ((0, BHp - BH), (0, 0), (0, 0)))
+
+    # G must match the forward call exactly (blocks were padded for it)
+    G = min(group, BH)
+    G -= G % 2
+    G = max(G, 2)
+    meta = dict(G=G, BHp=BHp, n_chunks=n_chunks, N=N, with_resets=has_resets)
+
+    outs = _bwd_call(
+        c, blocks, s_entry, dyb.astype(blocks[0].dtype), dsfin_t, meta,
+        chunk=L, mm_dtype=mm_dtype, interpret=interpret,
+    )
+    dblocks, ds0t = outs[:6], outs[6]
+
+    def from_blocks(x):  # (BHp, n_chunks, L, N) -> (B, T, H, N)
+        x = x[:BH].reshape(B, H, n_chunks * L, N)
+        return jnp.moveaxis(x, 1, 2)[:, :T]
+
+    dr, dw, dk, dv, dz, db = map(from_blocks, dblocks)
+    # state is fp32 by contract (ops/wkv7.STATE_DTYPE)
+    dstate = ds0t[:BH].reshape(B, H, N, N)
+    return dr, dw, dk, dv, dz, db, dstate, jnp.zeros_like(resets)
+
+
+_wkv7_pallas_core.defvjp(_core_fwd_vjp, _core_bwd)
 
 
 def wkv7_pallas(
@@ -119,69 +538,28 @@ def wkv7_pallas(
     resets: Optional[jax.Array] = None,
     *,
     chunk: int = DEFAULT_CHUNK,
-    group: int = 16,
-    interpret: bool = False,
+    group: int = DEFAULT_GROUP,
+    mm_dtype: str = "f32",
+    interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Inputs (B, T, H, N); state (B, H, N, N) fp32. Returns (y, state).
+    """Fused WKV7, differentiable. Inputs (B, T, H, N); state (B, H, Nv, Nk)
+    fp32. Returns (y, final_state); y in v's dtype.
 
-    `group` = how many (batch·head) slices share one grid step (bounded by
-    VMEM). Segment resets are not supported in the fused kernel (packed
-    training uses the differentiable chunked path); passing resets falls
-    back.
+    mm_dtype: 'f32' (default; fp32 MXU passes, tightest parity with the
+    scan reference) or 'bf16' (bf16 operands + fp32 accumulation — the
+    reference CUDA kernel's own precision contract, wkv7_cuda.cu:3-8).
     """
-    if resets is not None:
-        from rwkvtts_tpu.ops import wkv7 as ref
-
-        return ref.wkv7_chunked(r, w_raw, k, v, z, b, state, resets, chunk=chunk)
-
     B, T, H, N = r.shape
-    out_dtype = v.dtype
     if state is None:
         state = jnp.zeros((B, H, N, N), jnp.float32)
-    pad = (-T) % chunk
-    if pad:
-        zpad = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        r, k, v, z, b = map(zpad, (r, k, v, z, b))
-        # w_raw = -30 → decay ≈ 1 (identity) on padded steps
-        w_raw = jnp.pad(w_raw, ((0, 0), (0, pad), (0, 0), (0, 0)),
-                        constant_values=-30.0)
-    Tp = T + pad
-    n_chunks = Tp // chunk
-    BH = B * H
-    G = min(group, BH)
-    while BH % G:
-        G -= 1
-    n_groups = BH // G
-
-    def to_blocks(x):  # (B, Tp, H, N) -> (BH, n_chunks, L, N)
-        x = jnp.moveaxis(x, 2, 1).reshape(BH, n_chunks, chunk, N)
-        return x
-
-    rs, ws, ks, vs, zs, bs = map(to_blocks, (r, w_raw, k, v, z, b))
-    s0 = state.reshape(BH, N, N)
-
-    chunk_spec = pl.BlockSpec(
-        (G, 1, chunk, N), lambda gi, c: (gi, c, 0, 0),
-        memory_space=pltpu.VMEM,
+    if interpret is None:
+        interpret = _auto_interpret()
+    has_resets = resets is not None
+    if resets is None:
+        resets = jnp.zeros((B, T), jnp.float32)
+    else:
+        resets = resets.astype(jnp.float32)
+    return _wkv7_pallas_core(
+        r, w_raw, k, v, z, b, state, resets,
+        chunk, group, mm_dtype, bool(interpret), has_resets,
     )
-    state_spec = pl.BlockSpec(
-        (G, N, N), lambda gi, c: (gi, 0, 0), memory_space=pltpu.VMEM
-    )
-
-    kernel = functools.partial(_wkv7_kernel, chunk=chunk, n_chunks=n_chunks)
-
-    y, s_out = pl.pallas_call(
-        kernel,
-        grid=(n_groups, n_chunks),
-        in_specs=[chunk_spec] * 6 + [state_spec],
-        out_specs=(chunk_spec, state_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((BH, n_chunks, chunk, N), out_dtype),
-            jax.ShapeDtypeStruct((BH, N, N), jnp.float32),
-        ),
-        scratch_shapes=[pltpu.VMEM((G, N, N), jnp.float32)],
-        interpret=interpret,
-    )(rs, ws, ks, vs, zs, bs, s0)
-
-    y = jnp.moveaxis(y.reshape(B, H, Tp, N), 1, 2)[:, :T]
-    return y.astype(out_dtype), s_out.reshape(B, H, N, N)
