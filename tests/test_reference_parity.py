@@ -246,3 +246,150 @@ def test_ref_speaker_encoder_matches():
     )
     dvec = bicodec.speaker_encoder_detokenize(params, cfg, idx)
     np.testing.assert_allclose(np.asarray(dvec), dvec_ref, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# CosyVoice2 UpsampleConformerEncoder (flow encoder)
+# ---------------------------------------------------------------------------
+
+
+def test_ref_upsample_conformer_matches():
+    from rwkvtts_tpu.codecs import conformer
+
+    up_mod = reference_shims.import_ref(
+        "cosyvoice.transformer.upsample_encoder"
+    )
+    torch.manual_seed(8)
+    # the reference hard-codes its Upsample1D to 512 channels
+    # (upsample_encoder.py:217), so the encoder width is fixed
+    cfg = conformer.UpsampleConformerConfig(
+        input_size=512, output_size=512, attention_heads=8,
+        linear_units=64, num_blocks=1, num_up_blocks=4,
+    )
+    tm = up_mod.UpsampleConformerEncoder(
+        input_size=cfg.input_size, output_size=cfg.output_size,
+        attention_heads=cfg.attention_heads, linear_units=cfg.linear_units,
+        num_blocks=cfg.num_blocks, dropout_rate=0.0,
+        positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+        input_layer="linear", pos_enc_layer_type="rel_pos_espnet",
+        selfattention_layer_type="rel_selfattn",
+        use_cnn_module=False, macaron_style=False,
+    ).eval()
+    params = cosy_import.conformer_from_sd(_sd(tm), cfg)
+
+    B, T = 2, 8
+    x = torch.randn(B, T, cfg.input_size)
+    lens = torch.tensor([T, T])
+    with torch.no_grad():
+        ref, _ = tm(x, lens)
+    out = conformer.apply(params, cfg, _j(x))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=5e-4)
+
+
+def test_ref_upsample_conformer_context_matches():
+    """Streaming path: pre-lookahead context splice must match."""
+    from rwkvtts_tpu.codecs import conformer
+
+    up_mod = reference_shims.import_ref(
+        "cosyvoice.transformer.upsample_encoder"
+    )
+    torch.manual_seed(9)
+    lk = up_mod.PreLookaheadLayer(channels=16, pre_lookahead_len=3).eval()
+    sd = _sd(lk)
+    params = {
+        "conv1": torch_import.conv1d_p(sd, "conv1"),
+        "conv2": torch_import.conv1d_p(sd, "conv2"),
+    }
+    x = torch.randn(2, 10, 16)
+    ctx = torch.randn(2, 3, 16)
+    with torch.no_grad():
+        ref = lk(x, context=ctx).numpy()
+    out = conformer.pre_lookahead(params, _j(x), 3, context=_j(ctx))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# CosyVoice2 flow estimator (causal UNet) + CFM euler solve
+# ---------------------------------------------------------------------------
+
+
+def _small_estimator(seed, out_ch, width=16, heads=2, head_dim=4, mid=2):
+    from rwkvtts_tpu.codecs import flow as flow_lib
+
+    dec_mod = reference_shims.import_ref("cosyvoice.flow.decoder")
+    torch.manual_seed(seed)
+    est_cfg = flow_lib.EstimatorConfig(
+        in_channels=4 * out_ch, out_channels=out_ch, channels=(width,),
+        n_blocks=1, num_mid_blocks=mid, num_heads=heads,
+        attention_head_dim=head_dim, causal=True, static_chunk_size=0,
+    )
+    tm = dec_mod.ConditionalDecoder(
+        in_channels=est_cfg.in_channels, out_channels=est_cfg.out_channels,
+        causal=True, channels=list(est_cfg.channels), dropout=0.0,
+        attention_head_dim=est_cfg.attention_head_dim,
+        n_blocks=est_cfg.n_blocks, num_mid_blocks=est_cfg.num_mid_blocks,
+        num_heads=est_cfg.num_heads, act_fn="gelu",
+    ).eval()
+    tm.static_chunk_size = 0
+    params = cosy_import.estimator_from_sd(_sd(tm), est_cfg)
+    return tm, est_cfg, params, flow_lib
+
+
+def test_ref_flow_estimator_matches():
+    tm, est_cfg, params, flow_lib = _small_estimator(10, out_ch=8)
+    torch.manual_seed(11)
+    B, C, T = 2, est_cfg.out_channels, 6
+    x = torch.randn(B, C, T)
+    mu = torch.randn(B, C, T)
+    spks = torch.randn(B, C)
+    cond = torch.randn(B, C, T)
+    mask = torch.ones(B, 1, T)
+    t = torch.tensor([0.3, 0.7])
+    with torch.no_grad():
+        ref = tm(x, mask, mu, t, spks, cond).numpy()
+    out = flow_lib.estimator_apply(
+        params, est_cfg, _j(x.transpose(1, 2)), jnp.ones((B, T)),
+        _j(mu.transpose(1, 2)), _j(t), _j(spks), _j(cond.transpose(1, 2)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), ref.transpose(0, 2, 1), atol=5e-4
+    )
+
+
+def test_ref_cfm_solve_euler_matches():
+    """Full euler CFG solve vs the reference ConditionalCFM.solve_euler
+    (the reference hard-codes 80 mel channels / 80-dim spks there)."""
+    from types import SimpleNamespace
+
+    tm, est_cfg, params, flow_lib = _small_estimator(
+        12, out_ch=80, width=16, mid=1
+    )
+    cfm_mod = reference_shims.import_ref("cosyvoice.flow.flow_matching")
+    cfm_params = SimpleNamespace(
+        t_scheduler="cosine", training_cfg_rate=0.2, inference_cfg_rate=0.7,
+        sigma_min=1e-6, solver="euler",
+    )
+    ref_cfm = cfm_mod.ConditionalCFM(
+        in_channels=240, cfm_params=cfm_params, estimator=tm
+    )
+    torch.manual_seed(13)
+    B, C, T, steps = 1, 80, 6, 3
+    z = torch.randn(B, C, T)
+    mu = torch.randn(B, C, T)
+    spks = torch.randn(B, C)
+    cond = torch.randn(B, C, T)
+    mask = torch.ones(B, 1, T)
+    t_span = torch.linspace(0, 1, steps + 1)
+    t_span = 1 - torch.cos(t_span * 0.5 * torch.pi)
+    with torch.no_grad():
+        ref = ref_cfm.solve_euler(z, t_span, mu, mask, spks, cond).numpy()
+
+    cfg = flow_lib.CFMConfig(inference_cfg_rate=0.7, t_scheduler="cosine")
+    out = flow_lib.cfm_solve(
+        params, est_cfg, cfg, _j(z.transpose(1, 2)), _j(mu.transpose(1, 2)),
+        jnp.ones((B, T)), _j(spks), _j(cond.transpose(1, 2)),
+        n_timesteps=steps,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), ref.transpose(0, 2, 1), atol=2e-3
+    )
