@@ -133,7 +133,9 @@ def acoustic_decoder(p: Params, cfg: HiggsConfig, z) -> jax.Array:
         for res, d in zip(blk["res"], (1, 3, 9)):
             x = _residual_unit(res, x, d)
     x = nn.snake(p["snake_out"], x)
-    return jnp.tanh(nn.conv1d(p["conv_out"], x, padding=3))[..., 0]
+    # no tanh: the reference's DAC decoder comments out its final Tanh
+    # (descriptaudiocodec/dac/model/dac.py:143) and higgs decode applies none
+    return nn.conv1d(p["conv_out"], x, padding=3)[..., 0]
 
 
 # ---------------------------------------------------------------------------

@@ -233,10 +233,46 @@ def install() -> None:
         if path not in sys.path:
             sys.path.insert(0, path)
     if "torchaudio" not in sys.modules:
+        import math
+
+        def _hz_to_mel(freq: float, mel_scale: str = "htk") -> float:
+            # torchaudio.functional.functional._hz_to_mel semantics
+            if mel_scale == "htk":
+                return 2595.0 * math.log10(1.0 + freq / 700.0)
+            f_min, f_sp = 0.0, 200.0 / 3
+            mels = (freq - f_min) / f_sp
+            min_log_hz = 1000.0
+            min_log_mel = (min_log_hz - f_min) / f_sp
+            logstep = math.log(6.4) / 27.0
+            if freq >= min_log_hz:
+                mels = min_log_mel + math.log(freq / min_log_hz) / logstep
+            return mels
+
+        def _mel_to_hz(mels, mel_scale: str = "htk"):
+            import torch
+
+            if mel_scale == "htk":
+                return 700.0 * (10.0 ** (mels / 2595.0) - 1.0)
+            f_min, f_sp = 0.0, 200.0 / 3
+            freqs = f_min + f_sp * mels
+            min_log_hz = 1000.0
+            min_log_mel = (min_log_hz - f_min) / f_sp
+            logstep = math.log(6.4) / 27.0
+            return torch.where(
+                mels >= min_log_mel,
+                min_log_hz * torch.exp(logstep * (mels - min_log_mel)),
+                freqs,
+            )
+
         _stub("torchaudio")
         _stub("torchaudio.compliance")
         _stub("torchaudio.compliance.kaldi")
         _stub("torchaudio.transforms")
+        _stub("torchaudio.functional")
+        _stub(
+            "torchaudio.functional.functional",
+            _hz_to_mel=_hz_to_mel, _mel_to_hz=_mel_to_hz,
+        )
     try:
         import omegaconf  # noqa: F401
     except ImportError:

@@ -32,7 +32,8 @@ def test_decode_rate(small):
     wav = higgs.decode(params, cfg, codes)
     assert wav.shape == (1, 5 * 8)
     assert np.isfinite(np.asarray(wav)).all()
-    assert float(jnp.abs(wav).max()) <= 1.0
+    # unbounded: the reference DAC decoder's final Tanh is commented out
+    # (verified by tests/test_reference_parity.py::test_ref_higgs_*)
 
 
 def test_rvq_roundtrip(small):

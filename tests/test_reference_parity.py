@@ -393,3 +393,201 @@ def test_ref_cfm_solve_euler_matches():
     np.testing.assert_allclose(
         np.asarray(out), ref.transpose(0, 2, 1), atol=2e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# XY_Tokenizer (semantic+acoustic dual encoder -> RVQ -> decoder -> Vocos)
+# ---------------------------------------------------------------------------
+
+
+def _small_xy():
+    from rwkvtts_tpu.codecs import xy_import, xy_tokenizer as xt
+
+    mods = reference_shims.import_ref("xy_tokenizer.nn.modules")
+    quant = reference_shims.import_ref("xy_tokenizer.nn.quantizer")
+    torch.manual_seed(14)
+    cfg = xt.XYTokenizerConfig(
+        n_mels=8, d_model=16, enc_layers=2, heads=2, ffn_dim=32,
+        adapter_layers=1, avg_pooler=4, nq=2, codebook_size=16,
+        codebook_dim=8, rvq_dim=8, quantizer_io_dim=64, dec_layers=2,
+        vocos_dim=16, vocos_intermediate_dim=32, vocos_layers=2,
+        vocos_n_fft=16, vocos_hop=4,
+    )
+    enc_kw = dict(
+        num_mel_bins=cfg.n_mels, d_model=cfg.d_model, encoder_layers=cfg.enc_layers,
+        encoder_attention_heads=cfg.heads, encoder_ffn_dim=cfg.ffn_dim,
+        max_audio_seconds=1, attn_type="varlen",
+    )
+    ad_kw = dict(
+        d_model=cfg.d_model, encoder_layers=cfg.adapter_layers,
+        encoder_attention_heads=cfg.heads, encoder_ffn_dim=cfg.ffn_dim,
+        max_source_positions=500, attn_type="varlen",
+    )
+
+    class Container(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.semantic_encoder = mods.OmniAudioEncoder(**enc_kw)
+            self.semantic_encoder_adapter = mods.Transformer(
+                input_dim=cfg.d_model, output_dim=cfg.d_model, **ad_kw
+            )
+            self.acoustic_encoder = mods.OmniAudioEncoder(**enc_kw)
+            self.pre_rvq_adapter = mods.Transformer(
+                input_dim=2 * cfg.d_model, output_dim=cfg.d_model, **ad_kw
+            )
+            self.downsample = mods.ResidualDownConv(
+                d_model=cfg.d_model, avg_pooler=cfg.avg_pooler
+            )
+            self.quantizer = quant.ResidualVQ(
+                input_dim=cfg.quantizer_io_dim, rvq_dim=cfg.rvq_dim,
+                output_dim=cfg.quantizer_io_dim, num_quantizers=cfg.nq,
+                codebook_size=cfg.codebook_size, codebook_dim=cfg.codebook_dim,
+                kmeans_init=False, quantizer_dropout=0.0,
+            )
+            self.post_rvq_adapter = mods.Transformer(
+                input_dim=cfg.quantizer_io_dim, output_dim=cfg.quantizer_io_dim,
+                **ad_kw
+            )
+            self.upsample = mods.UpConv(
+                d_model=cfg.d_model, stride=cfg.avg_pooler
+            )
+            self.acoustic_decoder = mods.OmniAudioDecoder(
+                num_mel_bins=cfg.n_mels, d_model=cfg.d_model,
+                decoder_layers=cfg.dec_layers,
+                decoder_attention_heads=cfg.heads,
+                decoder_ffn_dim=cfg.ffn_dim, max_audio_seconds=1,
+                attn_type="varlen",
+            )
+            self.enhanced_vocos = mods.Vocos(
+                input_channels=cfg.n_mels, dim=cfg.vocos_dim,
+                intermediate_dim=cfg.vocos_intermediate_dim,
+                num_layers=cfg.vocos_layers, n_fft=cfg.vocos_n_fft,
+                hop_size=cfg.vocos_hop, padding="same",
+            )
+
+    tm = Container().eval()
+    # randomize codebooks (kmeans_init=False leaves them ~N(0,1) already)
+    params = xy_import.xy_from_state_dict(_sd(tm), cfg)
+    return tm, cfg, params, xt
+
+
+def test_ref_xy_tokenizer_encode_decode_matches():
+    tm, cfg, params, xt = _small_xy()
+    torch.manual_seed(15)
+    B, T_mel = 2, 16
+    mel = torch.randn(B, cfg.n_mels, T_mel)
+    lens = torch.tensor([T_mel, T_mel])
+
+    with torch.no_grad():
+        sem, slen = tm.semantic_encoder(mel, lens)
+        sem, _ = tm.semantic_encoder_adapter(sem, slen)
+        aco, alen = tm.acoustic_encoder(mel, lens)
+        cat = torch.cat([sem, aco], dim=1)
+        pre, _ = tm.pre_rvq_adapter(cat, alen)
+        down, dlen = tm.downsample(pre, alen)
+        zq_ref, codes_ref, _, _, _ = tm.quantizer(down, dlen)
+        zq2 = tm.quantizer.decode_codes(codes_ref)
+        post, _ = tm.post_rvq_adapter(zq2, dlen)
+        up, ulen = tm.upsample(post, dlen)
+        dec, declen = tm.acoustic_decoder(up, ulen)
+        wav_ref, _ = tm.enhanced_vocos(dec, declen)
+
+    codes = xt.encode(params, cfg, _j(mel.transpose(1, 2)))
+    np.testing.assert_array_equal(np.asarray(codes), codes_ref.numpy())
+    wav = xt.decode(params, cfg, codes)
+    np.testing.assert_allclose(
+        np.asarray(wav), wav_ref.squeeze(1).numpy(), atol=1e-3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higgs (boson) tokenizer: DAC codec + semantic branch + EnCodec RVQ
+# ---------------------------------------------------------------------------
+
+
+def test_ref_higgs_encode_decode_matches():
+    import sys as _sys
+    import types as _types
+    from importlib.machinery import ModuleSpec as _Spec
+
+    # dac.py subclasses audiotools.ml.BaseModel at module scope
+    if "audiotools" not in _sys.modules:
+        at = _types.ModuleType("audiotools")
+        at.__spec__ = _Spec("audiotools", None)
+        at.AudioSignal = object
+        ml = _types.ModuleType("audiotools.ml")
+        ml.__spec__ = _Spec("audiotools.ml", None)
+        ml.BaseModel = type("BaseModel", (torch.nn.Module,), {})
+        at.ml = ml
+        _sys.modules["audiotools"] = at
+        _sys.modules["audiotools.ml"] = ml
+
+    from rwkvtts_tpu.codecs import higgs as higgs_lib
+    from rwkvtts_tpu.codecs import higgs_import
+
+    # dac.py does absolute `from dac.nn.layers import Snake1d` — the package
+    # root must be on sys.path
+    _sys.path.insert(
+        0,
+        reference_shims.REF_THIRD_PARTY
+        + "/boson_multimodal/audio_processing/descriptaudiocodec",
+    )
+    dac2 = reference_shims.import_ref(
+        "boson_multimodal.audio_processing.descriptaudiocodec.dac.model.dac"
+    )
+    sem_mod = reference_shims.import_ref(
+        "boson_multimodal.audio_processing.semantic_module"
+    )
+    vq_mod = reference_shims.import_ref(
+        "boson_multimodal.audio_processing.quantization.vq"
+    )
+    torch.manual_seed(16)
+    cfg = higgs_lib.HiggsConfig(
+        d_model=8, latent_dim=16, strides=(4, 5), semantic_dim=16,
+        nq=2, codebook_size=16, decoder_channels=32,
+    )
+
+    class Container(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = dac2.Encoder(cfg.d_model, list(cfg.strides), cfg.latent_dim)
+            self.decoder_2 = dac2.Decoder(
+                cfg.latent_dim, cfg.decoder_channels, list(cfg.strides)
+            )
+            self.encoder_semantic = sem_mod.Encoder(
+                input_channels=cfg.semantic_dim, encode_channels=cfg.semantic_dim
+            )
+            self.quantizer = vq_mod.ResidualVectorQuantizer(
+                dimension=cfg.quantizer_dim, n_q=cfg.nq, bins=cfg.codebook_size,
+                kmeans_init=False,
+            )
+            self.fc_prior = torch.nn.Linear(cfg.quantizer_dim, cfg.quantizer_dim)
+            self.fc_post1 = torch.nn.Linear(cfg.quantizer_dim, cfg.semantic_dim)
+            self.fc_post2 = torch.nn.Linear(cfg.quantizer_dim, cfg.latent_dim)
+
+    tm = Container().eval()
+    params = higgs_import.higgs_from_state_dict(_sd(tm), cfg)
+
+    torch.manual_seed(17)
+    B, T = 2, 40 * cfg.hop_length  # 40 frames
+    wav = torch.randn(B, 1, T) * 0.3
+    sem_feats = torch.randn(B, T // cfg.hop_length, cfg.semantic_dim)
+
+    with torch.no_grad():
+        # mirror HiggsAudioTokenizer.forward:209-224 (RVQ branch)
+        e_semantic = tm.encoder_semantic(sem_feats.transpose(1, 2))
+        e_acoustic = tm.encoder(wav)
+        e = torch.cat([e_acoustic, e_semantic], dim=1)
+        e = tm.fc_prior(e.transpose(1, 2)).transpose(1, 2)
+        codes_ref = tm.quantizer.encode(e, cfg.frame_rate)
+        # mirror HiggsAudioTokenizer.decode:296-307
+        quantized = tm.quantizer.decode(codes_ref)
+        z = tm.fc_post2(quantized.transpose(1, 2)).transpose(1, 2)
+        wav_ref = tm.decoder_2(z)
+
+    codes = higgs_lib.encode(params, cfg, _j(wav.squeeze(1)), _j(sem_feats))
+    np.testing.assert_array_equal(np.asarray(codes), codes_ref.numpy())
+    wav_out = higgs_lib.decode(params, cfg, codes)
+    np.testing.assert_allclose(
+        np.asarray(wav_out), wav_ref.squeeze(1).numpy(), atol=1e-4
+    )
