@@ -52,6 +52,10 @@ class CosyPipeline:
         hift_params=None,
         speech_tokenizer_fn: Optional[Callable] = None,  # wav -> token ids
         spk_embed_fn: Optional[Callable] = None,  # wav -> (192,) x-vector
+        s3_cfg=None,
+        s3_params=None,
+        campplus_cfg=None,
+        campplus_params=None,
         sample_rate: int = 24000,
     ):
         from rwkvtts_tpu.models import rwkv7
@@ -66,6 +70,29 @@ class CosyPipeline:
         self.speech_tokenizer_fn = speech_tokenizer_fn
         self.spk_embed_fn = spk_embed_fn
         self.sample_rate = sample_rate
+        # Native frontends (codecs/s3_tokenizer.py, codecs/campplus.py):
+        # replace the reference's ONNX black boxes so wav-prompt zero-shot
+        # runs with no injected callables (frontend.py:95-122 parity).
+        if speech_tokenizer_fn is None and s3_params is not None:
+            from rwkvtts_tpu.codecs import s3_tokenizer as s3
+
+            cfg = s3_cfg or s3.S3TokenizerConfig()
+
+            def _native_s3(wav: np.ndarray) -> np.ndarray:
+                toks = s3.tokenize(s3_params, cfg, jnp.asarray(wav)[None])
+                return np.asarray(toks)[0]
+
+            self.speech_tokenizer_fn = _native_s3
+        if spk_embed_fn is None and campplus_params is not None:
+            from rwkvtts_tpu.codecs import campplus as cp
+
+            ccfg = campplus_cfg or cp.CampplusConfig()
+
+            def _native_spk(wav: np.ndarray) -> np.ndarray:
+                emb = cp.embed_wav(campplus_params, ccfg, jnp.asarray(wav)[None])
+                return np.asarray(emb)[0]
+
+            self.spk_embed_fn = _native_spk
 
     # -- LM stage ---------------------------------------------------------
 
@@ -153,8 +180,10 @@ class CosyPipeline:
             )
         tokens = np.asarray(self.speech_tokenizer_fn(prompt_wav), np.int64)
         emb = np.asarray(self.spk_embed_fn(prompt_wav), np.float32)
+        n_mels = self.flow_cfg.output_size if self.flow_cfg is not None else 80
         mel = np.asarray(
-            dsp.log_mel_hifigan(jnp.asarray(prompt_wav[None]))[0], np.float32
+            dsp.log_mel_hifigan(jnp.asarray(prompt_wav[None]), n_mels=n_mels)[0],
+            np.float32,
         )
         # frontend enforces mel frames == 2 * token count (cli/frontend.py:170-174)
         mel = mel[: 2 * len(tokens)]
