@@ -398,14 +398,22 @@ def sfm_head_apply(p: Params, h, mel_channels: int):
     return x_h, t_h, log_sig
 
 
-def _positional_noise(key, shape):
+def _positional_noise(key, shape, idx=None):
     """Per-frame counter-based gaussian noise: z[:, t] depends only on
-    (key, t), so prefixes are STABLE as the sequence grows. This replaces
-    the reference's flow_cache (flow_matching.py:57-65, which caches z/mu
-    for the prompt+overlap region between streaming hops) — with stable
-    noise every hop re-derives exactly the same prefix, no cache needed."""
+    (key, idx[t]), so prefixes are STABLE as the sequence grows. This
+    replaces the reference's flow_cache (flow_matching.py:57-65, which
+    caches z/mu for the prompt+overlap region between streaming hops) —
+    with stable noise every hop re-derives exactly the same prefix, no
+    cache needed.
+
+    idx: optional (T,) int vector of ABSOLUTE frame indices (default
+    arange(T)); the windowed streaming path passes shifted indices so a
+    bounded token window reproduces the same noise the full sequence
+    would see at those absolute positions."""
     B, T, C = shape
-    keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(jnp.arange(T))
+    if idx is None:
+        idx = jnp.arange(T)
+    keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(idx)
     z = jax.vmap(lambda k: jax.random.normal(k, (B, C)))(keys)  # (T, B, C)
     return jnp.moveaxis(z, 0, 1)
 
@@ -474,6 +482,61 @@ def inference(
         n_timesteps=n_timesteps,
     )
     return feat[:, prompt_feat_len:]
+
+
+def inference_window(
+    p: Params,
+    cfg: FlowConfig,
+    key,
+    tokens,
+    token_mask,
+    prompt_feat,
+    prompt_len: int,
+    gen_start,
+    spk_embedding,
+    n_timesteps: Optional[int] = None,
+):
+    """Bounded-window streaming hop (incremental-state replacement for the
+    reference's full-prefix re-synthesis, cli/model.py:372-404).
+
+    tokens: (B, Wt) = [prompt tokens | generated-token window | right pad],
+    a FIXED-capacity buffer so every hop reuses one compiled program;
+    token_mask marks valid entries. prompt_len: static prompt token count.
+    gen_start: traced absolute index (into the generated-token stream) of
+    the first window token after the prompt — used to shift the positional
+    noise so window frames see the same noise the full sequence would at
+    those absolute positions. Returns mel for the WHOLE window
+    (B, Wt*ratio, 80); the caller slices out the newly generated frames.
+
+    Per-hop cost is O(prompt + window), constant in utterance length —
+    unlike the reference (and our `inference`-per-prefix path) whose hop
+    cost grows linearly with the prefix, i.e. quadratically overall."""
+    n_timesteps = n_timesteps or cfg.n_timesteps
+    ratio = cfg.token_mel_ratio
+    emb = spk_embedding * jax.lax.rsqrt(
+        jnp.sum(spk_embedding**2, -1, keepdims=True) + 1e-12
+    )
+    spks = nn.linear(p["spk_affine"], emb)
+
+    h = encode_tokens(p, cfg, tokens, token_mask)
+    mu = nn.linear(p["encoder_proj"], h)  # (B, Wt*ratio, 80)
+
+    mel_mask = jnp.repeat(token_mask, ratio, axis=1).astype(mu.dtype)
+    conds = jnp.zeros_like(mu)
+    conds = jax.lax.dynamic_update_slice(
+        conds, prompt_feat.astype(mu.dtype), (0, 0, 0)
+    )
+
+    pos = jnp.arange(mu.shape[1])
+    abs_idx = jnp.where(
+        pos < ratio * prompt_len, pos, pos + ratio * gen_start
+    )
+    z = _positional_noise(key, mu.shape, idx=abs_idx)
+    feat = cfm_solve(
+        p["estimator"], cfg.estimator, cfg.cfm, z, mu, mel_mask, spks, conds,
+        n_timesteps=n_timesteps,
+    )
+    return feat
 
 
 def sfm_inference(

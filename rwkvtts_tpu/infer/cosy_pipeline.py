@@ -276,24 +276,20 @@ class CosyPipeline:
         spk_embedding: Optional[np.ndarray] = None,
         hop_tokens: int = 25,
         seed: int = 0,
+        max_new_tokens: int = 2048,
         **gen_kw,
     ):
-        """Chunked token2wav generator (the reference's streaming hop loop,
-        cli/model.py:372-434): LM runs to completion, then mel+wav are
-        synthesized per token-hop with the HiFT source cache carrying over;
-        yields wav chunks."""
-        tokens = self.generate_speech_tokens(
-            text, prompt_text, prompt_speech_tokens, seed=seed, **gen_kw
+        """Incremental streaming generator: yields wav chunks while the LM
+        is still decoding. Unlike the reference's hop loop (which re-runs
+        the flow over the whole prefix each hop, cli/model.py:372-434),
+        every stage here is O(1) per hop — see infer/streaming.py."""
+        from rwkvtts_tpu.infer import streaming
+
+        scfg = streaming.StreamConfig(token_hop_len=hop_tokens)
+        yield from streaming.stream_synthesize(
+            self, text, prompt_text,
+            prompt_speech_tokens=prompt_speech_tokens,
+            prompt_mel=prompt_mel, spk_embedding=spk_embedding,
+            stream_cfg=scfg, seed=seed, max_new_tokens=max_new_tokens,
+            **gen_kw,
         )
-        cache_source = None
-        prev_samples = 0
-        for end in range(hop_tokens, len(tokens) + hop_tokens, hop_tokens):
-            chunk_tokens = tokens[: min(end, len(tokens))]
-            wav = self.token2wav(
-                chunk_tokens, prompt_speech_tokens, prompt_mel, spk_embedding,
-                seed=seed,
-            )
-            yield wav[prev_samples:]
-            prev_samples = len(wav)
-            if end >= len(tokens):
-                break

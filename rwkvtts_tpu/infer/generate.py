@@ -92,6 +92,102 @@ def spark_generate(
     return toks, lengths
 
 
+def _make_cosy_step(
+    params, cfg, *, min_new_tokens: int, top_k: int, top_p: float,
+    win_size: int, tau_r: float,
+):
+    """One Cosy decode step (RAS sampling + EOS bookkeeping), shared by the
+    fixed-length scan (`cosy_generate`) and the chunked streaming decoder
+    (`cosy_decode_chunk`). carry = (h, state, done, recent, n)."""
+    from rwkvtts_tpu.models import cosy
+
+    eos_id = cfg.eos_token_id
+    bb = cfg.backbone
+
+    def step(carry, step_key):
+        h, st, done, recent, n = carry
+        logits = (h @ params["head"].astype(bb.dtype)).astype(jnp.float32)
+        if "head_bias" in params:
+            logits = logits + params["head_bias"].astype(jnp.float32)
+        logits = jnp.where(
+            (n < min_new_tokens)[:, None]
+            & (jnp.arange(logits.shape[-1]) == eos_id)[None, :],
+            sampling.NEG_INF,
+            logits,
+        )
+        tok = sampling.ras_sample(
+            step_key, logits, recent,
+            top_p=top_p, top_k=top_k, win_size=win_size, tau_r=tau_r,
+        )
+        tok = jnp.where(done, eos_id, tok)
+        new_done = done | (tok == eos_id)
+        recent = jnp.concatenate([recent[:, 1:], tok[:, None]], axis=1)
+        x = cosy.decode_embed(params, cfg, tok)
+        h, st = rwkv7.decode_step(params, bb, x, st)
+        return (h, st, new_done, recent, n + 1), tok
+
+    return step
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "win_size"),
+)
+def cosy_prefill_carry(
+    params, cfg, tokens, modality, attention_mask, win_size: int = 10
+):
+    """Prefill and build the chunked-decode carry for `cosy_decode_chunk`."""
+    from rwkvtts_tpu.models import cosy
+
+    B = tokens.shape[0]
+    h_last, state = cosy.prefill(params, cfg, tokens, modality, attention_mask)
+    return (
+        h_last,
+        state,
+        jnp.zeros((B,), bool),
+        jnp.full((B, win_size), -1, jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "chunk_len", "min_new_tokens", "top_k", "top_p", "win_size",
+        "tau_r",
+    ),
+    donate_argnums=(2,),
+)
+def cosy_decode_chunk(
+    params,
+    cfg,
+    carry,
+    key: jax.Array,
+    *,
+    chunk_len: int = 32,
+    min_new_tokens: int = 0,
+    top_k: int = 25,
+    top_p: float = 0.8,
+    win_size: int = 10,
+    tau_r: float = 0.1,
+):
+    """Decode `chunk_len` Cosy tokens from a carried state.
+
+    The host loop calls this repeatedly, checks `done` between chunks, and
+    stops early once every sequence hit EOS — the TPU-idiomatic answer to
+    the reference's per-token Python loop with an early break
+    (cosy_llm.py:238-261): fixed-shape compiled chunks, host control only
+    at chunk granularity, so a 20×-content max length does not cost 20×
+    compute. Returns (carry, toks (B, chunk_len), done (B,))."""
+    step = _make_cosy_step(
+        params, cfg, min_new_tokens=min_new_tokens, top_k=top_k, top_p=top_p,
+        win_size=win_size, tau_r=tau_r,
+    )
+    keys = jax.random.split(key, chunk_len)
+    carry, toks = jax.lax.scan(step, carry, keys)
+    return carry, jnp.moveaxis(toks, 0, 1), carry[2]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -127,33 +223,13 @@ def cosy_generate(
     from rwkvtts_tpu.models import cosy
 
     eos_id = cfg.eos_token_id
-    bb = cfg.backbone
     B = tokens.shape[0]
     h_last, state = cosy.prefill(params, cfg, tokens, modality, attention_mask)
 
-    def step(carry, xs):
-        h, st, done, recent, n = carry
-        step_key = xs
-        logits = (h @ params["head"].astype(bb.dtype)).astype(jnp.float32)
-        if "head_bias" in params:
-            logits = logits + params["head_bias"].astype(jnp.float32)
-        logits = jnp.where(
-            (n < min_new_tokens)[:, None]
-            & (jnp.arange(logits.shape[-1]) == eos_id)[None, :],
-            sampling.NEG_INF,
-            logits,
-        )
-        tok = sampling.ras_sample(
-            step_key, logits, recent,
-            top_p=top_p, top_k=top_k, win_size=win_size, tau_r=tau_r,
-        )
-        tok = jnp.where(done, eos_id, tok)
-        new_done = done | (tok == eos_id)
-        recent = jnp.concatenate([recent[:, 1:], tok[:, None]], axis=1)
-        x = cosy.decode_embed(params, cfg, tok)
-        h, st = rwkv7.decode_step(params, bb, x, st)
-        return (h, st, new_done, recent, n + 1), tok
-
+    step = _make_cosy_step(
+        params, cfg, min_new_tokens=min_new_tokens, top_k=top_k, top_p=top_p,
+        win_size=win_size, tau_r=tau_r,
+    )
     keys = jax.random.split(key, max_new_tokens)
     recent0 = jnp.full((B, win_size), -1, jnp.int32)
     init = (

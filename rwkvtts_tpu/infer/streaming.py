@@ -1,0 +1,305 @@
+"""Incremental-state streaming CosyVoice synthesis.
+
+The reference streams by re-running the flow over the ENTIRE token prefix
+every hop and only caching vocoder state (third_party/cosyvoice/cli/
+model.py:372-434: token2wav(token[:offset+hop+lookahead]) + hift mel/source
+caches + Hamming fade) — per-hop cost grows linearly with the prefix, so a
+long utterance costs O(n²) flow work.
+
+This module keeps the same audible contract (hop/lookahead windows, 8-frame
+mel overlap, source-cache continuation, Hamming crossfade) but makes every
+stage O(1) per hop:
+
+  * LM: chunked early-exit decode with a carried RWKV state
+    (`generate.cosy_decode_chunk`) — tokens stream out while the flow
+    consumes them, and decoding stops at EOS instead of running to the
+    reference's 20×-content max length.
+  * Flow: a FIXED-capacity token window [prompt | last ctx tokens | hop +
+    lookahead] through one compiled program (`flow.inference_window`);
+    absolute-position counter-based noise keeps window frames identical to
+    what the full sequence would produce at those positions, replacing the
+    reference's flow_cache (flow_matching.py:57-65).
+  * Vocoder: HiFT mel cache (8 frames) + source cache (8*480 samples) +
+    Hamming-window crossfade, exactly the reference's hift_cache_dict
+    scheme (cli/model.py:355-358, 374-395).
+
+All shapes are static: the whole stream compiles 2-3 programs total
+regardless of utterance length.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Generator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rwkvtts_tpu.codecs import flow as flow_lib
+from rwkvtts_tpu.codecs import hift as hift_lib
+from rwkvtts_tpu.data import cosy_collator
+from rwkvtts_tpu.infer import generate as gen
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamConfig:
+    # token_hop_len = 2 * input_frame_rate (cli/model.py:350); 25 Hz S3-v2
+    # tokens -> 50-token hops = 2 s of audio per chunk.
+    token_hop_len: int = 50
+    # generated-token context kept in the flow window in addition to the
+    # prompt; bounds how much left context conditions each new hop.
+    ctx_tokens: int = 100
+    mel_cache_len: int = 8  # cli/model.py:355
+    n_timesteps: int = 10
+    lm_chunk: int = 50  # LM decode steps between host-side EOS checks
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fcfg", "prompt_len", "slice_len", "n_timesteps")
+)
+def _flow_hop(
+    fparams,
+    fcfg,
+    key,
+    tokens_win,
+    token_mask,
+    prompt_feat,
+    prompt_len: int,
+    gen_start,
+    new_off,
+    slice_len: int,
+    spk,
+    n_timesteps: int,
+):
+    """One windowed flow hop; returns (1, slice_len*ratio, 80) new mel.
+
+    new_off: window-local index (in tokens) of the first NEW token; the
+    fixed-size slice may over-read into padding — the host trims."""
+    mel = flow_lib.inference_window(
+        fparams, fcfg, key, tokens_win, token_mask, prompt_feat,
+        prompt_len, gen_start, spk, n_timesteps=n_timesteps,
+    )
+    r = fcfg.token_mel_ratio
+    start = r * (prompt_len + new_off)
+    return jax.lax.dynamic_slice(
+        mel, (0, start, 0), (1, r * slice_len, mel.shape[2])
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("hcfg",))
+def _hift_hop(hparams, hcfg, key, mel, cache_source):
+    return hift_lib.inference(hparams, hcfg, key, mel, cache_source)
+
+
+class CosyStreamSession:
+    """One streaming utterance: feed text, iterate wav chunks.
+
+    Parity: CosyVoice2Model.tts(stream=True) (cli/model.py:406-446) minus
+    the thread pair — on TPU the LM chunk and the flow hop are two compiled
+    programs dispatched back-to-back from one host loop; async dispatch
+    already overlaps them."""
+
+    def __init__(
+        self,
+        pipeline,  # infer.cosy_pipeline.CosyPipeline
+        stream_cfg: StreamConfig = StreamConfig(),
+        prompt_speech_tokens: Sequence[int] = (),
+        prompt_mel: Optional[np.ndarray] = None,
+        spk_embedding: Optional[np.ndarray] = None,
+        seed: int = 0,
+    ):
+        self.pipe = pipeline
+        self.scfg = stream_cfg
+        self.fcfg = pipeline.flow_cfg
+        self.hcfg = pipeline.hift_cfg
+        self.seed = seed
+        self.prompt_tokens = np.asarray(prompt_speech_tokens, np.int64)
+        if spk_embedding is None:
+            spk_embedding = np.zeros((self.fcfg.spk_embed_dim,), np.float32)
+        self.spk = jnp.asarray(spk_embedding[None])
+        P = len(self.prompt_tokens)
+        if prompt_mel is None:
+            prompt_mel = np.zeros(
+                (self.fcfg.token_mel_ratio * P, self.fcfg.output_size),
+                np.float32,
+            )
+        self.prompt_mel = jnp.asarray(prompt_mel[None])
+        self.P = P
+        la = self.fcfg.pre_lookahead_len
+        self.la = la
+        self.gen_cap = stream_cfg.ctx_tokens + stream_cfg.token_hop_len + la
+        self.cap = P + self.gen_cap
+        # vocoder caches (reference hift_cache_dict, cli/model.py:374-395)
+        up = self.hcfg.total_upsample
+        self.scl = stream_cfg.mel_cache_len * up
+        self.window = np.hamming(2 * self.scl)
+        self.mel_cache: Optional[np.ndarray] = None  # (1, 8, 80)
+        self.source_cache: Optional[np.ndarray] = None  # (1, scl)
+        self.speech_cache: Optional[np.ndarray] = None  # (1, scl)
+        self.token_offset = 0
+        self.hop_idx = 0
+
+    # -- flow stage -------------------------------------------------------
+
+    def _window_mel(self, tokens: np.ndarray, off: int, n_new: int) -> np.ndarray:
+        """Mel for tokens[off : off+n_new] conditioned on the bounded window."""
+        scfg, fcfg = self.scfg, self.fcfg
+        end = min(off + scfg.token_hop_len + self.la, len(tokens))
+        w0 = max(0, off - scfg.ctx_tokens)
+        gen_win = tokens[w0:end]
+        n_valid = self.P + len(gen_win)
+        buf = np.zeros((1, self.cap), np.int64)
+        buf[0, : self.P] = self.prompt_tokens
+        buf[0, self.P : n_valid] = gen_win
+        mask = (np.arange(self.cap) < n_valid).astype(np.float32)[None]
+        slice_len = scfg.token_hop_len + self.la
+        mel = _flow_hop(
+            self.pipe.flow_params, fcfg,
+            jax.random.PRNGKey(self.seed),
+            jnp.asarray(buf), jnp.asarray(mask), self.prompt_mel,
+            self.P, jnp.int32(w0), jnp.int32(off - w0), slice_len,
+            self.spk, scfg.n_timesteps,
+        )
+        return np.asarray(mel)[:, : fcfg.token_mel_ratio * n_new]
+
+    # -- vocoder stage ----------------------------------------------------
+
+    def _vocode(self, new_mel: np.ndarray, finalize: bool) -> np.ndarray:
+        """HiFT with mel/source caches + Hamming crossfade
+        (cli/model.py:372-404)."""
+        hop_frames = self.fcfg.token_mel_ratio * self.scfg.token_hop_len
+        n_real = new_mel.shape[1]
+        if finalize and n_real < hop_frames:
+            # edge-pad the final partial chunk to the fixed hop shape (one
+            # compiled HiFT program regardless of remainder length); the
+            # padded tail is trimmed from the emitted wav below. n_real == 0
+            # (utterance length an exact hop multiple) still flushes the
+            # held-back crossfade tail, like the reference's final
+            # token2wav with empty remain tokens (cli/model.py:437-446).
+            edge = (
+                new_mel[:, -1:]
+                if n_real > 0
+                else np.asarray(self.mel_cache[:, -1:])
+            )
+            new_mel = np.concatenate(
+                [new_mel, np.repeat(edge, hop_frames - n_real, 1)], 1
+            )
+        if self.mel_cache is not None:
+            mel_in = np.concatenate([self.mel_cache, new_mel], axis=1)
+        else:
+            mel_in = new_mel
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed + 1), self.hop_idx
+        )
+        cache_src = (
+            jnp.asarray(self.source_cache)
+            if self.source_cache is not None
+            else jnp.zeros((1, 0))
+        )
+        wav, source = _hift_hop(
+            self.pipe.hift_params, self.hcfg, key, jnp.asarray(mel_in), cache_src
+        )
+        wav = np.array(wav)  # copy: np.asarray(jax) is read-only
+        source = np.array(source)
+        if self.speech_cache is not None:
+            scl = self.scl
+            wav[:, :scl] = (
+                wav[:, :scl] * self.window[:scl]
+                + self.speech_cache * self.window[scl:]
+            )
+        up = self.hcfg.total_upsample
+        if finalize:
+            out = wav[0, : (mel_in.shape[1] - (new_mel.shape[1] - n_real)) * up]
+        else:
+            out = wav[0, : -self.scl]
+            self.mel_cache = mel_in[:, -self.scfg.mel_cache_len :]
+            self.source_cache = source[:, -self.scl :]
+            self.speech_cache = wav[:, -self.scl :]
+        self.hop_idx += 1
+        return out
+
+    # -- hop driver -------------------------------------------------------
+
+    def emit_ready(self, tokens: np.ndarray, lm_done: bool):
+        """Yield wav chunks for every complete hop available in `tokens`."""
+        hop = self.scfg.token_hop_len
+        while len(tokens) - self.token_offset >= hop + self.la:
+            mel = self._window_mel(tokens, self.token_offset, hop)
+            self.token_offset += hop
+            yield self._vocode(mel, finalize=False)
+        if lm_done:
+            n_rem = len(tokens) - self.token_offset
+            if n_rem > 0:
+                mel = self._window_mel(tokens, self.token_offset, n_rem)
+            else:
+                if self.mel_cache is None:
+                    return  # nothing was ever synthesized
+                mel = np.zeros((1, 0, self.fcfg.output_size), np.float32)
+            self.token_offset = len(tokens)
+            yield self._vocode(mel, finalize=True)
+
+
+def stream_synthesize(
+    pipeline,
+    text: str,
+    prompt_text: str = "",
+    prompt_wav: Optional[np.ndarray] = None,
+    prompt_speech_tokens: Sequence[int] = (),
+    prompt_mel: Optional[np.ndarray] = None,
+    spk_embedding: Optional[np.ndarray] = None,
+    stream_cfg: StreamConfig = StreamConfig(),
+    seed: int = 0,
+    max_new_tokens: int = 2048,
+    top_p: float = 0.8,
+    top_k: int = 25,
+) -> Generator[np.ndarray, None, None]:
+    """Streaming zero-shot TTS: yields wav chunks as the LM decodes.
+
+    First audio is emitted after ~(hop + lookahead) tokens instead of after
+    the full utterance; LM work stops at EOS (chunked early exit)."""
+    if prompt_wav is not None:
+        prompt_speech_tokens, prompt_mel, spk_embedding = (
+            pipeline.frontend_zero_shot(prompt_wav)
+        )
+    sess = CosyStreamSession(
+        pipeline, stream_cfg, prompt_speech_tokens, prompt_mel, spk_embedding,
+        seed=seed,
+    )
+
+    text_ids = pipeline.tok.encode(prompt_text) + pipeline.tok.encode(text)
+    sample = cosy_collator.build_prompt(text_ids, list(prompt_speech_tokens))
+    from rwkvtts_tpu.data.spark_collator import pad_prompts_left
+
+    batch = pad_prompts_left([sample])
+    content_len = cosy_collator.content_length(text_ids)
+    min_len = int(content_len * 2)
+    max_len = min(int(content_len * 20), max_new_tokens)
+
+    carry = gen.cosy_prefill_carry(
+        pipeline.lm_params, pipeline.lm_cfg,
+        jnp.asarray(batch["tokens"]), jnp.asarray(batch["modality"]),
+        jnp.asarray(batch["attention_mask"]),
+    )
+    key = jax.random.PRNGKey(seed)
+    eos = pipeline.lm_cfg.eos_token_id
+    tokens = np.zeros((0,), np.int64)
+    n_decoded = 0
+    lm_done = False
+    while not lm_done:
+        key, sub = jax.random.split(key)
+        carry, toks, done = gen.cosy_decode_chunk(
+            pipeline.lm_params, pipeline.lm_cfg, carry, sub,
+            chunk_len=stream_cfg.lm_chunk, min_new_tokens=min_len,
+            top_k=top_k, top_p=top_p,
+        )
+        chunk = np.asarray(toks)[0]
+        n_decoded += len(chunk)
+        if bool(np.asarray(done)[0]):
+            eos_pos = np.argmax(chunk == eos)
+            chunk = chunk[:eos_pos] if np.any(chunk == eos) else chunk
+            lm_done = True
+        elif n_decoded >= max_len:
+            lm_done = True
+        tokens = np.concatenate([tokens, chunk.astype(np.int64)])
+        yield from sess.emit_ready(tokens, lm_done)
