@@ -2,10 +2,16 @@
 gated FastAPI app factory for environments that have it.
 
 Endpoint parity (/root/reference/service/rwkv_tts_service.py:67-178):
-  POST /api/rwkv_tts           {text, speaker? | audio(b64 wav)+prompt_text?}
+  POST /api/rwkv_tts           {text, speaker? | audio(b64 wav)+prompt_text?
+                                | global_tokens:[int]*32}
   POST /api/rwkv_tts_instruct  {text, properties{age,gender,emotion,pitch,speed}}
   GET  /api/speakers           -> {"speakers": [...]}
-Responses: audio/wav bytes (or JSON error).
+Voice-design parity (the reference's 1202-LoC desktop GUI,
+gradio/tts_gui_simple.py, and test_respark/tts_using_webrwkv_osx.py):
+  GET  /api/properties         -> SPCT dropdown vocabularies
+  POST /api/voice_design       {properties, name?, seed?} -> {global_tokens}
+  GET  /                       -> the voice-design studio web page
+Responses: audio/wav bytes (or JSON error / JSON tokens).
 """
 from __future__ import annotations
 
@@ -21,49 +27,129 @@ from rwkvtts_tpu.serving import service as svc
 
 log = logging.getLogger("rwkvtts_tpu.serving")
 
-# Built-in web demo (the reference's gradio/tts_demo_page.py equivalent —
-# a thin page over the HTTP API; no gradio dependency).
+# Built-in voice-design studio (web equivalent of the reference's desktop
+# GUI, gradio/tts_gui_simple.py: SPCT property controls -> design a voice ->
+# save as a named speaker -> synthesize; plus zero-shot prompt upload and
+# the thin demo flow of gradio/tts_demo_page.py; no gradio dependency).
 DEMO_PAGE = """<!doctype html>
-<html><head><meta charset="utf-8"><title>RWKV TTS (TPU)</title>
+<html><head><meta charset="utf-8"><title>RWKV TTS Studio (TPU)</title>
 <style>
-body{font-family:system-ui;max-width:720px;margin:40px auto;padding:0 16px}
-textarea{width:100%;height:90px;font-size:15px}
-select,button{font-size:15px;padding:6px 14px;margin:8px 4px 8px 0}
-fieldset{border:1px solid #ccc;margin:12px 0}
+body{font-family:system-ui;max-width:880px;margin:32px auto;padding:0 16px;color:#222}
+textarea{width:100%;height:90px;font-size:15px;box-sizing:border-box}
+select,button,input[type=text],input[type=number]{font-size:14px;padding:5px 10px;margin:4px 4px 4px 0}
+fieldset{border:1px solid #ccc;border-radius:6px;margin:12px 0;padding:10px}
+legend{font-weight:600}
+button.primary{background:#2563eb;color:#fff;border:none;border-radius:5px;padding:8px 18px;cursor:pointer}
+button.primary:disabled{background:#9ca3af}
 #status{color:#666;margin-left:8px}
+#tokens{font-family:ui-monospace,monospace;font-size:12px;color:#444;word-break:break-all;background:#f5f5f5;padding:6px;border-radius:4px;min-height:1em}
+#langinfo{color:#888;font-size:13px}
+#history div{margin:6px 0}
+.row{display:flex;gap:16px;flex-wrap:wrap}
+.col{flex:1;min-width:320px}
 </style></head><body>
-<h2>RWKV TTS — TPU service demo</h2>
+<h2>RWKV TTS Studio — TPU service</h2>
 <textarea id="text" placeholder="Text to speak…">今天天气不错。</textarea>
+<div id="langinfo"></div>
+<div class="row"><div class="col">
 <fieldset><legend>Voice</legend>
-<label>Speaker <select id="speaker"><option value="">(properties)</option></select></label>
-<label>Gender <select id="gender"><option>female</option><option>male</option></select></label>
-<label>Pitch <select id="pitch"><option>medium_pitch</option><option>low_pitch</option><option>high_pitch</option><option>very_high_pitch</option></select></label>
-<label>Speed <select id="speed"><option>medium</option><option>slow</option><option>fast</option><option>very_fast</option><option>very_slow</option></select></label>
+<label>Speaker <select id="speaker"><option value="">(use properties / designed voice)</option></select></label>
+<div id="propctl"></div>
 </fieldset>
-<button onclick="speak()">Speak</button><span id="status"></span>
-<div><audio id="player" controls style="width:100%;margin-top:12px"></audio></div>
+<fieldset><legend>Voice designer</legend>
+<p style="margin:4px 0;color:#666">Design 32 global speaker tokens from the
+properties above, audition, then save under a name.</p>
+<button onclick="design()">Design voice</button>
+<input type="text" id="voicename" placeholder="speaker name">
+<button onclick="saveVoice()">Save as speaker</button>
+<div id="tokens"></div>
+</fieldset>
+<fieldset><legend>Zero-shot prompt</legend>
+<input type="file" id="promptwav" accept=".wav">
+<input type="text" id="prompttext" placeholder="prompt transcript (optional)">
+</fieldset>
+</div><div class="col">
+<fieldset><legend>Generation</legend>
+<label>temperature <input type="number" id="temperature" value="1.0" step="0.05" style="width:70px"></label>
+<label>top_k <input type="number" id="top_k" value="50" style="width:60px"></label>
+<label>top_p <input type="number" id="top_p" value="0.95" step="0.01" style="width:70px"></label>
+<label>seed <input type="number" id="seed" value="0" style="width:70px"></label>
+</fieldset>
+<button class="primary" id="speakbtn" onclick="speak()">Speak</button><span id="status"></span>
+<audio id="player" controls style="width:100%;margin-top:12px"></audio>
+<fieldset><legend>History</legend><div id="history"></div></fieldset>
+</div></div>
 <script>
+let designedTokens=null;
+const $=id=>document.getElementById(id);
 fetch('/api/speakers').then(r=>r.json()).then(d=>{
-  const s=document.getElementById('speaker');
-  for(const name of d.speakers){const o=document.createElement('option');o.value=name;o.textContent=name;s.appendChild(o);}
+  for(const name of d.speakers){const o=document.createElement('option');o.value=name;o.textContent=name;$('speaker').appendChild(o);}
 });
-async function speak(){
-  const status=document.getElementById('status');status.textContent='synthesizing…';
-  const speaker=document.getElementById('speaker').value;
-  const text=document.getElementById('text').value;
-  let url='/api/rwkv_tts', body={text};
-  if(speaker){body.speaker=speaker;}
-  else{url='/api/rwkv_tts_instruct';body.properties={
-    gender:document.getElementById('gender').value,
-    pitch:document.getElementById('pitch').value,
-    speed:document.getElementById('speed').value};}
-  const r=await fetch(url,{method:'POST',headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
-  if(!r.ok){status.textContent='error: '+(await r.text());return;}
-  const blob=await r.blob();
-  document.getElementById('player').src=URL.createObjectURL(blob);
-  document.getElementById('player').play();
-  status.textContent='done';
+fetch('/api/properties').then(r=>r.json()).then(d=>{
+  const ctl=$('propctl');
+  for(const k of ['age','gender','emotion','pitch','speed']){
+    const lab=document.createElement('label');lab.textContent=k+' ';
+    const sel=document.createElement('select');sel.id='prop_'+k;
+    for(const v of d[k]){const o=document.createElement('option');o.value=v;o.textContent=v;sel.appendChild(o);}
+    const def={age:'youth-adult',gender:'female',emotion:'NEUTRAL',pitch:'medium_pitch',speed:'medium'}[k];
+    if(def)sel.value=def;
+    lab.appendChild(sel);ctl.appendChild(lab);
+  }
+});
+$('text').addEventListener('input',()=>{
+  const t=$('text').value;
+  const zh=(t.match(/[\\u4e00-\\u9fff]/g)||[]).length;
+  const lang=zh>t.length/4?'zh':'en';
+  $('langinfo').textContent='detected language: '+lang+' · '+t.length+' chars';
+});
+function props(){return{age:$('prop_age').value,gender:$('prop_gender').value,
+  emotion:$('prop_emotion').value,pitch:$('prop_pitch').value,speed:$('prop_speed').value};}
+async function design(){
+  $('status').textContent='designing voice…';
+  const r=await fetch('/api/voice_design',{method:'POST',headers:{'Content-Type':'application/json'},
+    body:JSON.stringify({properties:props(),seed:+$('seed').value})});
+  if(!r.ok){$('status').textContent='error: '+(await r.text());return;}
+  const d=await r.json();designedTokens=d.global_tokens;
+  $('tokens').textContent=designedTokens.join(' ');
+  $('status').textContent='voice designed ('+designedTokens.length+' tokens)';
 }
+async function saveVoice(){
+  const name=$('voicename').value.trim();
+  if(!name||!designedTokens){$('status').textContent='design a voice and enter a name first';return;}
+  const r=await fetch('/api/voice_design',{method:'POST',headers:{'Content-Type':'application/json'},
+    body:JSON.stringify({properties:props(),name:name,global_tokens:designedTokens})});
+  if(!r.ok){$('status').textContent='error: '+(await r.text());return;}
+  const o=document.createElement('option');o.value=name;o.textContent=name;$('speaker').appendChild(o);
+  $('speaker').value=name;$('status').textContent='saved speaker "'+name+'"';
+}
+async function speak(){
+  $('speakbtn').disabled=true;$('status').textContent='synthesizing…';
+  const t0=performance.now();
+  const text=$('text').value;
+  const gen={seed:+$('seed').value,temperature:+$('temperature').value,
+    top_k:+$('top_k').value,top_p:+$('top_p').value};
+  let url='/api/rwkv_tts', body={text,...gen};
+  const speaker=$('speaker').value, f=$('promptwav').files[0];
+  if(speaker){body.speaker=speaker;}
+  else if(f){body.audio=await fileB64(f);body.prompt_text=$('prompttext').value;}
+  else if(designedTokens){body.global_tokens=designedTokens;}
+  else{url='/api/rwkv_tts_instruct';body.properties=props();}
+  try{
+    const r=await fetch(url,{method:'POST',headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
+    if(!r.ok){$('status').textContent='error: '+(await r.text());return;}
+    const blob=await r.blob();
+    const src=URL.createObjectURL(blob);
+    $('player').src=src;$('player').play();
+    const dt=((performance.now()-t0)/1000).toFixed(2);
+    $('status').textContent='done in '+dt+'s';
+    const h=document.createElement('div');
+    const a=document.createElement('a');a.href=src;a.download='tts.wav';a.textContent='⬇';
+    h.appendChild(document.createTextNode((speaker||'designed')+': '+text.slice(0,48)+' ('+dt+'s) '));
+    h.appendChild(a);$('history').prepend(h);
+  } finally {$('speakbtn').disabled=false;}
+}
+function fileB64(f){return new Promise((res,rej)=>{const rd=new FileReader();
+  rd.onload=()=>res(rd.result.split(',')[1]);rd.onerror=rej;rd.readAsDataURL(f);});}
 </script></body></html>
 """
 
@@ -91,7 +177,17 @@ def _make_handler(tts: svc.BatchedTTSService):
 
         def do_GET(self):
             if self.path == "/api/speakers":
-                self._json(200, {"speakers": tts.speakers.speakers()})
+                self._json(
+                    200,
+                    {
+                        "speakers": sorted(
+                            set(tts.speakers.speakers())
+                            | set(tts.speakers._cache)
+                        )
+                    },
+                )
+            elif self.path == "/api/properties":
+                self._json(200, svc.properties_options())
             elif self.path == "/health":
                 self._json(200, {"status": "ok"})
             elif self.path in ("/", "/demo"):
@@ -110,21 +206,52 @@ def _make_handler(tts: svc.BatchedTTSService):
                 payload = json.loads(self.rfile.read(n) or b"{}")
             except json.JSONDecodeError:
                 return self._json(400, {"error": "bad json"})
+            if self.path == "/api/voice_design":
+                properties = payload.get("properties")
+                if not isinstance(properties, dict):
+                    return self._json(400, {"error": "missing properties"})
+                name = payload.get("name")
+                try:
+                    if name and payload.get("global_tokens"):
+                        # save a previously designed voice verbatim
+                        tokens = [int(t) for t in payload["global_tokens"]]
+                        tts.speakers.register(name, tokens)
+                    else:
+                        tokens = tts.design_voice(
+                            properties, name=name,
+                            seed=int(payload.get("seed", 0)),
+                        )
+                except Exception as e:  # noqa: BLE001 — service must answer
+                    return self._json(500, {"error": str(e)})
+                return self._json(
+                    200, {"global_tokens": tokens, "name": name}
+                )
             if self.path not in ("/api/rwkv_tts", "/api/rwkv_tts_instruct"):
                 return self._json(404, {"error": "not found"})
             text = payload.get("text")
             if not text:
                 return self._json(400, {"error": "missing text"})
-            req = svc.TTSRequest(text=text, seed=int(payload.get("seed", 0)))
+            req = svc.TTSRequest(
+                text=text,
+                seed=int(payload.get("seed", 0)),
+                temperature=float(payload.get("temperature", 1.0)),
+                top_k=int(payload.get("top_k", 50)),
+                top_p=float(payload.get("top_p", 0.95)),
+            )
             if self.path == "/api/rwkv_tts_instruct":
                 req.properties = payload.get("properties", {})
             elif payload.get("speaker"):
                 req.speaker = payload["speaker"]
+            elif payload.get("global_tokens"):
+                req.global_tokens = [int(t) for t in payload["global_tokens"]]
             elif payload.get("audio"):
                 req.prompt_wav = svc.decode_audio_b64(payload["audio"])
                 req.prompt_text = payload.get("prompt_text")
             else:
-                return self._json(400, {"error": "need speaker, audio, or properties"})
+                return self._json(
+                    400,
+                    {"error": "need speaker, audio, global_tokens, or properties"},
+                )
             resp = tts.synthesize(req)
             if resp.error:
                 return self._json(500, {"error": resp.error})
@@ -156,13 +283,34 @@ def make_fastapi_app(tts: svc.BatchedTTSService):
 
     @app.get("/api/speakers")
     def speakers():
-        return {"speakers": tts.speakers.speakers()}
+        return {
+            "speakers": sorted(
+                set(tts.speakers.speakers()) | set(tts.speakers._cache)
+            )
+        }
+
+    @app.get("/api/properties")
+    def properties():
+        return svc.properties_options()
+
+    @app.post("/api/voice_design")
+    def voice_design(payload: Dict[str, Any]):
+        try:
+            tokens = tts.design_voice(
+                payload["properties"], name=payload.get("name"),
+                seed=int(payload.get("seed", 0)),
+            )
+        except Exception as e:  # noqa: BLE001
+            raise HTTPException(500, str(e))
+        return {"global_tokens": tokens, "name": payload.get("name")}
 
     @app.post("/api/rwkv_tts")
     def rwkv_tts(payload: Dict[str, Any]):
         req = svc.TTSRequest(text=payload["text"], seed=int(payload.get("seed", 0)))
         if payload.get("speaker"):
             req.speaker = payload["speaker"]
+        elif payload.get("global_tokens"):
+            req.global_tokens = [int(t) for t in payload["global_tokens"]]
         elif payload.get("audio"):
             req.prompt_wav = svc.decode_audio_b64(payload["audio"])
             req.prompt_text = payload.get("prompt_text")

@@ -19,13 +19,9 @@ import time
 from typing import Any, Dict, Optional
 
 def _choices():
-    return {
-        "age": ["child", "teenager", "youth-adult", "middle-aged", "elderly"],
-        "gender": ["female", "male"],
-        "emotion": ["NEUTRAL", "HAPPY", "SAD", "ANGRY", "SURPRISED"],
-        "pitch": ["low_pitch", "medium_pitch", "high_pitch", "very_high_pitch"],
-        "speed": ["very_slow", "slow", "medium", "fast", "very_fast"],
-    }
+    from rwkvtts_tpu.serving.service import properties_options
+
+    return properties_options()
 
 
 def _ask(prompt: str, options) -> str:

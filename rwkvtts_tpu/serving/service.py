@@ -34,7 +34,11 @@ class TTSRequest:
     prompt_text: Optional[str] = None
     prompt_wav: Optional[np.ndarray] = None
     properties: Optional[Dict[str, Any]] = None
+    global_tokens: Optional[List[int]] = None  # a designed voice, unsaved
     seed: int = 0
+    temperature: float = 1.0
+    top_k: int = 50
+    top_p: float = 0.95
 
 
 @dataclasses.dataclass
@@ -132,9 +136,26 @@ class BatchedTTSService:
     def _voice_key(self, req: TTSRequest):
         if req.speaker:
             return ("spk", req.speaker)
+        if req.global_tokens:
+            return ("glob", tuple(req.global_tokens))
         if req.properties:
             return ("props", tuple(sorted(req.properties.items())))
         return ("unique", id(req))
+
+    def design_voice(
+        self,
+        properties: Dict[str, Any],
+        name: Optional[str] = None,
+        seed: int = 0,
+    ) -> List[int]:
+        """Voice designer (the reference desktop GUI's core flow,
+        gradio/tts_gui_simple.py:289-370 / tts_using_webrwkv_osx.py):
+        SPCT properties -> 32 global speaker tokens; optionally save them
+        as a named speaker in the library for reuse."""
+        tokens = self.pipeline.design_voice(properties, seed=seed)
+        if name:
+            self.speakers.register(name, tokens)
+        return tokens
 
     def _run(self):
         while not self._stop.is_set():
@@ -160,11 +181,19 @@ class BatchedTTSService:
     def _process(self, batch):
         reqs = [b[0] for b in batch]
         try:
-            kw: Dict[str, Any] = {"max_new_tokens": self.max_new_tokens, "seed": reqs[0].seed}
             r0 = reqs[0]
+            kw: Dict[str, Any] = {
+                "max_new_tokens": self.max_new_tokens,
+                "seed": r0.seed,
+                "temperature": r0.temperature,
+                "top_k": r0.top_k,
+                "top_p": r0.top_p,
+            }
             if r0.speaker:
                 entry = self.speakers.get(r0.speaker)
                 kw["global_tokens"] = entry["global_tokens"]
+            elif r0.global_tokens:
+                kw["global_tokens"] = list(r0.global_tokens)
             elif r0.prompt_wav is not None:
                 kw["prompt_wav"] = r0.prompt_wav
                 kw["prompt_text"] = r0.prompt_text
@@ -181,6 +210,21 @@ class BatchedTTSService:
             for req, done, box in batch:
                 box["resp"] = TTSResponse(np.zeros(0, np.float32), 16000, error=str(e))
                 done.set()
+
+
+def properties_options() -> Dict[str, List[str]]:
+    """Dropdown vocabularies for the voice-design UI — exactly the SPCT
+    property sets the checkpoints were trained with (data/properties.py;
+    reference utils/properties_util.py:1-64)."""
+    from rwkvtts_tpu.data import properties as props
+
+    return {
+        "age": list(props.AGE_TOKENS),
+        "gender": list(props.GENDER_TOKENS),
+        "emotion": list(props.EMOTION_TOKENS),
+        "pitch": list(props.PITCH_TOKENS),
+        "speed": list(props.SPEED_TOKENS),
+    }
 
 
 def decode_audio_b64(b64: str, sample_rate: int = 16000) -> np.ndarray:

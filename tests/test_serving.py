@@ -24,12 +24,17 @@ class FakePipeline:
 
     def __init__(self):
         self.calls = []
+        self.design_calls = []
 
     def synthesize(self, texts, **kw):
         if isinstance(texts, str):
             texts = [texts]
         self.calls.append((list(texts), kw))
         return [FakeResult(100 + len(t)) for t in texts]
+
+    def design_voice(self, properties, seed=0, **kw):
+        self.design_calls.append((dict(properties), seed))
+        return [seed + i for i in range(32)]
 
 
 def test_batched_dispatch_groups_same_speaker():
@@ -67,8 +72,9 @@ def test_http_endpoints(tmp_path):
     server, port = http_server.start_background(tts)
     base = f"http://127.0.0.1:{port}"
 
+    # registered (designed/cached) speakers are listed alongside demo dirs
     with urllib.request.urlopen(f"{base}/api/speakers") as r:
-        assert json.loads(r.read()) == {"speakers": []}
+        assert json.loads(r.read()) == {"speakers": ["bob"]}
 
     body = json.dumps({"text": "hello", "speaker": "bob"}).encode()
     req = urllib.request.Request(
@@ -98,6 +104,87 @@ def test_http_endpoints(tmp_path):
     except urllib.error.HTTPError as e:
         assert e.code == 400
 
+    server.shutdown()
+    tts.close()
+
+
+def _post(base, path, obj):
+    req = urllib.request.Request(
+        f"{base}{path}", data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    return urllib.request.urlopen(req)
+
+
+def test_voice_design_endpoints():
+    """Voice-designer flow parity (gradio/tts_gui_simple.py:289-427 /
+    tts_using_webrwkv_osx.py): properties -> 32 global tokens -> save as a
+    named speaker -> synthesize with it or with raw tokens."""
+    pipe = FakePipeline()
+    tts = svc.BatchedTTSService(pipe, svc.SpeakerLibrary(None), max_batch=1, max_wait_ms=1)
+    server, port = http_server.start_background(tts)
+    base = f"http://127.0.0.1:{port}"
+
+    # SPCT dropdown vocabularies
+    with urllib.request.urlopen(f"{base}/api/properties") as r:
+        props = json.loads(r.read())
+    assert props["gender"] == ["female", "male"]
+    assert "NEUTRAL" in props["emotion"] and len(props["emotion"]) == 25
+    assert set(props) == {"age", "gender", "emotion", "pitch", "speed"}
+
+    # design
+    with _post(base, "/api/voice_design", {
+        "properties": {"gender": "male", "pitch": "low_pitch"}, "seed": 5,
+    }) as r:
+        d = json.loads(r.read())
+    assert d["global_tokens"] == [5 + i for i in range(32)]
+    assert pipe.design_calls == [({"gender": "male", "pitch": "low_pitch"}, 5)]
+
+    # save under a name (verbatim tokens, no re-design)
+    with _post(base, "/api/voice_design", {
+        "properties": {}, "name": "designed1", "global_tokens": d["global_tokens"],
+    }) as r:
+        assert json.loads(r.read())["name"] == "designed1"
+    assert len(pipe.design_calls) == 1
+    with urllib.request.urlopen(f"{base}/api/speakers") as r:
+        assert "designed1" in json.loads(r.read())["speakers"]
+
+    # synthesize with the saved speaker
+    with _post(base, "/api/rwkv_tts", {"text": "hi", "speaker": "designed1"}) as r:
+        assert r.read()[:4] == b"RIFF"
+    assert pipe.calls[-1][1]["global_tokens"] == d["global_tokens"]
+
+    # synthesize with raw designed tokens (unsaved voice)
+    with _post(base, "/api/rwkv_tts", {
+        "text": "hi", "global_tokens": d["global_tokens"], "temperature": 0.8,
+        "top_k": 40, "top_p": 0.9,
+    }) as r:
+        assert r.read()[:4] == b"RIFF"
+    kw = pipe.calls[-1][1]
+    assert kw["global_tokens"] == d["global_tokens"]
+    assert (kw["temperature"], kw["top_k"], kw["top_p"]) == (0.8, 40, 0.9)
+
+    # error: design without properties
+    try:
+        _post(base, "/api/voice_design", {"seed": 1})
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+    server.shutdown()
+    tts.close()
+
+
+def test_gui_page_served():
+    pipe = FakePipeline()
+    tts = svc.BatchedTTSService(pipe, svc.SpeakerLibrary(None), max_batch=1, max_wait_ms=1)
+    server, port = http_server.start_background(tts)
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+        page = r.read().decode()
+    # the studio page carries the full voice-design flow
+    for needle in ("Voice designer", "voice_design", "api/properties",
+                   "Zero-shot prompt", "temperature", "History"):
+        assert needle in page
     server.shutdown()
     tts.close()
 
