@@ -60,6 +60,8 @@ def spark_generate(
     B = tokens.shape[0]
 
     h_last, state = spark.prefill(params, cfg, tokens, modality, attention_mask)
+    state = rwkv7.pack_decode_state(state, bb)
+    params = rwkv7.layer_decode_views(params, bb)
 
     def step(carry, step_key):
         h, st, done, n = carry
@@ -141,6 +143,8 @@ def cosy_prefill_carry(
 
     B = tokens.shape[0]
     h_last, state = cosy.prefill(params, cfg, tokens, modality, attention_mask)
+    state = rwkv7.pack_decode_state(state, cfg.backbone)
+    params = rwkv7.layer_decode_views(params, cfg.backbone)
     return (
         h_last,
         state,
@@ -179,6 +183,7 @@ def cosy_decode_chunk(
     (cosy_llm.py:238-261): fixed-shape compiled chunks, host control only
     at chunk granularity, so a 20×-content max length does not cost 20×
     compute. Returns (carry, toks (B, chunk_len), done (B,))."""
+    params = rwkv7.layer_decode_views(params, cfg.backbone)
     step = _make_cosy_step(
         params, cfg, min_new_tokens=min_new_tokens, top_k=top_k, top_p=top_p,
         win_size=win_size, tau_r=tau_r,
@@ -225,6 +230,8 @@ def cosy_generate(
     eos_id = cfg.eos_token_id
     B = tokens.shape[0]
     h_last, state = cosy.prefill(params, cfg, tokens, modality, attention_mask)
+    state = rwkv7.pack_decode_state(state, cfg.backbone)
+    params = rwkv7.layer_decode_views(params, cfg.backbone)
 
     step = _make_cosy_step(
         params, cfg, min_new_tokens=min_new_tokens, top_k=top_k, top_p=top_p,
@@ -294,6 +301,8 @@ def xy_generate(
     pad = cfg.speech_pad_id
 
     h_last, state = xy_model.prefill(params, cfg, input_ids, attention_mask)
+    state = rwkv7.pack_decode_state(state, bb)
+    params = rwkv7.layer_decode_views(params, bb)
 
     ch_arange0 = jnp.arange(cfg.text_vocab_size)
     audio_mask0 = (ch_arange0 >= lo) & (ch_arange0 < hi)
@@ -390,6 +399,8 @@ def spark_global_generate(
     B = tokens.shape[0]
     V = cfg.audio_global_vocab_size
     h_last, state = spark.prefill(params, cfg, tokens, modality, attention_mask)
+    state = rwkv7.pack_decode_state(state, bb)
+    params = rwkv7.layer_decode_views(params, bb)
     vocab_mask = jnp.arange(cfg.semantic_vocab_size) >= V
 
     def step(carry, step_key):

@@ -61,6 +61,10 @@ class RWKV7Config:
     wkv_group: int = 8
     wkv_mm: str = "f32"
     remat: bool = True
+    # Selective rematerialization: None = full replay (lowest memory);
+    # 'dots' = save matmul outputs, recompute elementwise (trades HBM for
+    # skipping the projection replays in the backward pass)
+    remat_policy: Optional[str] = None
     # When True the lm head is present in params (core-only submodels skip it)
     with_head: bool = True
     with_embedding: bool = True
@@ -371,7 +375,15 @@ def forward(
         )
         return (x, v_first), new_st
 
-    fn = jax.checkpoint(body) if cfg.remat else body
+    if cfg.remat:
+        policy = {
+            None: None,
+            "dots": jax.checkpoint_policies.checkpoint_dots,
+            "dots_no_batch": jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+        }[cfg.remat_policy]
+        fn = jax.checkpoint(body, policy=policy) if policy else jax.checkpoint(body)
+    else:
+        fn = body
     v0 = jnp.zeros_like(x)
     if state is None:
         B = x.shape[0]
@@ -412,6 +424,50 @@ def _qmat(att: Params, name: str, dt):
         p = att[qk]
         return p["q"].astype(dt) * p["s"].astype(dt)
     return att[name].astype(dt)
+
+
+_STATE_KEYS = ("att_x", "wkv", "ffn_x")
+
+
+def pack_decode_state(state: Params, cfg: RWKV7Config):
+    """Convert the stacked decode state (leaves (L, ...)) into a tuple of
+    per-layer dicts for the python-unrolled decode loop.
+
+    Why: with stacked state, the unrolled layer scan stacks each layer's
+    new state back into the (L,...) buffer with a dynamic-update-slice —
+    at decode batch 64 those copies alone are ~0.9 ms of a 3.3 ms step
+    (profiled; the WKV state is 12.6 MB/layer fp32). With one leaf per
+    layer the while-loop carries each state buffer independently and XLA
+    updates it in place — no stacking copies."""
+    if isinstance(state, tuple):
+        return state
+    L = state["att_x"].shape[0]
+    return tuple(
+        {k: state[k][l] for k in _STATE_KEYS} for l in range(L)
+    )
+
+
+def unpack_decode_state(state, cfg: RWKV7Config, batch: int = 0) -> Params:
+    """Inverse of pack_decode_state: tuple-of-layers -> stacked dict."""
+    if isinstance(state, tuple):
+        return {
+            k: jnp.stack([st[k] for st in state]) for k in _STATE_KEYS
+        }
+    return state
+
+
+def layer_decode_views(params: Params, cfg: RWKV7Config) -> Params:
+    """Pre-slice stacked block params into per-layer views, OUTSIDE the
+    autoregressive scan (so the slicing is not re-emitted per step)."""
+    if isinstance(params.get("blocks"), tuple):
+        return params
+    blocks = params["blocks"]
+    return {
+        **params,
+        "blocks": tuple(
+            jax.tree.map(lambda a: a[l], blocks) for l in range(cfg.num_layers)
+        ),
+    }
 
 
 def pack_decode_params(
@@ -560,13 +616,26 @@ def decode_step(
         return (x, v_first), new_st
 
     L = cfg.num_layers
-    # fully unrolled over layers: decode is latency-bound, and unrolling
-    # lets XLA schedule/fuse across the whole depth (PERF.md)
-    (x, _), new_state = jax.lax.scan(
-        body,
-        (x, jnp.zeros_like(x)),
-        (params["blocks"], jnp.arange(L), state),
-        unroll=True,
-    )
+    if isinstance(params["blocks"], tuple):
+        # layered fast path: per-layer state leaves, python-unrolled — no
+        # scan stacking copies (see pack_decode_state). Callers pre-slice
+        # params with layer_decode_views and state with pack_decode_state.
+        assert isinstance(state, tuple)
+        carry = (x, jnp.zeros_like(x))
+        new_states = []
+        for l in range(L):
+            carry, new_st = body(carry, (params["blocks"][l], l, state[l]))
+            new_states.append(new_st)
+        x, _ = carry
+        new_state = tuple(new_states)
+    else:
+        # fully unrolled over layers: decode is latency-bound, and unrolling
+        # lets XLA schedule/fuse across the whole depth (PERF.md)
+        (x, _), new_state = jax.lax.scan(
+            body,
+            (x, jnp.zeros_like(x)),
+            (params["blocks"], jnp.arange(L), state),
+            unroll=True,
+        )
     x = layer_norm(x, params["ln_out_scale"], params["ln_out_bias"], cfg.norm_eps)
     return x, new_state

@@ -437,7 +437,21 @@ def wkv7_step(
     Equivalent to the persistent-state inference kernels
     (reference cuda/rwkv7_state_fwd_fp16.cu) but batched and designed to be
     fused by XLA into a single whole-model decode program.
+
+    A 3-D state selects the PACKED fast path: (P, N, 2N) head-pair-packed
+    layout through the fused Pallas step kernel on TPU (one HBM pass over
+    the state instead of ~4 — see ops/wkv7_step_pallas.py), or its XLA
+    reference elsewhere. Decode loops opt in by packing the state once
+    after prefill (models/rwkv7.py::pack_decode_state).
     """
+    if state.ndim == 3:
+        from rwkvtts_tpu.ops import wkv7_step_pallas as sp
+
+        if jax.default_backend() == "tpu":
+            return sp.wkv7_step_packed(
+                state, r, w_raw, k, v, z, b, group=sp.DEFAULT_STEP_GROUP
+            )
+        return sp.wkv7_step_packed_ref(state, r, w_raw, k, v, z, b)
     out_dtype = v.dtype
     f32 = lambda x: x.astype(jnp.float32)
     r, k, v, z, b = map(f32, (r, k, v, z, b))
