@@ -5,6 +5,8 @@ Endpoint parity (/root/reference/service/rwkv_tts_service.py:67-178):
   POST /api/rwkv_tts           {text, speaker? | audio(b64 wav)+prompt_text?
                                 | global_tokens:[int]*32}
   POST /api/rwkv_tts_instruct  {text, properties{age,gender,emotion,pitch,speed}}
+  POST /api/rwkv_tts_stream    {text, audio?(b64), prompt_text?, hop_tokens?}
+                               -> chunked streaming WAV (PCM16 as decoded)
   GET  /api/speakers           -> {"speakers": [...]}
 Voice-design parity (the reference's 1202-LoC desktop GUI,
 gradio/tts_gui_simple.py, and test_respark/tts_using_webrwkv_osx.py):
@@ -226,6 +228,43 @@ def _make_handler(tts: svc.BatchedTTSService):
                 return self._json(
                     200, {"global_tokens": tokens, "name": name}
                 )
+            if self.path == "/api/rwkv_tts_stream":
+                text = payload.get("text")
+                if not text:
+                    return self._json(400, {"error": "missing text"})
+                req = svc.TTSRequest(
+                    text=text, seed=int(payload.get("seed", 0)),
+                    prompt_text=payload.get("prompt_text"),
+                )
+                if payload.get("audio"):
+                    req.prompt_wav = svc.decode_audio_b64(payload["audio"])
+                try:
+                    gen = tts.stream(
+                        req, hop_tokens=int(payload.get("hop_tokens", 50))
+                    )
+                    first = next(gen, None)
+                except NotImplementedError:
+                    return self._json(501, {"error": "no streaming pipeline"})
+                except Exception as e:  # noqa: BLE001
+                    return self._json(500, {"error": str(e)})
+                # chunked streaming WAV: header with unknown length, then
+                # PCM16 chunks as the LM/flow produce them
+                sr = getattr(tts.pipeline, "sample_rate", 24000)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(b: bytes):
+                    self.wfile.write(f"{len(b):x}\r\n".encode() + b + b"\r\n")
+
+                chunk(svc.stream_wav_header(sr))
+                if first is not None:
+                    chunk(svc.pcm16(first))
+                for wav in gen:
+                    chunk(svc.pcm16(wav))
+                self.wfile.write(b"0\r\n\r\n")
+                return
             if self.path not in ("/api/rwkv_tts", "/api/rwkv_tts_instruct"):
                 return self._json(404, {"error": "not found"})
             text = payload.get("text")
@@ -318,6 +357,27 @@ def make_fastapi_app(tts: svc.BatchedTTSService):
         if resp.error:
             raise HTTPException(500, resp.error)
         return Response(svc.wav_bytes(resp.wav, resp.sample_rate), media_type="audio/wav")
+
+    @app.post("/api/rwkv_tts_stream")
+    def rwkv_tts_stream(payload: Dict[str, Any]):
+        from fastapi.responses import StreamingResponse
+
+        req = svc.TTSRequest(
+            text=payload["text"], seed=int(payload.get("seed", 0)),
+            prompt_text=payload.get("prompt_text"),
+        )
+        if payload.get("audio"):
+            req.prompt_wav = svc.decode_audio_b64(payload["audio"])
+        sr = getattr(tts.pipeline, "sample_rate", 24000)
+
+        def body():
+            yield svc.stream_wav_header(sr)
+            for wav in tts.stream(
+                req, hop_tokens=int(payload.get("hop_tokens", 50))
+            ):
+                yield svc.pcm16(wav)
+
+        return StreamingResponse(body(), media_type="audio/wav")
 
     @app.post("/api/rwkv_tts_instruct")
     def rwkv_tts_instruct(payload: Dict[str, Any]):

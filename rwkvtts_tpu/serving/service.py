@@ -142,6 +142,24 @@ class BatchedTTSService:
             return ("props", tuple(sorted(req.properties.items())))
         return ("unique", id(req))
 
+    def stream(self, req: TTSRequest, hop_tokens: int = 50):
+        """Streaming synthesis generator: yields float32 wav chunks as the
+        LM decodes (incremental-state pipeline, infer/streaming.py). Unlike
+        `synthesize` this bypasses the batching queue — a stream occupies
+        its request for its whole duration, like the reference's
+        thread-per-utterance llm_job (cli/model.py:416)."""
+        fn = getattr(self.pipeline, "synthesize_streaming", None)
+        if fn is None:
+            raise NotImplementedError("pipeline has no streaming path")
+        kw: Dict[str, Any] = {"seed": req.seed, "hop_tokens": hop_tokens}
+        if req.prompt_wav is not None:
+            # frontend once, then stream with the extracted condition
+            toks, mel, emb = self.pipeline.frontend_zero_shot(req.prompt_wav)
+            kw.update(
+                prompt_speech_tokens=toks, prompt_mel=mel, spk_embedding=emb,
+            )
+        yield from fn(req.text, req.prompt_text or "", **kw)
+
     def design_voice(
         self,
         properties: Dict[str, Any],
@@ -210,6 +228,30 @@ class BatchedTTSService:
             for req, done, box in batch:
                 box["resp"] = TTSResponse(np.zeros(0, np.float32), 16000, error=str(e))
                 done.set()
+
+
+def stream_wav_header(sample_rate: int, channels: int = 1) -> bytes:
+    """WAV header with an unknown (maximal) data length — the standard
+    streaming-WAV trick: players start decoding immediately and read until
+    the connection closes."""
+    import struct
+
+    bits = 16
+    byte_rate = sample_rate * channels * bits // 8
+    block_align = channels * bits // 8
+    return (
+        b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                                byte_rate, block_align, bits)
+        + b"data" + struct.pack("<I", 0xFFFFFFFF)
+    )
+
+
+def pcm16(wav) -> bytes:
+    import numpy as _np
+
+    x = _np.clip(_np.asarray(wav, _np.float32), -1.0, 1.0)
+    return (x * 32767.0).astype("<i2").tobytes()
 
 
 def properties_options() -> Dict[str, List[str]]:

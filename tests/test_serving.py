@@ -189,6 +189,40 @@ def test_gui_page_served():
     tts.close()
 
 
+def test_streaming_endpoint():
+    """Chunked streaming WAV: header + PCM16 chunks as the pipeline yields."""
+
+    class StreamPipe(FakePipeline):
+        sample_rate = 24000
+
+        def synthesize_streaming(self, text, prompt_text="", **kw):
+            for i in range(3):
+                yield np.full(480, 0.25 * (i + 1), np.float32)
+
+    tts = svc.BatchedTTSService(StreamPipe(), svc.SpeakerLibrary(None), max_batch=1, max_wait_ms=1)
+    server, port = http_server.start_background(tts)
+    base = f"http://127.0.0.1:{port}"
+    with _post(base, "/api/rwkv_tts_stream", {"text": "hi"}) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        data = r.read()  # urllib de-chunks
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    header = svc.stream_wav_header(24000)
+    pcm = np.frombuffer(data[len(header):], "<i2")
+    assert len(pcm) == 3 * 480
+    np.testing.assert_allclose(pcm[:480] / 32767.0, 0.25, atol=1e-3)
+
+    # pipelines without a streaming path -> 501
+    tts2 = svc.BatchedTTSService(FakePipeline(), svc.SpeakerLibrary(None), max_batch=1, max_wait_ms=1)
+    server2, port2 = http_server.start_background(tts2)
+    try:
+        _post(f"http://127.0.0.1:{port2}", "/api/rwkv_tts_stream", {"text": "x"})
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 501
+    server.shutdown(); server2.shutdown()
+    tts.close(); tts2.close()
+
+
 def test_audio_b64_roundtrip(tmp_path):
     wav = np.sin(np.linspace(0, 50, 8000)).astype(np.float32) * 0.3
     p = tmp_path / "a.wav"
