@@ -65,6 +65,10 @@ class RWKV7Config:
     # 'dots' = save matmul outputs, recompute elementwise (trades HBM for
     # skipping the projection replays in the backward pass)
     remat_policy: Optional[str] = None
+    # Python-unrolled layer loop for the full-sequence forward (instead of
+    # lax.scan over stacked layers): per-layer buffers, no stacked
+    # save/slice copies. Compile time grows with depth.
+    layer_unroll: bool = False
     # When True the lm head is present in params (core-only submodels skip it)
     with_head: bool = True
     with_embedding: bool = True
@@ -388,9 +392,20 @@ def forward(
     if state is None:
         B = x.shape[0]
         state = init_model_state(cfg, B)
-    (x, _), new_state = jax.lax.scan(
-        fn, (x, v0), (params["blocks"], layer_ids, state)
-    )
+    if cfg.layer_unroll:
+        carry = (x, v0)
+        sts = []
+        for l in range(L):
+            bp = jax.tree.map(lambda a: a[l], params["blocks"])
+            st_l = jax.tree.map(lambda a: a[l], state)
+            carry, new_st = fn(carry, (bp, jnp.int32(l), st_l))
+            sts.append(new_st)
+        x, _ = carry
+        new_state = jax.tree.map(lambda *xs: jnp.stack(xs), *sts)
+    else:
+        (x, _), new_state = jax.lax.scan(
+            fn, (x, v0), (params["blocks"], layer_ids, state)
+        )
     x = layer_norm(x, params["ln_out_scale"], params["ln_out_bias"], cfg.norm_eps)
     if return_state:
         return x, new_state

@@ -115,3 +115,22 @@ def test_gradients_flow(setup):
         lambda a, x: a + jnp.abs(x).sum(), g, jnp.float32(0)
     )
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_layer_unroll_matches_scan():
+    """cfg.layer_unroll=True (python loop) is numerically identical to the
+    scan-over-stacked-layers forward."""
+    import dataclasses
+
+    from rwkvtts_tpu.models import rwkv7
+
+    cfg = rwkv7.RWKV7Config(
+        vocab_size=100, hidden_size=64, num_layers=3, head_size=32,
+        gate_lora=16, dtype=jnp.float32, remat=False,
+    )
+    params = rwkv7.init_params(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 100)
+    h0 = rwkv7.forward(params, cfg, ids)
+    cfg_u = dataclasses.replace(cfg, layer_unroll=True)
+    h1 = rwkv7.forward(params, cfg_u, ids)
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), rtol=1e-6, atol=1e-6)
