@@ -141,6 +141,7 @@ class CosyPipeline:
         spk_embedding: Optional[np.ndarray] = None,  # (192,)
         n_timesteps: int = 10,
         seed: int = 0,
+        speed: float = 1.0,
     ) -> np.ndarray:
         if self.flow_params is None or self.hift_params is None:
             raise RuntimeError("flow/hift params not loaded")
@@ -163,6 +164,13 @@ class CosyPipeline:
             jnp.asarray(spk_embedding[None]),
             n_timesteps=n_timesteps,
         )
+        if speed != 1.0:
+            # linear time-interpolation of the mel, the reference's speed
+            # control (cli/model.py:398-401: F.interpolate before HiFT)
+            T = mel.shape[1]
+            mel = jax.image.resize(
+                mel, (mel.shape[0], int(T / speed), mel.shape[2]), "linear"
+            )
         wav, _ = hift_lib.inference(
             self.hift_params, self.hift_cfg, jax.random.PRNGKey(seed + 1), mel
         )
@@ -198,17 +206,26 @@ class CosyPipeline:
         prompt_mel: Optional[np.ndarray] = None,
         spk_embedding: Optional[np.ndarray] = None,
         seed: int = 0,
+        speed: float = 1.0,
+        lm_prompt_tokens: Optional[Sequence[int]] = None,
         **gen_kw,
     ) -> CosyTTSResult:
+        """Zero-shot synthesis. `lm_prompt_tokens` overrides the prompt
+        speech tokens fed to the LM (the flow always gets the full prompt
+        condition) — pass [] for the cross-lingual/instruct variants that
+        drop the LM speech prompt (frontend.py:185-193,203-207)."""
         if prompt_wav is not None:
             prompt_speech_tokens, prompt_mel, spk_embedding = self.frontend_zero_shot(prompt_wav)
+        if lm_prompt_tokens is None:
+            lm_prompt_tokens = prompt_speech_tokens
         t0 = time.perf_counter()
         tokens = self.generate_speech_tokens(
-            text, prompt_text, prompt_speech_tokens, seed=seed, **gen_kw
+            text, prompt_text, lm_prompt_tokens, seed=seed, **gen_kw
         )
         t1 = time.perf_counter()
         wav = self.token2wav(
-            tokens, prompt_speech_tokens, prompt_mel, spk_embedding, seed=seed
+            tokens, prompt_speech_tokens, prompt_mel, spk_embedding, seed=seed,
+            speed=speed,
         )
         # strip the prompt region: flow returns only the generated part, but
         # guard anyway
@@ -222,6 +239,83 @@ class CosyPipeline:
             llm_s=t1 - t0,
             flow_s=t2 - t1,
             vocoder_s=0.0,
+        )
+
+    def synthesize_cross_lingual(
+        self,
+        text: str,
+        prompt_wav: Optional[np.ndarray] = None,
+        prompt_speech_tokens: Sequence[int] = (),
+        prompt_mel: Optional[np.ndarray] = None,
+        spk_embedding: Optional[np.ndarray] = None,
+        **kw,
+    ) -> CosyTTSResult:
+        """Cross-lingual mode (frontend.py:185-193): the LM gets NO prompt
+        text and NO prompt speech tokens (so the target language is free),
+        while the flow keeps the full prompt condition for voice identity."""
+        return self.synthesize(
+            text, prompt_text="", prompt_wav=prompt_wav,
+            prompt_speech_tokens=prompt_speech_tokens, prompt_mel=prompt_mel,
+            spk_embedding=spk_embedding, lm_prompt_tokens=[], **kw,
+        )
+
+    def synthesize_instruct(
+        self,
+        text: str,
+        instruct_text: str,
+        prompt_wav: Optional[np.ndarray] = None,
+        prompt_text: Optional[str] = None,
+        prompt_speech_tokens: Sequence[int] = (),
+        prompt_mel: Optional[np.ndarray] = None,
+        spk_embedding: Optional[np.ndarray] = None,
+        **kw,
+    ) -> CosyTTSResult:
+        """Instruct2 mode (frontend.py:203-207): the instruction rides as
+        LM prompt text terminated by <|endofprompt|>; without a prompt
+        transcript the LM speech prompt is dropped (information leakage),
+        with one it is kept."""
+        if prompt_text is not None:
+            lm_text = instruct_text + "<|endofprompt|>" + prompt_text
+            lm_tokens = None  # keep the speech prompt
+        else:
+            lm_text = instruct_text + "<|endofprompt|>"
+            lm_tokens = []
+        return self.synthesize(
+            text, prompt_text=lm_text, prompt_wav=prompt_wav,
+            prompt_speech_tokens=prompt_speech_tokens, prompt_mel=prompt_mel,
+            spk_embedding=spk_embedding, lm_prompt_tokens=lm_tokens, **kw,
+        )
+
+    def voice_convert(
+        self,
+        source_wav: np.ndarray,
+        prompt_wav: Optional[np.ndarray] = None,
+        prompt_speech_tokens: Sequence[int] = (),
+        prompt_mel: Optional[np.ndarray] = None,
+        spk_embedding: Optional[np.ndarray] = None,
+        seed: int = 0,
+        speed: float = 1.0,
+    ) -> CosyTTSResult:
+        """Voice conversion (frontend_vc, frontend.py:212-222 +
+        CosyVoiceModel.vc): tokenize the SOURCE speech, then re-synthesize
+        those tokens through flow+HiFT conditioned on the PROMPT voice —
+        no LM involved."""
+        if self.speech_tokenizer_fn is None:
+            raise RuntimeError("voice conversion needs the speech tokenizer")
+        if prompt_wav is not None:
+            prompt_speech_tokens, prompt_mel, spk_embedding = self.frontend_zero_shot(prompt_wav)
+        t0 = time.perf_counter()
+        source_tokens = np.asarray(self.speech_tokenizer_fn(source_wav), np.int64)
+        wav = self.token2wav(
+            source_tokens, prompt_speech_tokens, prompt_mel, spk_embedding,
+            seed=seed, speed=speed,
+        )
+        t2 = time.perf_counter()
+        dur = len(wav) / self.sample_rate
+        return CosyTTSResult(
+            wav=wav, sample_rate=self.sample_rate,
+            speech_tokens=source_tokens, rtf=(t2 - t0) / max(dur, 1e-9),
+            llm_s=0.0, flow_s=t2 - t0, vocoder_s=0.0,
         )
 
     def synthesize_long(

@@ -79,3 +79,69 @@ def test_cosy_synthesize_long_splits(pipe):
     assert res.wav.size > 0
     assert np.isfinite(res.wav).all()
     assert res.speech_tokens.size >= 2
+
+
+def test_cross_lingual_drops_lm_prompt(pipe, monkeypatch):
+    """Cross-lingual: flow keeps the prompt condition, LM gets none
+    (frontend.py:185-193)."""
+    seen = {}
+    orig = pipe.generate_speech_tokens
+
+    def spy(text, prompt_text="", prompt_speech_tokens=(), **kw):
+        seen["prompt_text"] = prompt_text
+        seen["lm_tokens"] = list(prompt_speech_tokens)
+        return orig(text, prompt_text, prompt_speech_tokens, **kw)
+
+    monkeypatch.setattr(pipe, "generate_speech_tokens", spy)
+    res = pipe.synthesize_cross_lingual(
+        "bonjour", prompt_speech_tokens=[5, 6, 7],
+        prompt_mel=np.zeros((6, 16), np.float32), max_new_tokens=8,
+    )
+    assert seen["prompt_text"] == "" and seen["lm_tokens"] == []
+    assert np.isfinite(res.wav).all() and res.wav.size > 0
+
+
+def test_instruct_modes(pipe, monkeypatch):
+    seen = {}
+    orig = pipe.generate_speech_tokens
+
+    def spy(text, prompt_text="", prompt_speech_tokens=(), **kw):
+        seen["prompt_text"] = prompt_text
+        seen["lm_tokens"] = list(prompt_speech_tokens)
+        return orig(text, prompt_text, prompt_speech_tokens, **kw)
+
+    monkeypatch.setattr(pipe, "generate_speech_tokens", spy)
+    # no transcript: LM speech prompt dropped
+    pipe.synthesize_instruct(
+        "hello", "speak slowly", prompt_speech_tokens=[1, 2, 3],
+        prompt_mel=np.zeros((6, 16), np.float32), max_new_tokens=8,
+    )
+    assert seen["prompt_text"] == "speak slowly<|endofprompt|>"
+    assert seen["lm_tokens"] == []
+    # with transcript: speech prompt kept
+    pipe.synthesize_instruct(
+        "hello", "speak slowly", prompt_text="hi there",
+        prompt_speech_tokens=[1, 2, 3],
+        prompt_mel=np.zeros((6, 16), np.float32), max_new_tokens=8,
+    )
+    assert seen["prompt_text"] == "speak slowly<|endofprompt|>hi there"
+    assert seen["lm_tokens"] == [1, 2, 3]
+
+
+def test_voice_convert_no_lm(pipe):
+    pipe.speech_tokenizer_fn = lambda wav: np.arange(6) % 100
+    src = np.sin(np.linspace(0, 80, 4000)).astype(np.float32)
+    res = pipe.voice_convert(
+        src, prompt_speech_tokens=[4, 5],
+        prompt_mel=np.zeros((4, 16), np.float32),
+    )
+    assert list(res.speech_tokens) == list(np.arange(6) % 100)
+    assert res.wav.size == 6 * 2 * pipe.hift_cfg.total_upsample
+    assert np.isfinite(res.wav).all()
+    pipe.speech_tokenizer_fn = None
+
+
+def test_speed_control_changes_length(pipe):
+    res1 = pipe.synthesize("hello", max_new_tokens=8, seed=3)
+    res2 = pipe.synthesize("hello", max_new_tokens=8, seed=3, speed=2.0)
+    assert abs(res2.wav.size * 2 - res1.wav.size) <= 2 * pipe.hift_cfg.total_upsample
