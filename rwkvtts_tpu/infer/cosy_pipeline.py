@@ -178,24 +178,38 @@ class CosyPipeline:
 
     # -- full zero-shot -------------------------------------------------------
 
-    def frontend_zero_shot(self, prompt_wav: np.ndarray):
+    def frontend_zero_shot(self, prompt_wav: np.ndarray, prompt_sr: int = 16000):
         """Extract (prompt speech tokens, prompt mel, spk embedding) from a
-        reference clip using the injected feature extractors."""
+        reference clip.
+
+        Sample-rate contract (reference frontend.py:164-174): the S3 speech
+        tokenizer and the CAM++ x-vector consume 16 kHz audio; the flow
+        prompt mel is computed on the clip RESAMPLED to the output rate
+        (24 kHz for Cosy2), then trimmed to 2 frames per token."""
+        from rwkvtts_tpu.utils import audio_io
+
         if self.speech_tokenizer_fn is None or self.spk_embed_fn is None:
             raise RuntimeError(
                 "zero-shot frontend needs speech_tokenizer_fn and spk_embed_fn "
                 "(or pass precomputed prompt features to synthesize)"
             )
-        tokens = np.asarray(self.speech_tokenizer_fn(prompt_wav), np.int64)
-        emb = np.asarray(self.spk_embed_fn(prompt_wav), np.float32)
+        wav16 = audio_io.resample(np.asarray(prompt_wav, np.float32), prompt_sr, 16000)
+        tokens = np.asarray(self.speech_tokenizer_fn(wav16), np.int64)
+        emb = np.asarray(self.spk_embed_fn(wav16), np.float32)
         n_mels = self.flow_cfg.output_size if self.flow_cfg is not None else 80
+        wav_out = audio_io.resample(
+            np.asarray(prompt_wav, np.float32), prompt_sr, self.sample_rate
+        )
         mel = np.asarray(
-            dsp.log_mel_hifigan(jnp.asarray(prompt_wav[None]), n_mels=n_mels)[0],
+            dsp.log_mel_hifigan(
+                jnp.asarray(wav_out[None]), sample_rate=self.sample_rate,
+                n_mels=n_mels,
+            )[0],
             np.float32,
         )
         # frontend enforces mel frames == 2 * token count (cli/frontend.py:170-174)
-        mel = mel[: 2 * len(tokens)]
-        return tokens, mel, emb
+        n = min(mel.shape[0] // 2, len(tokens))
+        return tokens[:n], mel[: 2 * n], emb
 
     def synthesize(
         self,

@@ -145,3 +145,26 @@ def test_speed_control_changes_length(pipe):
     res1 = pipe.synthesize("hello", max_new_tokens=8, seed=3)
     res2 = pipe.synthesize("hello", max_new_tokens=8, seed=3, speed=2.0)
     assert abs(res2.wav.size * 2 - res1.wav.size) <= 2 * pipe.hift_cfg.total_upsample
+
+
+def test_frontend_zero_shot_sample_rates(pipe):
+    """16 kHz features for tokenizer/x-vector, output-rate mel, frames ==
+    2 x tokens (reference frontend.py:164-174)."""
+    seen = {}
+    pipe.speech_tokenizer_fn = lambda w: (seen.__setitem__("tok_len", len(w)), np.arange(10))[1]
+    pipe.spk_embed_fn = lambda w: (seen.__setitem__("emb_len", len(w)), np.zeros(12, np.float32))[1]
+    sr = 16000
+    wav = np.sin(np.linspace(0, 100, sr)).astype(np.float32)  # 1 s @ 16k
+    tokens, mel, emb = pipe.frontend_zero_shot(wav, prompt_sr=sr)
+    # tokenizer/x-vector saw the 16 kHz clip unchanged
+    assert seen["tok_len"] == sr and seen["emb_len"] == sr
+    # mel computed at the 24 kHz output rate: ~50 frames/s available
+    assert mel.shape == (2 * len(tokens), pipe.flow_cfg.output_size)
+    assert len(tokens) <= 10
+    # a 22.05 kHz prompt gets resampled for the 16 kHz features
+    wav22 = np.sin(np.linspace(0, 100, 22050)).astype(np.float32)
+    tokens2, mel2, _ = pipe.frontend_zero_shot(wav22, prompt_sr=22050)
+    assert seen["tok_len"] == 16000
+    assert mel2.shape[0] == 2 * len(tokens2)
+    pipe.speech_tokenizer_fn = None
+    pipe.spk_embed_fn = None
