@@ -116,11 +116,45 @@ def stream_tars(
     sample_rate: int = 16000,
     shard_index: int = 0,
     num_shards: int = 1,
+    native: bool = True,
 ) -> Iterator[Dict[str, Any]]:
     """Streaming pipeline over many tars (the ASR webdataset path,
     utils/webdataset_utils.py:245-392 equivalent): tars are sharded across
-    workers, samples stream without materializing."""
-    for i, p in enumerate(tar_paths):
-        if i % num_shards != shard_index:
-            continue
+    workers, samples stream without materializing.
+
+    With `native=True` (default) the shards are read by the C++
+    prefetching streamer (csrc/tar_stream.cpp): a reader thread parses
+    ustar headers and fills a bounded queue, overlapping IO with the
+    training step. Falls back to the stdlib tarfile path when no compiler
+    is available."""
+    mine = [p for i, p in enumerate(tar_paths) if i % num_shards == shard_index]
+    if native:
+        try:
+            yield from _stream_tars_native(mine, sample_rate)
+            return
+        except RuntimeError:
+            log.info("native tar streamer unavailable; using tarfile path")
+    for p in mine:
         yield from iter_tar_samples(p, sample_rate)
+
+
+def _stream_tars_native(
+    tar_paths: Sequence[str], sample_rate: int
+) -> Iterator[Dict[str, Any]]:
+    from rwkvtts_tpu.utils.native import NativeTarStream
+
+    with NativeTarStream(tar_paths) as ts:
+        current_key: Optional[str] = None
+        sample: Dict[str, Any] = {}
+        for name, data in ts:
+            base = name.rsplit(".", 1)[0]
+            if current_key is not None and base != current_key:
+                if sample:
+                    yield {"__key__": current_key, **sample}
+                sample = {}
+            current_key = base
+            _decode_member(name, data, sample, sample_rate)
+        if current_key is not None and sample:
+            yield {"__key__": current_key, **sample}
+        if ts.errors:
+            log.warning("native tar streamer: %d shard(s) abandoned", ts.errors)

@@ -95,3 +95,68 @@ class NativeTrieEncoder:
                 self._lib.wt_destroy(self._h)
         except Exception:
             pass
+
+
+class NativeTarStream:
+    """ctypes wrapper over csrc/tar_stream.cpp — background-thread tar
+    shard reader with a bounded prefetch queue. Iterate to get
+    (member_name, bytes) in archive order across all shards."""
+
+    def __init__(self, paths, queue_cap: int = 64):
+        self._lib = load("tar_stream", extra_flags=("-pthread",))
+        if self._lib is None:
+            raise RuntimeError("native tar streamer unavailable")
+        self._lib.ts_open.restype = ctypes.c_void_p
+        self._lib.ts_open.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32]
+        self._lib.ts_next.restype = ctypes.c_int32
+        self._lib.ts_next.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        self._lib.ts_errors.restype = ctypes.c_int64
+        self._lib.ts_errors.argtypes = [ctypes.c_void_p]
+        self._lib.ts_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        self._lib.ts_close.argtypes = [ctypes.c_void_p]
+        blob = "\n".join(str(p) for p in paths).encode()
+        self._h = self._lib.ts_open(blob, len(blob), queue_cap)
+        if not self._h:
+            raise RuntimeError("ts_open failed")
+
+    def __iter__(self):
+        name_buf = ctypes.create_string_buffer(4096)
+        data_p = ctypes.POINTER(ctypes.c_uint8)()
+        n = ctypes.c_int64()
+        while True:
+            rc = self._lib.ts_next(
+                self._h, name_buf, len(name_buf), ctypes.byref(data_p),
+                ctypes.byref(n),
+            )
+            if rc != 1:
+                return
+            try:
+                data = ctypes.string_at(data_p, n.value)
+            finally:
+                self._lib.ts_free(data_p)
+            yield name_buf.value.decode("utf-8", "replace"), data
+
+    @property
+    def errors(self) -> int:
+        return int(self._lib.ts_errors(self._h))
+
+    def close(self):
+        if self._h:
+            self._lib.ts_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
