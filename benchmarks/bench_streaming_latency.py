@@ -1,0 +1,83 @@
+"""Streaming TTS latency benchmark: time-to-first-audio + steady-state RTF.
+
+Drives the incremental streaming session (infer/streaming.py) at deployed
+Cosy2 sizes and reports:
+  * TTFA — wall time until the first wav chunk is available (the metric the
+    reference's hop/lookahead streaming exists for, cli/model.py:418-434)
+  * steady-state RTF over the whole utterance
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+from rwkvtts_tpu.utils import jit_cache
+
+jit_cache.enable()
+
+
+class _Tok:
+    def encode(self, text):
+        return [ord(c) % 6000 + 10 for c in text]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--text-len", type=int, default=60)
+    ap.add_argument("--hop", type=int, default=50)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    from rwkvtts_tpu.codecs import flow as flow_lib, hift as hift_lib
+    from rwkvtts_tpu.infer import streaming
+    from rwkvtts_tpu.infer.cosy_pipeline import CosyPipeline
+    from rwkvtts_tpu.models import cosy
+
+    lm_cfg = cosy.default_config(hidden_size=768, num_layers=12)
+    lm_params = cosy.init_params(jax.random.PRNGKey(0), lm_cfg)
+    fcfg = flow_lib.FlowConfig()
+    fparams = flow_lib.init_params(jax.random.PRNGKey(1), fcfg)
+    hcfg = hift_lib.HiFTConfig()
+    hparams = hift_lib.init_params(jax.random.PRNGKey(2), hcfg)
+    pipe = CosyPipeline(
+        lm_cfg, lm_params, _Tok(), flow_cfg=fcfg, flow_params=fparams,
+        hift_cfg=hcfg, hift_params=hparams,
+    )
+    scfg = streaming.StreamConfig(token_hop_len=args.hop)
+    text = "streaming latency benchmark " * (args.text_len // 28 + 1)
+    text = text[: args.text_len]
+
+    def run():
+        t0 = time.perf_counter()
+        ttfa = None
+        total = 0
+        for chunk in streaming.stream_synthesize(
+            pipe, text, stream_cfg=scfg, max_new_tokens=400, seed=1,
+        ):
+            if ttfa is None:
+                ttfa = time.perf_counter() - t0
+            total += len(chunk)
+        wall = time.perf_counter() - t0
+        return ttfa, wall, total / pipe.sample_rate
+
+    run()  # compile
+    ttfas, rtfs = [], []
+    for _ in range(args.iters):
+        ttfa, wall, audio_s = run()
+        ttfas.append(ttfa)
+        rtfs.append(wall / max(audio_s, 1e-9))
+    print(
+        f"TTFA {min(ttfas)*1000:.0f} ms | steady RTF {min(rtfs):.3f} "
+        f"| audio {audio_s:.1f}s | hop {args.hop} tok"
+    )
+
+
+if __name__ == "__main__":
+    main()
