@@ -168,3 +168,27 @@ def test_frontend_zero_shot_sample_rates(pipe):
     assert mel2.shape[0] == 2 * len(tokens2)
     pipe.speech_tokenizer_fn = None
     pipe.spk_embed_fn = None
+
+
+def test_cosy_voice_library(pipe, tmp_path):
+    """spk2info parity: persist a voice condition once, reuse across a
+    fresh library instance (infer/voices.py)."""
+    from rwkvtts_tpu.infer.voices import CosyVoiceLibrary
+
+    lib = CosyVoiceLibrary(str(tmp_path / "voices"))
+    pipe.speech_tokenizer_fn = lambda w: np.arange(8)
+    pipe.spk_embed_fn = lambda w: np.ones(12, np.float32)
+    wav = np.sin(np.linspace(0, 60, 16000)).astype(np.float32)
+    lib.register_from_wav(pipe, "alice", wav, prompt_text="hi")
+    pipe.speech_tokenizer_fn = None
+    pipe.spk_embed_fn = None
+
+    lib2 = CosyVoiceLibrary(str(tmp_path / "voices"))
+    assert lib2.speakers() == ["alice"]
+    v = lib2.get("alice")
+    assert v["text"] == "hi" and v["tokens"].shape[0] <= 8
+    assert v["mel"].shape == (2 * v["tokens"].shape[0], pipe.flow_cfg.output_size)
+    res = lib2.synthesize(pipe, "alice", "hello voice", max_new_tokens=8)
+    assert res.wav.size > 0 and np.isfinite(res.wav).all()
+    with pytest.raises(KeyError):
+        lib2.get("bob")
