@@ -83,10 +83,13 @@ class CosyPipeline:
                 return np.asarray(toks)[0]
 
             self.speech_tokenizer_fn = _native_s3
+        self.campplus_params = campplus_params
+        self.campplus_cfg = campplus_cfg
         if spk_embed_fn is None and campplus_params is not None:
             from rwkvtts_tpu.codecs import campplus as cp
 
             ccfg = campplus_cfg or cp.CampplusConfig()
+            self.campplus_cfg = ccfg
 
             def _native_spk(wav: np.ndarray) -> np.ndarray:
                 emb = cp.embed_wav(campplus_params, ccfg, jnp.asarray(wav)[None])

@@ -149,6 +149,22 @@ def main():
     metrics = seed_tts.evaluate_wer(pairs, "en", transcribe_fn)
     t2 = time.time()
 
+    # SIM (speaker similarity) — the reference's TODO (eval/README.md:14):
+    # cosine similarity of native CAM++ x-vectors between each synthesized
+    # utterance and its prompt clip.
+    from rwkvtts_tpu.eval import sim as sim_eval
+
+    embed_fn = sim_eval.campplus_embed_fn(pipe.campplus_params, pipe.campplus_cfg)
+    sim_pairs = []
+    for uid, path in synth:
+        synth_wav = audio_io.load_wav(path, 16000)
+        prompt_wav = audio_io.load_wav(
+            os.path.join(eval_dir, "en", f"{uid}_prompt.wav"), 16000
+        )
+        sim_pairs.append((synth_wav, prompt_wav))
+    sim_res = sim_eval.evaluate_sim(sim_pairs, embed_fn)
+    t3 = time.time()
+
     report = f"""# seed-tts-eval — end-to-end WER run
 
 Protocol: reference eval/eval_seed_generate.py + eval/run_wer.py, executed
@@ -159,6 +175,7 @@ with in-repo components only (no external models):
 | synthesis | CosyPipeline (RWKV7CosyLM + flow + HiFT + native S3/campplus frontend) | {t1-t0:.1f}s / {len(synth)} utts |
 | transcription | in-repo whisper-variant RWKV ASR (models/asr.py) | {t2-t1:.1f}s |
 | scoring | eval/seed_tts.py corpus WER (S+D+I)/N | — |
+| SIM | native CAM++ x-vector cosine (eval/sim.py — the reference's TODO) | {t3-t2:.1f}s |
 
 ## Result (random-init weights — loop validation, not a quality number)
 
@@ -169,6 +186,7 @@ with in-repo components only (no external models):
 | deletions | {metrics['deletions']:.3f} |
 | insertions | {metrics['insertions']:.3f} |
 | ref tokens | {metrics['n_ref_tokens']} |
+| SIM (mean cosine, synth vs prompt) | {sim_res.mean:.3f} |
 
 All weights in this run are random inits (the image ships no pretrained
 checkpoints), so WER ~= 1.0 is the expected outcome; the artifact certifies

@@ -1,0 +1,74 @@
+"""End-to-end learning test: a tiny Spark model memorizes one utterance —
+loss -> ~0 and greedy decode reproduces the exact semantic token sequence.
+
+This closes the loop the reference validates by listening to in-training
+demo wavs (train_scripts/train_spark.py generate_demo): collator -> model
+-> fused CE -> grads -> optimizer -> autoregressive decode, all verified
+numerically instead of audibly."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rwkvtts_tpu.data import jsonl_dataset, spark_collator
+from rwkvtts_tpu.infer import generate as gen
+from rwkvtts_tpu.models import spark
+from rwkvtts_tpu.parallel import train_step as ts
+from rwkvtts_tpu.train import optimizer as opt_lib
+
+
+class FakeTok:
+    def encode(self, text):
+        return [ord(c) % 200 + 1 for c in text][:12]
+
+
+def test_memorize_and_greedy_reproduce():
+    cfg = spark.default_config(
+        hidden_size=64, num_layers=2, head_size=16, gate_lora=16,
+        dtype=jnp.float32, wkv_chunk=16, remat=False, dropout=0.0,
+    )
+    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(3)
+    row = {
+        "text": "memorize me",
+        "global_tokens": rng.integers(0, 4096, 4).tolist(),
+        "semantic_tokens": rng.integers(0, 100, 16).tolist(),
+    }
+    tok = FakeTok()
+    collate = functools.partial(
+        spark_collator.collate_plain, tokenizer=tok, eos_id=cfg.eos_token_id,
+        pad_to=48,
+    )
+    batch_np = collate([row, row])
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    tx = opt_lib.build_optimizer(
+        params, total_steps=300, peak_lr=3e-3, final_lr=3e-4, warmup_steps=10
+    )
+    state = ts.init_train_state(params, tx)
+    step = ts.make_train_step(cfg, tx)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(300):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+        if i % 50 == 0 or i == 299:
+            losses.append(float(metrics["loss"]))
+    assert losses[0] > 2.0  # started untrained
+    assert losses[-1] < 0.2, f"did not memorize: losses={losses}"
+
+    # greedy decode from the prompt must reproduce the memorized tokens
+    prompt = spark_collator.build_prompt(tok.encode(row["text"]), row["global_tokens"])
+    pb = spark_collator.pad_prompts_left([prompt])
+    toks, lengths = gen.spark_generate(
+        state.params, cfg,
+        jnp.asarray(pb["tokens"]), jnp.asarray(pb["modality"]),
+        jnp.asarray(pb["attention_mask"]), jax.random.PRNGKey(2),
+        max_new_tokens=len(row["semantic_tokens"]) + 4,
+        top_k=1, top_p=1.0, temperature=1.0,
+    )
+    n = int(np.asarray(lengths)[0])
+    got = np.asarray(toks)[0, :n].tolist()
+    assert got == row["semantic_tokens"], f"decode mismatch: {got}"

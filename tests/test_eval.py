@@ -1,5 +1,6 @@
 """WER math + meta.lst parsing tests for the seed-tts-eval harness."""
 import numpy as np
+import pytest
 
 from rwkvtts_tpu.eval import seed_tts
 
@@ -56,3 +57,32 @@ def test_evaluate_wer_with_fake_asr():
         transcribe_fn=lambda p: {"w1.wav": "hello world", "w2.wav": "good night"}[p],
     )
     assert abs(out["wer"] - 1 / 4) < 1e-9
+
+
+def test_sim_eval_cosine_and_campplus():
+    """SIM eval (the reference's TODO, eval/README.md:14): cosine math +
+    the native CAM++ embedder path on tiny configs."""
+    import jax
+
+    from rwkvtts_tpu.codecs import campplus as cp
+    from rwkvtts_tpu.eval import sim
+
+    assert sim.cosine_sim([1, 0], [1, 0]) == pytest.approx(1.0)
+    assert sim.cosine_sim([1, 0], [0, 1]) == pytest.approx(0.0)
+    assert sim.cosine_sim([1, 1], [-1, -1]) == pytest.approx(-1.0)
+    assert sim.cosine_sim([0, 0], [1, 1]) == 0.0
+
+    cfg = cp.CampplusConfig(
+        m_channels=8, init_channels=16, growth_rate=8,
+        block_layers=(2, 2, 2), embedding_size=16,
+    )
+    params = cp.init_params(jax.random.PRNGKey(0), cfg)
+    fn = sim.campplus_embed_fn(params, cfg)
+    rng = np.random.default_rng(0)
+    wav_a = rng.standard_normal(16000).astype(np.float32) * 0.1
+    wav_b = rng.standard_normal(16000).astype(np.float32) * 0.1
+    res = sim.evaluate_sim([(wav_a, wav_a), (wav_a, wav_b)], fn)
+    # same clip => sim 1; different clips => strictly less
+    assert res.per_utt[0] == pytest.approx(1.0, abs=1e-4)
+    assert res.per_utt[1] < res.per_utt[0]
+    assert res.mean == pytest.approx(np.mean(res.per_utt))
