@@ -149,19 +149,15 @@ def _pair_chunk(
         m_incl = incl_nb
         mask0 = None
 
-    A = dotT(zt, bt) * m_strict
-    Kz = dotT(zt, kt) * m_strict
-    QB = dotT(qt, bt) * m_incl
-    QK = dotT(qt, kt) * m_incl
-
-    # (I - A)^{-1} by Neumann doubling; A is per-block nilpotent (A^L = 0)
-    # and block-diagonal (closed under these products).
-    eye = jnp.where(ri == ci, 1.0, 0.0).astype(f32)
-    inv = eye + A
-    power = A
-    for _ in range(_neumann_steps(L)):
-        power = dot(power, power)
-        inv = dot(inv, eye + power)
+    # Merged pairwise chunk matrices: A/Kz share left operand zt and QB/QK
+    # share qt, so each pair rides one (2L, 4L) matmul instead of two
+    # (2L, 2L) ones — the kernel is bound by the COUNT of serial MXU ops
+    # (PERF.md round-2 roofline note), not their MACs.
+    btkt = jnp.concatenate([bt, kt], axis=0)  # (4L, N)
+    AK = dotT(zt, btkt)  # (2L, 4L) = [A_raw | Kz_raw]
+    QBK = dotT(qt, btkt) * jnp.concatenate([m_incl, m_incl], axis=1)
+    A = AK[:, :L2] * m_strict
+    Kz = AK[:, L2:] * m_strict
 
     z0 = jnp.where(mask0, zt, 0.0) if with_resets else zt
     q0 = jnp.where(mask0, qt, 0.0) if with_resets else qt
@@ -176,16 +172,31 @@ def _pair_chunk(
     def collapse(x):  # (2L, 2N) block-structured -> (2L, N)
         return x[:, :N] + x[:, N:]
 
-    z0e = expand(z0, rb0)
-    q0e = expand(q0, rb0)
     s0e = expand(s0p, rbN)  # (2N, 2N): block-diag state
 
     # dotT(row-expanded, state-expanded) contracts the 2N lane dim; the
     # disjoint lane blocks kill all cross-head terms, and the output comes
-    # back lane-expanded -> collapse.
-    sa_in = collapse(dotT(z0e, s0e)) + dot(Kz, v)  # (2L, Nv)
+    # back lane-expanded -> collapse. z0/q0 ride one stacked matmul.
+    zq0e = jnp.concatenate([expand(z0, rb0), expand(q0, rb0)], axis=0)
+    ZQ = dotT(zq0e, s0e)  # (4L, 2N)
+    sa_in = collapse(ZQ[:L2]) + dot(Kz, v)  # (2L, Nv)
+
+    # (I - A)^{-1} by Neumann doubling; A is per-block nilpotent (A^L = 0)
+    # and block-diagonal (closed under these products). The vector-form
+    # doubling (applying (I + A^{2^k}) to sa_in directly) has fewer MACs
+    # but measured SLOWER in-model (386 vs 354 ms step): it is one long
+    # dependent chain, while the matrix form gives the MXU independent
+    # work to pipeline.
+    eye = jnp.where(ri == ci, 1.0, 0.0).astype(f32)
+    inv = eye + A
+    power = A
+    for _ in range(_neumann_steps(L)):
+        power = dot(power, power)
+        inv = dot(inv, eye + power)
     sa = dot(inv, sa_in)
-    y = collapse(dotT(q0e, s0e)) + dot(QB, sa) + dot(QK, v)
+
+    # y's two chunk-matrix terms share the merged QBK: [QB|QK] @ [sa; v]
+    y = collapse(ZQ[L2:]) + dot(QBK, jnp.concatenate([sa, v], axis=0))
 
     # final state: sources in the chunk's last segment survive, scaled by
     # the remaining decay; the entry state survives iff no reset occurred
@@ -208,10 +219,11 @@ def _pair_chunk(
         k_fin = kt * wl
         b_fin = bt * wl
         live0 = 1.0
-    s_out = (
-        s0p * (wfin * live0)
-        + dotTl(expand(sa, rb0), b_fin)
-        + dotTl(expand(v, rb0), k_fin)
+    # merged: [expand(sa); expand(v)]^T @ [b_fin; k_fin] — stacking along
+    # the contracted (row) dim turns the sum of two products into one op
+    s_out = s0p * (wfin * live0) + dotTl(
+        jnp.concatenate([expand(sa, rb0), expand(v, rb0)], axis=0),
+        jnp.concatenate([b_fin, k_fin], axis=0),
     )
     return y, s_out
 
