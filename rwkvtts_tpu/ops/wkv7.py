@@ -456,6 +456,10 @@ def wkv7_step(
     f32 = lambda x: x.astype(jnp.float32)
     r, k, v, z, b = map(f32, (r, k, v, z, b))
     w = decay_from_raw(w_raw)
+    # NOTE (measured, PERF.md): reassociating y to read only the OLD state
+    # (y = S(w*r) + sa(b.r) + v(k.r), one stacked einsum) is fewer HBM
+    # passes on paper but decodes 15% SLOWER — the (bhij,bhcj->bhci)
+    # stacked contraction lowers poorly. Keep the direct form.
     sa = jnp.einsum("bhij,bhj->bhi", state, z)
     state = (
         state * w[:, :, None, :]
