@@ -117,6 +117,8 @@ def stream_tars(
     shard_index: int = 0,
     num_shards: int = 1,
     native: bool = True,
+    shuffle_buffer: int = 0,
+    seed: int = 0,
 ) -> Iterator[Dict[str, Any]]:
     """Streaming pipeline over many tars (the ASR webdataset path,
     utils/webdataset_utils.py:245-392 equivalent): tars are sharded across
@@ -126,16 +128,40 @@ def stream_tars(
     prefetching streamer (csrc/tar_stream.cpp): a reader thread parses
     ustar headers and fills a bounded queue, overlapping IO with the
     training step. Falls back to the stdlib tarfile path when no compiler
-    is available."""
-    mine = [p for i, p in enumerate(tar_paths) if i % num_shards == shard_index]
-    if native:
-        try:
-            yield from _stream_tars_native(mine, sample_rate)
-            return
-        except RuntimeError:
-            log.info("native tar streamer unavailable; using tarfile path")
-    for p in mine:
-        yield from iter_tar_samples(p, sample_rate)
+    is available.
+
+    `shuffle_buffer > 0` adds reservoir-style streaming shuffle (the
+    webdataset `.shuffle(N)` equivalent the reference's ASR pipeline uses):
+    samples are drawn at random from a rolling buffer of that size."""
+
+    def raw():
+        mine = [
+            p for i, p in enumerate(tar_paths) if i % num_shards == shard_index
+        ]
+        if native:
+            try:
+                yield from _stream_tars_native(mine, sample_rate)
+                return
+            except RuntimeError:
+                log.info("native tar streamer unavailable; using tarfile path")
+        for p in mine:
+            yield from iter_tar_samples(p, sample_rate)
+
+    if shuffle_buffer <= 0:
+        yield from raw()
+        return
+    import random
+
+    rng = random.Random(seed)
+    buf: List[Dict[str, Any]] = []
+    for s in raw():
+        buf.append(s)
+        if len(buf) >= shuffle_buffer:
+            i = rng.randrange(len(buf))
+            buf[i], buf[-1] = buf[-1], buf[i]
+            yield buf.pop()
+    rng.shuffle(buf)
+    yield from buf
 
 
 def _stream_tars_native(

@@ -93,3 +93,13 @@ def test_early_close_no_hang(tmp_path):
     it = iter(ts)
     next(it)
     ts.close()  # reader blocked on the full queue must exit cleanly
+
+
+def test_shuffle_buffer(tmp_path):
+    p = _make_tar(tmp_path / "sh.tar", [f"k{i:02d}" for i in range(20)])
+    plain = [s["__key__"] for s in wds.stream_tars([str(p)])]
+    shuf = [s["__key__"] for s in wds.stream_tars([str(p)], shuffle_buffer=8, seed=1)]
+    assert sorted(shuf) == sorted(plain) and shuf != plain
+    # deterministic for a given seed
+    shuf2 = [s["__key__"] for s in wds.stream_tars([str(p)], shuffle_buffer=8, seed=1)]
+    assert shuf == shuf2
