@@ -1,0 +1,205 @@
+"""Continuous (in-flight) batching for RWKV decode serving.
+
+The reference serves with a thread pool of independent engines
+(service/tts_service.py) and our BatchedTTSService groups same-voice
+requests into one static batch. This module goes further: a fixed pool of
+B decode SLOTS runs one compiled chunk loop forever, and new requests are
+swapped into finished slots between chunks — the "continuous batching" of
+modern LLM serving. RWKV makes the swap unusually clean: per-sequence
+state is a fixed-size pytree (no paged KV cache, no length-dependent
+allocation), so admitting a request is one `dynamic_update_slice` per
+state leaf.
+
+Throughput intuition: decode cost per step is nearly flat in occupied
+slots (the batch dim rides free until the state saturates HBM bandwidth —
+PERF.md batch scaling), so keeping slots full converts latency into
+throughput without per-request batching delays.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rwkvtts_tpu.models import rwkv7, spark
+from rwkvtts_tpu.ops import sampling
+
+
+@dataclasses.dataclass
+class _Slot:
+    req_id: Optional[int] = None
+    tokens: Optional[List[int]] = None
+    max_new: int = 0
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _insert_slot(carry, single, slot):
+    """Swap a prefilled request (leading dim 1) into batch position `slot`."""
+    h, st, done, n = carry
+    h1, st1 = single
+
+    def ins(c, s):
+        idx = (slot,) + (jnp.int32(0),) * (c.ndim - 1)
+        return jax.lax.dynamic_update_slice(c, s.astype(c.dtype), idx)
+
+    h = ins(h, h1)
+    st = jax.tree.map(ins, st, st1)
+    done = done.at[slot].set(False)
+    n = n.at[slot].set(0)
+    return (h, st, done, n)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "chunk", "temperature", "top_k", "top_p"),
+    donate_argnums=(1,),
+)
+def _decode_chunk(
+    params, carry, key, cfg, chunk: int,
+    temperature: float, top_k: int, top_p: float,
+):
+    bb = cfg.backbone
+    eos_id = cfg.eos_token_id
+
+    def step(c, step_key):
+        h, st, done, n = c
+        logits = (h @ params["head"].astype(bb.dtype)).astype(jnp.float32)
+        tok = sampling.sample(
+            step_key, logits, temperature=temperature, top_k=top_k, top_p=top_p
+        )
+        tok = jnp.where(done, eos_id, tok)
+        done = done | (tok == eos_id)
+        x = spark.decode_embed(params, cfg, tok)
+        h, st = rwkv7.decode_step(params, bb, x, st)
+        return (h, st, done, n + 1), tok
+
+    keys = jax.random.split(key, chunk)
+    carry, toks = jax.lax.scan(step, carry, keys)
+    return carry, jnp.moveaxis(toks, 0, 1), carry[2]
+
+
+class ContinuousBatcher:
+    """Slot-pool decoder for the Spark speech LM.
+
+    Usage:
+        cb = ContinuousBatcher(params, cfg, n_slots=8)
+        rid = cb.add_request(prompt_batch, max_new_tokens=256)
+        while not cb.idle():
+            for req_id, toks in cb.step():
+                ...  # finished sequences
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg,
+        n_slots: int = 8,
+        chunk: int = 16,
+        prompt_cap: int = 128,
+        temperature: float = 1.0,
+        top_k: int = 1,  # greedy default: deterministic serving
+        top_p: float = 1.0,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        bb = cfg.backbone
+        # stacked params for prefill (scan-over-layers forward), layered
+        # views for the decode chunk (per-layer state leaves)
+        self.params = params
+        self.params_l = rwkv7.layer_decode_views(params, bb)
+        self.n_slots = n_slots
+        self.chunk = chunk
+        self.prompt_cap = prompt_cap
+        self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
+        self.key = jax.random.PRNGKey(seed)
+        self._next_id = 0
+        self._queue: List[Tuple[int, Dict[str, np.ndarray], int]] = []
+        self._slots = [_Slot() for _ in range(n_slots)]
+        self._prefill = jax.jit(spark.prefill, static_argnames=("cfg",))
+
+        C = bb.hidden_size
+        st = rwkv7.init_model_state(bb, n_slots)
+        st = rwkv7.pack_decode_state(st, bb)
+        self._carry = (
+            jnp.zeros((n_slots, C), bb.dtype),
+            st,
+            jnp.ones((n_slots,), bool),  # empty slots count as done
+            jnp.zeros((n_slots,), jnp.int32),
+        )
+
+    # -- client API -------------------------------------------------------
+
+    def add_request(self, prompt_batch: Dict[str, np.ndarray], max_new_tokens: int) -> int:
+        """prompt_batch: a B=1 left-padded batch ({tokens, modality,
+        attention_mask}) as produced by spark_collator.pad_prompts_left."""
+        rid = self._next_id
+        self._next_id += 1
+        self._queue.append((rid, prompt_batch, max_new_tokens))
+        return rid
+
+    def idle(self) -> bool:
+        return not self._queue and all(s.req_id is None for s in self._slots)
+
+    # -- engine -----------------------------------------------------------
+
+    def _pad_prompt(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        T = batch["tokens"].shape[1]
+        cap = self.prompt_cap
+        while cap < T:
+            cap *= 2
+        pad = cap - T
+        out = {}
+        for k, v in batch.items():
+            out[k] = jnp.asarray(np.pad(v, ((0, 0), (pad, 0))))  # left pad
+        return out
+
+    def _admit(self):
+        for i, s in enumerate(self._slots):
+            if s.req_id is not None or not self._queue:
+                continue
+            rid, batch, max_new = self._queue.pop(0)
+            pb = self._pad_prompt(batch)
+            h1, st1 = self._prefill(
+                self.params, self.cfg, pb["tokens"], pb["modality"],
+                pb["attention_mask"],
+            )
+            st1 = rwkv7.pack_decode_state(st1, self.cfg.backbone)
+            self._carry = _insert_slot(self._carry, (h1, st1), jnp.int32(i))
+            self._slots[i] = _Slot(req_id=rid, tokens=[], max_new=max_new)
+
+    def step(self) -> List[Tuple[int, List[int]]]:
+        """Admit waiting requests, decode one chunk, return finished
+        (req_id, tokens) pairs."""
+        self._admit()
+        self.key, sub = jax.random.split(self.key)
+        self._carry, toks, done = _decode_chunk(
+            self.params_l, self._carry, sub, self.cfg, self.chunk,
+            self.temperature, self.top_k, self.top_p,
+        )
+        toks = np.asarray(toks)
+        done = np.asarray(done)
+        eos = self.cfg.eos_token_id
+        finished = []
+        for i, s in enumerate(self._slots):
+            if s.req_id is None:
+                continue
+            row = toks[i]
+            hit = np.flatnonzero(row == eos)
+            take = row[: hit[0]] if hit.size else row
+            s.tokens.extend(int(t) for t in take)
+            if hit.size or len(s.tokens) >= s.max_new:
+                finished.append((s.req_id, s.tokens[: s.max_new]))
+                self._slots[i] = _Slot()
+        return finished
+
+    def drain(self) -> Dict[int, List[int]]:
+        """Run until every queued request finishes."""
+        out: Dict[int, List[int]] = {}
+        while not self.idle():
+            for rid, toks in self.step():
+                out[rid] = toks
+        return out
