@@ -37,20 +37,28 @@ class _Slot:
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _insert_slot(carry, single, slot):
-    """Swap a prefilled request (leading dim 1) into batch position `slot`."""
-    h, st, done, n = carry
-    h1, st1 = single
+def _insert_many(carry, hk, stk, slots, take):
+    """Swap the first `take` prefilled requests (rows of hk/stk) into batch
+    positions `slots[j]`. A fori_loop with a TRACED count: one small
+    compiled program per prefill-batch shape, regardless of how many
+    requests are admitted."""
 
-    def ins(c, s):
-        idx = (slot,) + (jnp.int32(0),) * (c.ndim - 1)
-        return jax.lax.dynamic_update_slice(c, s.astype(c.dtype), idx)
+    def body(j, c):
+        h, st, done, n = c
+        slot = slots[j]
 
-    h = ins(h, h1)
-    st = jax.tree.map(ins, st, st1)
-    done = done.at[slot].set(False)
-    n = n.at[slot].set(0)
-    return (h, st, done, n)
+        def ins(cl, s):
+            row = jax.lax.dynamic_slice_in_dim(s, j, 1, axis=0)
+            idx = (slot,) + (jnp.int32(0),) * (cl.ndim - 1)
+            return jax.lax.dynamic_update_slice(cl, row.astype(cl.dtype), idx)
+
+        h = ins(h, hk)
+        st = jax.tree.map(ins, st, stk)
+        done = done.at[slot].set(False)
+        n = n.at[slot].set(0)
+        return (h, st, done, n)
+
+    return jax.lax.fori_loop(0, take, body, carry)
 
 
 @functools.partial(
@@ -59,11 +67,12 @@ def _insert_slot(carry, single, slot):
     donate_argnums=(1,),
 )
 def _decode_chunk(
-    params, carry, key, cfg, chunk: int,
+    params, carry, base_key, counter, cfg, chunk: int,
     temperature: float, top_k: int, top_p: float,
 ):
     bb = cfg.backbone
     eos_id = cfg.eos_token_id
+    key = jax.random.fold_in(base_key, counter)
 
     def step(c, step_key):
         h, st, done, n = c
@@ -116,6 +125,7 @@ class ContinuousBatcher:
         self.prompt_cap = prompt_cap
         self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
         self.key = jax.random.PRNGKey(seed)
+        self._counter = 0
         self._next_id = 0
         self._queue: List[Tuple[int, Dict[str, np.ndarray], int]] = []
         self._slots = [_Slot() for _ in range(n_slots)]
@@ -144,40 +154,110 @@ class ContinuousBatcher:
     def idle(self) -> bool:
         return not self._queue and all(s.req_id is None for s in self._slots)
 
+    def warmup(self):
+        """Compile every program ahead of serving: the prefill at each
+        power-of-two admission size, the insert loop, and the decode chunk.
+        One-time cost (persisted by the jit cache); call before taking
+        traffic so admissions never stall on a compile."""
+        dummy = {
+            "tokens": np.zeros((1, self.prompt_cap), np.int32),
+            "modality": np.zeros((1, self.prompt_cap), np.int32),
+            "attention_mask": np.ones((1, self.prompt_cap), np.int32),
+        }
+        bucket = 1
+        while True:
+            pb = {k: np.repeat(v, bucket, 0) for k, v in dummy.items()}
+            hk, stk = self._prefill(
+                self.params, self.cfg, pb["tokens"], pb["modality"],
+                pb["attention_mask"],
+            )
+            stk = rwkv7.pack_decode_state(stk, self.cfg.backbone)
+            self._carry = _insert_many(
+                self._carry, hk, stk,
+                np.zeros((bucket,), np.int32), np.int32(0),
+            )
+            if bucket >= self.n_slots:
+                break
+            bucket *= 2
+        self._carry, _, _ = _decode_chunk(
+            self.params_l, self._carry, self.key, np.int32(0), self.cfg,
+            self.chunk, self.temperature, self.top_k, self.top_p,
+        )
+        # reset engine state touched by the warmup chunk
+        C = self.cfg.backbone.hidden_size
+        st = rwkv7.init_model_state(self.cfg.backbone, self.n_slots)
+        st = rwkv7.pack_decode_state(st, self.cfg.backbone)
+        self._carry = (
+            jnp.zeros((self.n_slots, C), self.cfg.backbone.dtype),
+            st,
+            jnp.ones((self.n_slots,), bool),
+            jnp.zeros((self.n_slots,), jnp.int32),
+        )
+
     # -- engine -----------------------------------------------------------
 
-    def _pad_prompt(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+    def _pad_prompt(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        # numpy-only: eager device ops here would cost one host<->device
+        # round trip EACH (the dominant serving overhead on remote TPU)
         T = batch["tokens"].shape[1]
         cap = self.prompt_cap
         while cap < T:
             cap *= 2
         pad = cap - T
-        out = {}
-        for k, v in batch.items():
-            out[k] = jnp.asarray(np.pad(v, ((0, 0), (pad, 0))))  # left pad
-        return out
+        return {
+            # int32-normalized: a stray int64 batch would silently compile
+            # a SECOND prefill program per bucket size (~1 min each here)
+            k: np.pad(np.asarray(v, np.int32), ((0, 0), (pad, 0)))
+            for k, v in batch.items()
+        }
 
     def _admit(self):
-        for i, s in enumerate(self._slots):
-            if s.req_id is not None or not self._queue:
-                continue
-            rid, batch, max_new = self._queue.pop(0)
-            pb = self._pad_prompt(batch)
-            h1, st1 = self._prefill(
-                self.params, self.cfg, pb["tokens"], pb["modality"],
-                pb["attention_mask"],
+        """Admit as many queued requests as there are free slots with ONE
+        batched prefill (a per-request B=1 prefill costs a full host->
+        device dispatch each — measured 6x slower end-to-end)."""
+        free = [i for i, s in enumerate(self._slots) if s.req_id is None]
+        if not free or not self._queue:
+            return
+        take = min(len(free), len(self._queue))
+        reqs = [self._queue.pop(0) for _ in range(take)]
+        # pad the admission batch to a power of two: bounds the number of
+        # distinct prefill shapes (compiles); rows beyond `take` are inert
+        # (the insert loop stops at `take`)
+        bucket = 1
+        while bucket < take:
+            bucket *= 2
+        pbs = [self._pad_prompt(b) for _, b, _ in reqs]
+        pbs += [pbs[-1]] * (bucket - take)
+        slot_ids = [free[j] for j in range(take)]
+        slot_ids += [slot_ids[-1]] * (bucket - take)
+        cap = max(p["tokens"].shape[1] for p in pbs)
+        stacked = {
+            k: np.concatenate(
+                [np.pad(p[k], ((0, 0), (cap - p[k].shape[1], 0))) for p in pbs],
+                axis=0,
             )
-            st1 = rwkv7.pack_decode_state(st1, self.cfg.backbone)
-            self._carry = _insert_slot(self._carry, (h1, st1), jnp.int32(i))
-            self._slots[i] = _Slot(req_id=rid, tokens=[], max_new=max_new)
+            for k in pbs[0]
+        }
+        hk, stk = self._prefill(
+            self.params, self.cfg, stacked["tokens"], stacked["modality"],
+            stacked["attention_mask"],
+        )
+        stk = rwkv7.pack_decode_state(stk, self.cfg.backbone)
+        self._carry = _insert_many(
+            self._carry, hk, stk, np.asarray(slot_ids, np.int32),
+            np.int32(take),
+        )
+        for j, (rid, _, max_new) in enumerate(reqs):
+            self._slots[free[j]] = _Slot(req_id=rid, tokens=[], max_new=max_new)
 
     def step(self) -> List[Tuple[int, List[int]]]:
         """Admit waiting requests, decode one chunk, return finished
         (req_id, tokens) pairs."""
         self._admit()
-        self.key, sub = jax.random.split(self.key)
+        self._counter += 1
         self._carry, toks, done = _decode_chunk(
-            self.params_l, self._carry, sub, self.cfg, self.chunk,
+            self.params_l, self._carry, self.key, np.int32(self._counter),
+            self.cfg, self.chunk,
             self.temperature, self.top_k, self.top_p,
         )
         toks = np.asarray(toks)
