@@ -189,6 +189,8 @@ def transcribe(
     )
     h_last = h[:, -1]
     B = h_last.shape[0]
+    state = rwkv7.pack_decode_state(state, cfg.llm)
+    llm_params = rwkv7.layer_decode_views(params["llm"], cfg.llm)
     if key is None:
         key = jax.random.PRNGKey(0)
 
@@ -204,7 +206,7 @@ def transcribe(
         tok = jnp.where(done, EOS_ID, tok)
         done = done | (tok == EOS_ID)
         x = lut[tok].astype(dt)
-        h2, st2 = rwkv7.decode_step(params["llm"], cfg.llm, x, st)
+        h2, st2 = rwkv7.decode_step(llm_params, cfg.llm, x, st)
         return (h2[:,] if h2.ndim == 2 else h2, st2, done), tok
 
     keys = jax.random.split(key, max_new_tokens)

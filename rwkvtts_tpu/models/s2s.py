@@ -83,6 +83,9 @@ def generate(
     w = params["head"] if is_text else params["audio_head"]
     offset = 0 if is_text else cfg.text_vocab_size
 
+    state = rwkv7.pack_decode_state(state, bb)
+    lparams = rwkv7.layer_decode_views(params, bb)
+
     def step(carry, step_key):
         h, st, done = carry
         logits = (h @ w.astype(dt)).astype(jnp.float32)
@@ -94,8 +97,8 @@ def generate(
             )
         tok = jnp.where(done, eos_id, tok)
         done = done | (tok == eos_id)
-        x = params["embedding"][tok + offset].astype(dt)
-        h2, st2 = rwkv7.decode_step(params, bb, x, st)
+        x = lparams["embedding"][tok + offset].astype(dt)
+        h2, st2 = rwkv7.decode_step(lparams, bb, x, st)
         return (h2, st2, done), tok
 
     keys = jax.random.split(key, max_new_tokens)

@@ -127,17 +127,19 @@ def generate(
     h_last = h[:, -1]
     B = h_last.shape[0]
     dt = cfg.audio.dtype
+    state = rwkv7.pack_decode_state(state, cfg.audio)
+    audio_params = rwkv7.layer_decode_views(params["audio_lm"], cfg.audio)
 
     def step(carry, step_key):
         h, st, done = carry
-        logits = (h @ params["audio_lm"]["head"].astype(dt)).astype(jnp.float32)
+        logits = (h @ audio_params["head"].astype(dt)).astype(jnp.float32)
         tok = sampling.sample(
             step_key, logits, temperature=temperature, top_k=top_k, top_p=top_p
         )
         tok = jnp.where(done, EOS_AUDIO_ID, tok)
         done = done | (tok == EOS_AUDIO_ID)
-        x = params["audio_lm"]["embedding"][tok].astype(dt)
-        h2, st2 = rwkv7.decode_step(params["audio_lm"], cfg.audio, x, st)
+        x = audio_params["embedding"][tok].astype(dt)
+        h2, st2 = rwkv7.decode_step(audio_params, cfg.audio, x, st)
         return (h2, st2, done), tok
 
     keys = jax.random.split(key, max_new_tokens)
