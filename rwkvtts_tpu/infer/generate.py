@@ -94,6 +94,101 @@ def spark_generate(
     return toks, lengths
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def spark_prefill_carry(params, cfg, tokens, modality, attention_mask):
+    """Prefill and build the chunked-decode carry for `spark_decode_chunk`."""
+    B = tokens.shape[0]
+    h_last, state = spark.prefill(params, cfg, tokens, modality, attention_mask)
+    state = rwkv7.pack_decode_state(state, cfg.backbone)
+    return (h_last, state, jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "chunk_len", "min_new_tokens", "temperature", "top_k", "top_p",
+    ),
+    donate_argnums=(2,),
+)
+def spark_decode_chunk(
+    params,
+    cfg,
+    carry,
+    key: jax.Array,
+    *,
+    chunk_len: int = 64,
+    min_new_tokens: int = 0,
+    temperature: float = 1.0,
+    top_k: int = 50,
+    top_p: float = 0.95,
+):
+    """Decode `chunk_len` Spark semantic tokens from a carried state; the
+    host loop stops at EOS between chunks (early exit — a short utterance
+    costs its own length, not max_new_tokens). Returns
+    (carry, toks (B, chunk_len), done (B,))."""
+    eos_id = cfg.eos_token_id
+    bb = cfg.backbone
+    params = rwkv7.layer_decode_views(params, bb)
+
+    def step(c, step_key):
+        h, st, done, n = c
+        logits = (h @ params["head"].astype(bb.dtype)).astype(jnp.float32)
+        if min_new_tokens > 0:
+            logits = jnp.where(
+                (n < min_new_tokens)[..., None]
+                & (jnp.arange(logits.shape[-1]) == eos_id)[None, :],
+                sampling.NEG_INF,
+                logits,
+            )
+        tok = sampling.sample(
+            step_key, logits, temperature=temperature, top_k=top_k, top_p=top_p
+        )
+        tok = jnp.where(done, eos_id, tok)
+        done = done | (tok == eos_id)
+        x = spark.decode_embed(params, cfg, tok)
+        h, st = rwkv7.decode_step(params, bb, x, st)
+        return (h, st, done, n + 1), tok
+
+    keys = jax.random.split(key, chunk_len)
+    carry, toks = jax.lax.scan(step, carry, keys)
+    return carry, jnp.moveaxis(toks, 0, 1), carry[2]
+
+
+def spark_generate_early_exit(
+    params, cfg, tokens, modality, attention_mask, key,
+    *, max_new_tokens: int = 1024, chunk_len: int = 64, **sample_kw,
+):
+    """Host-chunked Spark generation: same contract as `spark_generate`
+    (post-EOS positions filled with EOS) but stops decoding once every
+    sequence finished — short utterances don't pay the max-length scan."""
+    import numpy as np
+
+    eos_id = cfg.eos_token_id
+    carry = spark_prefill_carry(params, cfg, tokens, modality, attention_mask)
+    B = tokens.shape[0]
+    chunks = []
+    n = 0
+    while n < max_new_tokens:
+        key, sub = jax.random.split(key)
+        cl = min(chunk_len, max_new_tokens - n)
+        carry, toks, done = spark_decode_chunk(
+            params, cfg, carry, sub, chunk_len=cl, **sample_kw
+        )
+        chunks.append(np.asarray(toks))
+        n += cl
+        if bool(np.asarray(done).all()):
+            break
+    out = np.concatenate(chunks, axis=1)
+    pad = max_new_tokens - out.shape[1]
+    if pad:
+        out = np.concatenate(
+            [out, np.full((B, pad), eos_id, out.dtype)], axis=1
+        )
+    lengths = np.argmax(out == eos_id, axis=-1)
+    lengths = np.where((out == eos_id).any(axis=-1), lengths, max_new_tokens)
+    return jnp.asarray(out), jnp.asarray(lengths)
+
+
 def _make_cosy_step(
     params, cfg, *, min_new_tokens: int, top_k: int, top_p: float,
     win_size: int, tau_r: float,

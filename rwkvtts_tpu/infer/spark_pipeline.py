@@ -130,7 +130,9 @@ class SparkPipeline:
         )
 
         t0 = time.perf_counter()
-        toks, lengths = gen.spark_generate(
+        # chunked early-exit decode: a short utterance costs its own length
+        # plus at most one chunk, not max_new_tokens scan steps
+        toks, lengths = gen.spark_generate_early_exit(
             self.params,
             self.cfg,
             jnp.asarray(batch["tokens"]),

@@ -77,3 +77,34 @@ def test_pack_shapes():
     D = 3 * C + cfg.decay_lora + cfg.a_lora + cfg.v_lora + cfg.gate_lora
     assert packed["blocks"]["att"]["fused_a"].shape == (2, C, D)
     assert packed["blocks"]["att"]["fused_b"].shape == (2, C, D)
+
+
+def test_spark_early_exit_matches_fixed_scan():
+    """Chunked early-exit greedy decode == fixed-length scan output."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rwkvtts_tpu.infer import generate as gen
+    from rwkvtts_tpu.models import spark
+
+    cfg = spark.default_config(
+        hidden_size=64, num_layers=2, head_size=16, gate_lora=16,
+        dtype=jnp.float32, wkv_chunk=16, remat=False, dropout=0.0,
+    )
+    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+    B, T = 2, 8
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (B, T), 0, 100)
+    modality = jnp.full((B, T), spark.MOD_TEXT, jnp.int32)
+    mask = jnp.ones((B, T), jnp.int32)
+    key = jax.random.PRNGKey(3)
+    a, la = gen.spark_generate(
+        params, cfg, tokens, modality, mask, key, max_new_tokens=16,
+        top_k=1, top_p=1.0,
+    )
+    b, lb = gen.spark_generate_early_exit(
+        params, cfg, tokens, modality, mask, key, max_new_tokens=16,
+        chunk_len=4, top_k=1, top_p=1.0,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
