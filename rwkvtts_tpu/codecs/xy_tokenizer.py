@@ -405,3 +405,86 @@ def whisper_log_mel(wav, sample_rate: int = 16000, n_fft: int = 400, hop: int = 
     log_spec = jnp.log10(jnp.clip(mel, 1e-10))
     log_spec = jnp.maximum(log_spec, jnp.max(log_spec, axis=(1, 2), keepdims=True) - 8.0)
     return (log_spec + 4.0) / 4.0
+
+
+# ---------------------------------------------------------------------------
+# Long-audio chunked encode/decode (reference model.py:131-256): audio beyond
+# the encoder's positional window is processed in fixed windows stepping by
+# (window - overlap), keeping the leading (window - overlap) of each chunk's
+# output — the overlap serves as lookahead context.
+
+
+def encode_long(
+    p: Params,
+    cfg: XYTokenizerConfig,
+    wav,
+    window_seconds: float = 30.0,
+    overlap_seconds: float = 10.0,
+):
+    """wav: (T,) float @16 kHz of any length -> codes (nq, T_codes).
+
+    Fixed 16 kHz window shapes (zero-padded + masked) -> one compiled
+    program regardless of utterance length."""
+    import numpy as np
+
+    wav = np.asarray(wav, np.float32)
+    sr = cfg.input_sample_rate
+    win = int(window_seconds * sr)
+    dur = int((window_seconds - overlap_seconds) * sr)
+    samples_per_code = 8 * 160  # 8 mel frames (100 Hz) per 12.5 Hz code
+    keep_codes = dur // samples_per_code
+    total_codes = len(wav) // samples_per_code
+    if len(wav) <= win:
+        mel = whisper_log_mel(jnp.asarray(wav[None]), n_mels=cfg.n_mels)
+        return np.asarray(encode(p, cfg, mel))[:, 0, :total_codes]
+    chunks = []
+    for start in range(0, len(wav), dur):
+        piece = wav[start : start + win]
+        n = len(piece)
+        if n == 0:
+            break
+        buf = np.zeros(win, np.float32)
+        buf[:n] = piece
+        mel = whisper_log_mel(jnp.asarray(buf[None]), n_mels=cfg.n_mels)
+        mask = (np.arange(mel.shape[1]) * 160 < n).astype(np.float32)[None]
+        codes = np.asarray(encode(p, cfg, mel, jnp.asarray(mask)))[:, 0]
+        valid = min(keep_codes, n // samples_per_code)
+        if valid > 0:
+            chunks.append(codes[:, :valid])
+    return np.concatenate(chunks, axis=-1)[:, :total_codes]
+
+
+def decode_long(
+    p: Params,
+    cfg: XYTokenizerConfig,
+    codes,
+    window_seconds: float = 30.0,
+    overlap_seconds: float = 10.0,
+):
+    """codes (nq, T) of any length -> wav (T * out_rate/frame_rate,) @24 kHz."""
+    import numpy as np
+
+    codes = np.asarray(codes)
+    win = int(window_seconds * cfg.frame_rate)
+    keep = int((window_seconds - overlap_seconds) * cfg.frame_rate)
+    # 8 output mel frames per code x vocos hop (1920 @24 kHz production)
+    out_per_code = 8 * cfg.vocos_hop
+    T = codes.shape[-1]
+    if T <= win:
+        return np.asarray(decode(p, cfg, jnp.asarray(codes[:, None, :])))[0]
+    pieces = []
+    for start in range(0, T, keep):
+        piece = codes[:, start : start + win]
+        n = piece.shape[-1]
+        if n == 0:
+            break
+        buf = np.zeros((codes.shape[0], win), codes.dtype)
+        buf[:, :n] = piece
+        mask = (np.arange(win) < n).astype(np.float32)[None]
+        wav = np.asarray(
+            decode(p, cfg, jnp.asarray(buf[:, None, :]), jnp.asarray(mask))
+        )[0]
+        valid = min(keep, n) * out_per_code
+        if valid > 0:
+            pieces.append(wav[:valid])
+    return np.concatenate(pieces)[: T * out_per_code]

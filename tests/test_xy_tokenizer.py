@@ -74,3 +74,40 @@ def test_whisper_log_mel_shape_and_range():
     assert np.isfinite(m).all()
     # whisper normalization bounds: (log_spec+4)/4 with 8-decade clamp
     assert m.max() <= 3.0 and m.min() >= m.max() - 2.0 - 1e-6
+
+
+def test_long_chunked_encode_decode(small):
+    """Chunked long-audio path (reference model.py:131-256): window/overlap
+    stepping, correct total lengths, and short inputs equal the direct path."""
+    import numpy as np
+
+    from rwkvtts_tpu.codecs import xy_tokenizer as xy
+
+    cfg, params = small
+    sr = cfg.input_sample_rate
+    spc = 8 * 160  # samples per code at 16 kHz
+
+    # short input: identical to direct encode
+    wav = np.sin(np.linspace(0, 50, spc * 10)).astype(np.float32)
+    direct = np.asarray(
+        xy.encode(
+            params, cfg,
+            xy.whisper_log_mel(jnp.asarray(wav[None]), n_mels=cfg.n_mels),
+        )
+    )[:, 0]
+    codes_s = xy.encode_long(params, cfg, wav, window_seconds=2.0, overlap_seconds=1.0)
+    np.testing.assert_array_equal(codes_s, direct[:, : codes_s.shape[-1]])
+
+    # long input: 5x the window
+    wav_long = np.sin(np.linspace(0, 500, spc * 10 * 5)).astype(np.float32)
+    win_s = (spc * 10) / sr  # window = 10 codes worth of audio
+    codes = xy.encode_long(
+        params, cfg, wav_long, window_seconds=win_s, overlap_seconds=win_s / 2
+    )
+    assert codes.shape == (cfg.nq, 50)
+
+    out = xy.decode_long(
+        params, cfg, codes, window_seconds=win_s, overlap_seconds=win_s / 2
+    )
+    assert out.shape == (50 * 8 * cfg.vocos_hop,)
+    assert np.isfinite(out).all()
