@@ -97,6 +97,23 @@ class NativeTrieEncoder:
             pass
 
 
+import atexit as _atexit
+import weakref as _weakref
+
+_OPEN_TAR_STREAMS: "_weakref.WeakSet" = _weakref.WeakSet()
+
+
+@_atexit.register
+def _close_tar_streams():
+    # join reader threads before interpreter teardown — a C++ thread still
+    # parsing while Python unloads is a segfault at exit
+    for s in list(_OPEN_TAR_STREAMS):
+        try:
+            s.close()
+        except Exception:  # noqa: BLE001
+            pass
+
+
 class NativeTarStream:
     """ctypes wrapper over csrc/tar_stream.cpp — background-thread tar
     shard reader with a bounded prefetch queue. Iterate to get
@@ -122,6 +139,7 @@ class NativeTarStream:
         self._h = self._lib.ts_open(blob, len(blob), queue_cap)
         if not self._h:
             raise RuntimeError("ts_open failed")
+        _OPEN_TAR_STREAMS.add(self)
 
     def __iter__(self):
         name_buf = ctypes.create_string_buffer(4096)
