@@ -94,9 +94,17 @@ class XYPipeline:
         if self.codec_params is not None:
             from rwkvtts_tpu.codecs import xy_tokenizer as xt
 
-            wav = np.asarray(
-                xt.decode(self.codec_params, self.codec_cfg, jnp.asarray(codes)[:, None, :])
-            )[0]
+            # chunked decode past the codec's 30 s window (reference
+            # model.py:195-256 semantics); direct decode otherwise
+            if codes.shape[-1] > 30 * self.codec_cfg.frame_rate:
+                wav = xt.decode_long(self.codec_params, self.codec_cfg, codes)
+            else:
+                wav = np.asarray(
+                    xt.decode(
+                        self.codec_params, self.codec_cfg,
+                        jnp.asarray(codes)[:, None, :],
+                    )
+                )[0]
         t2 = time.perf_counter()
         return XYTTSResult(
             wav=wav, sample_rate=self.sample_rate, codes=codes,
