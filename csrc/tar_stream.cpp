@@ -16,7 +16,7 @@
 //   void*   ts_open(const char* paths_blob, int64_t blob_len, int32_t cap)
 //             paths_blob: '\n'-joined shard paths; cap: queue capacity
 //   int32_t ts_next(void* h, char* name_out, int32_t name_cap,
-//                   uint8_t** data_out, int64_t* len_out)
+//                   uint8_t** data_out, int64_t* len_out, int32_t* shard_out)
 //             1 = member delivered (free data with ts_free)
 //             0 = end of all shards
 //   int64_t ts_errors(void* h)   // shards abandoned due to parse errors
@@ -43,6 +43,7 @@ struct Member {
   std::string name;
   uint8_t* data = nullptr;  // malloc'd; ownership passes to the consumer
   int64_t len = 0;
+  int32_t shard = 0;  // index of the source shard (sample-grouping key)
 };
 
 int64_t parse_size(const unsigned char* f, int n) {
@@ -91,7 +92,7 @@ struct Stream {
     return true;
   }
 
-  void read_shard(const std::string& path) {
+  void read_shard(const std::string& path, int32_t shard_idx) {
     FILE* f = fopen(path.c_str(), "rb");
     if (!f) {
       errors.fetch_add(1);
@@ -155,6 +156,7 @@ struct Stream {
       }
       Member m;
       m.name = std::move(name);
+      m.shard = shard_idx;
       m.len = size;
       m.data = static_cast<uint8_t*>(malloc(size ? static_cast<size_t>(size) : 1));
       if (fread(m.data, 1, static_cast<size_t>(size), f) !=
@@ -175,9 +177,9 @@ struct Stream {
   }
 
   void run() {
-    for (const auto& p : paths) {
+    for (size_t i = 0; i < paths.size(); ++i) {
       if (closed.load()) break;
-      read_shard(p);
+      read_shard(paths[i], static_cast<int32_t>(i));
     }
     done.store(true);
     cv_pop.notify_all();
@@ -204,13 +206,14 @@ void* ts_open(const char* paths_blob, int64_t blob_len, int32_t cap) {
 }
 
 int32_t ts_next(void* h, char* name_out, int32_t name_cap, uint8_t** data_out,
-                int64_t* len_out) {
+                int64_t* len_out, int32_t* shard_out) {
   auto* s = static_cast<Stream*>(h);
   Member m;
   if (!s->pop(m)) return 0;
   snprintf(name_out, static_cast<size_t>(name_cap), "%s", m.name.c_str());
   *data_out = m.data;  // consumer frees with ts_free
   *len_out = m.len;
+  *shard_out = m.shard;
   return 1;
 }
 

@@ -170,17 +170,17 @@ def _stream_tars_native(
     from rwkvtts_tpu.utils.native import NativeTarStream
 
     with NativeTarStream(tar_paths) as ts:
-        current_key: Optional[str] = None
+        current_key = None  # (shard, basename)
         sample: Dict[str, Any] = {}
-        for name, data in ts:
-            base = name.rsplit(".", 1)[0]
+        for shard, name, data in ts:
+            base = (shard, name.rsplit(".", 1)[0])
             if current_key is not None and base != current_key:
                 if sample:
-                    yield {"__key__": current_key, **sample}
+                    yield {"__key__": current_key[1], **sample}
                 sample = {}
             current_key = base
             _decode_member(name, data, sample, sample_rate)
         if current_key is not None and sample:
-            yield {"__key__": current_key, **sample}
+            yield {"__key__": current_key[1], **sample}
         if ts.errors:
             log.warning("native tar streamer: %d shard(s) abandoned", ts.errors)

@@ -130,6 +130,7 @@ class NativeTarStream:
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
         ]
         self._lib.ts_errors.restype = ctypes.c_int64
         self._lib.ts_errors.argtypes = [ctypes.c_void_p]
@@ -142,13 +143,17 @@ class NativeTarStream:
         _OPEN_TAR_STREAMS.add(self)
 
     def __iter__(self):
+        """Yields (shard_index, member_name, bytes) — the shard index keys
+        sample grouping (identical basenames in different shards must not
+        merge)."""
         name_buf = ctypes.create_string_buffer(4096)
         data_p = ctypes.POINTER(ctypes.c_uint8)()
         n = ctypes.c_int64()
+        shard = ctypes.c_int32()
         while True:
             rc = self._lib.ts_next(
                 self._h, name_buf, len(name_buf), ctypes.byref(data_p),
-                ctypes.byref(n),
+                ctypes.byref(n), ctypes.byref(shard),
             )
             if rc != 1:
                 return
@@ -156,7 +161,7 @@ class NativeTarStream:
                 data = ctypes.string_at(data_p, n.value)
             finally:
                 self._lib.ts_free(data_p)
-            yield name_buf.value.decode("utf-8", "replace"), data
+            yield shard.value, name_buf.value.decode("utf-8", "replace"), data
 
     @property
     def errors(self) -> int:

@@ -18,3 +18,11 @@ import jax  # noqa: E402
 # The axon sitecustomize pins jax_platforms; override it for tests.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# The sitecustomize also enables the persistent compilation cache;
+# serializing XLA:CPU executables for Pallas custom-vjp programs segfaults
+# on this host (machine-feature mismatch in the AOT path) — keep the cache
+# TPU-only.
+try:
+    jax.config.update("jax_enable_compilation_cache", False)
+except Exception:  # noqa: BLE001 — older jax without the flag
+    pass

@@ -52,14 +52,15 @@ def test_members_match_tarfile(tmp_path):
     with tarfile.open(p) as tf:
         expected = [(m.name, tf.extractfile(m).read()) for m in tf if m.isfile()]
     got = list(NativeTarStream([str(p)]))
-    assert [n for n, _ in got] == [n for n, _ in expected]
-    for (_, a), (_, b) in zip(got, expected):
+    assert [n for _, n, _ in got] == [n for n, _ in expected]
+    assert all(sh == 0 for sh, _, _ in got)
+    for (_, _, a), (_, b) in zip(got, expected):
         assert a == b
 
 
 def test_gnu_long_names(tmp_path):
     p = _make_tar(tmp_path / "b.tar", ["key"], long_name=True)
-    names = [n for n, _ in NativeTarStream([str(p)])]
+    names = [n for _, n, _ in NativeTarStream([str(p)])]
     assert names == ["x" * 120 + "key.wav", "x" * 120 + "key.json"]
 
 
@@ -80,7 +81,10 @@ def test_corrupt_shard_contained(tmp_path):
     bad = tmp_path / "bad.tar"
     bad.write_bytes(b"this is not a tar header" * 40)
     ts = NativeTarStream([str(bad), str(good)])
-    names = [n for n, _ in ts]
+    items = list(ts)
+    names = [n for _, n, _ in items]
+    # shard indices distinguish sources
+    assert all(sh == 1 for sh, _, _ in items)
     # the corrupt shard is abandoned; the good one still streams
     assert names == ["ok.wav", "ok.json"]
     assert ts.errors >= 1
