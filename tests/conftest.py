@@ -26,3 +26,38 @@ try:
     jax.config.update("jax_enable_compilation_cache", False)
 except Exception:  # noqa: BLE001 — older jax without the flag
     pass
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run the Pallas kernel tests FIRST.
+
+    Late in the full suite, XLA:CPU's LLVM codegen segfaults while
+    compiling the Pallas custom-vjp programs (reproducible at the same
+    collection position; the same tests pass standalone and early). The
+    trigger is some earlier-loaded native library state — compiling the
+    Pallas programs before the heavyweight modules (torch parity tests
+    etc.) sidesteps it."""
+    front = ("test_wkv7_pallas", "test_wkv7_step_pallas", "test_wkv7")
+
+    def rank(item):
+        name = item.fspath.purebasename
+        return 0 if name in front else 1
+
+    items.sort(key=rank)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables + traced jaxprs after each test module.
+
+    The full 47-file suite accumulates every module's compiled CPU
+    programs; late modules' XLA:CPU compiles then die in LLVM under memory
+    pressure (segfault in backend_compile_and_load). Per-module clearing
+    keeps the process bounded; individual files are unaffected."""
+    yield
+    jax.clear_caches()
+    gc.collect()
