@@ -92,19 +92,20 @@ struct Stream {
     return true;
   }
 
-  void read_shard(const std::string& path, int32_t shard_idx) {
+  // Reads one shard, pushing regular members. `skip` members are consumed
+  // without pushing (retry support). Returns true on clean end-of-archive.
+  bool read_shard(const std::string& path, int32_t shard_idx,
+                  int64_t skip, int64_t* emitted) {
     FILE* f = fopen(path.c_str(), "rb");
-    if (!f) {
-      errors.fetch_add(1);
-      return;
-    }
+    if (!f) return false;
+    bool ok = true;
     unsigned char hdr[512];
     std::string longname;
     int zero_blocks = 0;
     while (!closed.load()) {
       size_t got = fread(hdr, 1, 512, f);
       if (got != 512) {
-        if (got != 0) errors.fetch_add(1);  // truncated header
+        if (got != 0) ok = false;  // truncated header
         break;
       }
       bool all_zero = true;
@@ -117,7 +118,7 @@ struct Stream {
       zero_blocks = 0;
       int64_t size = parse_size(hdr + 124, 12);
       if (size < 0 || size > (int64_t{1} << 40)) {  // corrupt header
-        errors.fetch_add(1);
+        ok = false;
         break;
       }
       char type = static_cast<char>(hdr[156]);
@@ -127,10 +128,37 @@ struct Stream {
         std::vector<char> buf(static_cast<size_t>(padded));
         if (fread(buf.data(), 1, static_cast<size_t>(padded), f) !=
             static_cast<size_t>(padded)) {
-          errors.fetch_add(1);
+          ok = false;
           break;
         }
         longname.assign(buf.data(), strnlen(buf.data(), static_cast<size_t>(size)));
+        continue;
+      }
+
+      if (type == 'x' || type == 'g') {
+        // PAX extended header (Python tarfile's default format): records
+        // are "<len> key=value\n"; a 'path' key overrides the next
+        // member's (possibly truncated) ustar name
+        std::vector<char> buf(static_cast<size_t>(padded));
+        if (fread(buf.data(), 1, static_cast<size_t>(padded), f) !=
+            static_cast<size_t>(padded)) {
+          ok = false;
+          break;
+        }
+        if (type == 'x') {
+          std::string rec(buf.data(), static_cast<size_t>(size));
+          size_t pos = 0;
+          while (pos < rec.size()) {
+            size_t sp = rec.find(' ', pos);
+            if (sp == std::string::npos) break;
+            long rec_len = strtol(rec.c_str() + pos, nullptr, 10);
+            if (rec_len <= 0 ||
+                pos + static_cast<size_t>(rec_len) > rec.size() + 1) break;
+            std::string kv = rec.substr(sp + 1, pos + rec_len - sp - 2);
+            if (kv.rfind("path=", 0) == 0) longname = kv.substr(5);
+            pos += static_cast<size_t>(rec_len);
+          }
+        }
         continue;
       }
 
@@ -149,9 +177,17 @@ struct Stream {
       bool regular = (type == '0' || type == 0 || type == '\0');
       if (!regular) {
         if (fseek(f, static_cast<long>(padded), SEEK_CUR) != 0) {
-          errors.fetch_add(1);
+          ok = false;
           break;
         }
+        continue;
+      }
+      if (*emitted < skip) {  // retry pass: member already delivered
+        if (fseek(f, static_cast<long>(padded), SEEK_CUR) != 0) {
+          ok = false;
+          break;
+        }
+        ++*emitted;
         continue;
       }
       Member m;
@@ -162,24 +198,35 @@ struct Stream {
       if (fread(m.data, 1, static_cast<size_t>(size), f) !=
           static_cast<size_t>(size)) {
         free(m.data);
-        errors.fetch_add(1);
+        ok = false;
         break;
       }
       int64_t pad = padded - size;
       if (pad && fseek(f, static_cast<long>(pad), SEEK_CUR) != 0) {
         free(m.data);
-        errors.fetch_add(1);
+        ok = false;
         break;
       }
       push(std::move(m));
+      ++*emitted;
     }
     fclose(f);
+    return ok;
   }
 
   void run() {
+    const int kRetries = 2;  // the tarfile path's retry count (webdataset.py)
     for (size_t i = 0; i < paths.size(); ++i) {
       if (closed.load()) break;
-      read_shard(paths[i], static_cast<int32_t>(i));
+      int64_t emitted = 0;
+      bool ok = false;
+      for (int attempt = 0; attempt <= kRetries && !closed.load(); ++attempt) {
+        int64_t e = 0;
+        ok = read_shard(paths[i], static_cast<int32_t>(i), emitted, &e);
+        emitted = e > emitted ? e : emitted;
+        if (ok) break;
+      }
+      if (!ok) errors.fetch_add(1);
     }
     done.store(true);
     cv_pop.notify_all();

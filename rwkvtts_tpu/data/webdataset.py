@@ -140,10 +140,17 @@ def stream_tars(
         ]
         if native:
             try:
-                yield from _stream_tars_native(mine, sample_rate)
-                return
+                from rwkvtts_tpu.utils.native import NativeTarStream
+
+                ts = NativeTarStream(mine)
             except RuntimeError:
+                # probe BEFORE yielding anything: a fallback after partial
+                # iteration would re-stream shards and duplicate samples
                 log.info("native tar streamer unavailable; using tarfile path")
+                ts = None
+            if ts is not None:
+                yield from _stream_tars_native(ts, sample_rate)
+                return
         for p in mine:
             yield from iter_tar_samples(p, sample_rate)
 
@@ -164,12 +171,8 @@ def stream_tars(
     yield from buf
 
 
-def _stream_tars_native(
-    tar_paths: Sequence[str], sample_rate: int
-) -> Iterator[Dict[str, Any]]:
-    from rwkvtts_tpu.utils.native import NativeTarStream
-
-    with NativeTarStream(tar_paths) as ts:
+def _stream_tars_native(ts, sample_rate: int) -> Iterator[Dict[str, Any]]:
+    with ts:
         current_key = None  # (shard, basename)
         sample: Dict[str, Any] = {}
         for shard, name, data in ts:

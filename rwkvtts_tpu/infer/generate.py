@@ -239,7 +239,6 @@ def cosy_prefill_carry(
     B = tokens.shape[0]
     h_last, state = cosy.prefill(params, cfg, tokens, modality, attention_mask)
     state = rwkv7.pack_decode_state(state, cfg.backbone)
-    params = rwkv7.layer_decode_views(params, cfg.backbone)
     return (
         h_last,
         state,
@@ -252,8 +251,7 @@ def cosy_prefill_carry(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "chunk_len", "min_new_tokens", "top_k", "top_p", "win_size",
-        "tau_r",
+        "cfg", "chunk_len", "top_k", "top_p", "win_size", "tau_r",
     ),
     donate_argnums=(2,),
 )
@@ -293,7 +291,6 @@ def cosy_decode_chunk(
     static_argnames=(
         "cfg",
         "max_new_tokens",
-        "min_new_tokens",
         "top_k",
         "top_p",
         "win_size",

@@ -158,6 +158,11 @@ function fileB64(f){return new Promise((res,rej)=>{const rd=new FileReader();
 
 def _make_handler(tts: svc.BatchedTTSService):
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer framing (the streaming endpoint) is only defined
+        # for HTTP/1.1; stdlib default is HTTP/1.0 and conforming clients
+        # would read the chunk framing as body bytes
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):
             log.info("%s " + fmt, self.client_address[0], *args)
 
@@ -179,15 +184,7 @@ def _make_handler(tts: svc.BatchedTTSService):
 
         def do_GET(self):
             if self.path == "/api/speakers":
-                self._json(
-                    200,
-                    {
-                        "speakers": sorted(
-                            set(tts.speakers.speakers())
-                            | set(tts.speakers._cache)
-                        )
-                    },
-                )
+                self._json(200, {"speakers": tts.speakers.speakers()})
             elif self.path == "/api/properties":
                 self._json(200, svc.properties_options())
             elif self.path == "/health":
@@ -235,6 +232,9 @@ def _make_handler(tts: svc.BatchedTTSService):
                 req = svc.TTSRequest(
                     text=text, seed=int(payload.get("seed", 0)),
                     prompt_text=payload.get("prompt_text"),
+                    temperature=float(payload.get("temperature", 1.0)),
+                    top_k=int(payload.get("top_k", 25)),
+                    top_p=float(payload.get("top_p", 0.8)),
                 )
                 if payload.get("audio"):
                     req.prompt_wav = svc.decode_audio_b64(payload["audio"])
@@ -322,11 +322,7 @@ def make_fastapi_app(tts: svc.BatchedTTSService):
 
     @app.get("/api/speakers")
     def speakers():
-        return {
-            "speakers": sorted(
-                set(tts.speakers.speakers()) | set(tts.speakers._cache)
-            )
-        }
+        return {"speakers": tts.speakers.speakers()}
 
     @app.get("/api/properties")
     def properties():
@@ -334,14 +330,20 @@ def make_fastapi_app(tts: svc.BatchedTTSService):
 
     @app.post("/api/voice_design")
     def voice_design(payload: Dict[str, Any]):
+        name = payload.get("name")
         try:
-            tokens = tts.design_voice(
-                payload["properties"], name=payload.get("name"),
-                seed=int(payload.get("seed", 0)),
-            )
+            if name and payload.get("global_tokens"):
+                # save a previously designed (auditioned) voice verbatim
+                tokens = [int(t) for t in payload["global_tokens"]]
+                tts.speakers.register(name, tokens)
+            else:
+                tokens = tts.design_voice(
+                    payload["properties"], name=name,
+                    seed=int(payload.get("seed", 0)),
+                )
         except Exception as e:  # noqa: BLE001
             raise HTTPException(500, str(e))
-        return {"global_tokens": tokens, "name": payload.get("name")}
+        return {"global_tokens": tokens, "name": name}
 
     @app.post("/api/rwkv_tts")
     def rwkv_tts(payload: Dict[str, Any]):
@@ -365,6 +367,9 @@ def make_fastapi_app(tts: svc.BatchedTTSService):
         req = svc.TTSRequest(
             text=payload["text"], seed=int(payload.get("seed", 0)),
             prompt_text=payload.get("prompt_text"),
+            temperature=float(payload.get("temperature", 1.0)),
+            top_k=int(payload.get("top_k", 25)),
+            top_p=float(payload.get("top_p", 0.8)),
         )
         if payload.get("audio"):
             req.prompt_wav = svc.decode_audio_b64(payload["audio"])

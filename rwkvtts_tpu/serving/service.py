@@ -58,12 +58,15 @@ class SpeakerLibrary:
         self._cache: Dict[str, Dict[str, Any]] = {}
 
     def speakers(self) -> List[str]:
-        if not self.demo_dir or not os.path.isdir(self.demo_dir):
-            return []
-        return sorted(
-            d for d in os.listdir(self.demo_dir)
-            if os.path.isdir(os.path.join(self.demo_dir, d))
-        )
+        """All voices: demo-dir prompt folders plus registered (designed/
+        cached) entries."""
+        names = set(self._cache)
+        if self.demo_dir and os.path.isdir(self.demo_dir):
+            names.update(
+                d for d in os.listdir(self.demo_dir)
+                if os.path.isdir(os.path.join(self.demo_dir, d))
+            )
+        return sorted(names)
 
     def register(self, name: str, global_tokens: Sequence[int], semantic_tokens: Sequence[int] = ()):
         self._cache[name] = {
@@ -151,7 +154,10 @@ class BatchedTTSService:
         fn = getattr(self.pipeline, "synthesize_streaming", None)
         if fn is None:
             raise NotImplementedError("pipeline has no streaming path")
-        kw: Dict[str, Any] = {"seed": req.seed, "hop_tokens": hop_tokens}
+        kw: Dict[str, Any] = {
+            "seed": req.seed, "hop_tokens": hop_tokens,
+            "top_k": req.top_k, "top_p": req.top_p,
+        }
         if req.prompt_wav is not None:
             # frontend once, then stream with the extracted condition
             toks, mel, emb = self.pipeline.frontend_zero_shot(req.prompt_wav)

@@ -107,3 +107,20 @@ def test_shuffle_buffer(tmp_path):
     # deterministic for a given seed
     shuf2 = [s["__key__"] for s in wds.stream_tars([str(p)], shuffle_buffer=8, seed=1)]
     assert shuf == shuf2
+
+
+def test_pax_long_names(tmp_path):
+    """Python tarfile's default PAX format stores >100-char names in 'x'
+    extended headers — they must override the truncated ustar field."""
+    p = tmp_path / "pax.tar"
+    long_stem = "d/" * 60 + "sample_000123"  # 122+ chars
+    with tarfile.open(p, "w", format=tarfile.PAX_FORMAT) as tf:
+        for ext, data in (("wav", _wav_bytes()), ("json", b'{"text": "t"}')):
+            info = tarfile.TarInfo(f"{long_stem}.{ext}")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    items = list(NativeTarStream([str(p)]))
+    assert [n for _, n, _ in items] == [f"{long_stem}.wav", f"{long_stem}.json"]
+    # the wav/json pair still groups into one sample
+    samples = list(wds.stream_tars([str(p)], native=True))
+    assert len(samples) == 1 and samples[0]["__key__"] == long_stem
