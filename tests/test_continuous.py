@@ -69,3 +69,24 @@ def test_admission_reuses_freed_slots():
     assert set(out) == {a, b}
     assert all(0 < len(v) <= 6 for v in out.values())
     assert cb.idle()
+
+
+def test_warmup_then_serve_unchanged():
+    """warmup() precompiles every program without corrupting engine state:
+    results after warmup equal results without it."""
+    cfg = spark.default_config(
+        hidden_size=32, num_layers=2, head_size=8, gate_lora=8,
+        dtype=jnp.float32, wkv_chunk=16, remat=False, dropout=0.0,
+    )
+    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+    tok = FakeTok()
+
+    def run(warm):
+        cb = ContinuousBatcher(params, cfg, n_slots=2, chunk=4, prompt_cap=32, top_k=1)
+        if warm:
+            cb.warmup()
+        rids = [cb.add_request(_prompt(t, tok), 8) for t in ("aa", "bb", "cc")]
+        out = cb.drain()
+        return [out[r] for r in rids]
+
+    assert run(True) == run(False)
