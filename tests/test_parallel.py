@@ -70,3 +70,35 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_billion_param_config_shapes_and_specs():
+    """The 1.5B-class flagship (BASELINE: models 0.1-1.5B) initializes
+    structurally and every parameter gets a mesh-divisible PartitionSpec —
+    validated via eval_shape (no 6 GB allocation in CI)."""
+    cfg = spark.default_config(hidden_size=2048, num_layers=24)
+    shapes = jax.eval_shape(
+        lambda k: spark.init_params(k, cfg), jax.random.PRNGKey(0)
+    )
+    n_params = sum(
+        int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(shapes)
+    )
+    assert 1.2e9 < n_params < 2.0e9, f"{n_params:,}"
+
+    specs = mesh_lib.param_specs(shapes, axis_sizes={"dp": 1, "fsdp": 4, "tp": 2})
+    for path, leaf in jax.tree_util.tree_leaves_with_path(shapes):
+        spec = mesh_lib.spec_for_path(mesh_lib._path_str(path))
+        fitted = mesh_lib._fit_spec(
+            spec, leaf.shape, {"dp": 1, "fsdp": 4, "tp": 2}
+        )
+        for dim, entry in enumerate(fitted):
+            if entry is None or dim >= len(leaf.shape):
+                continue
+            axes = entry if isinstance(entry, tuple) else (entry,)
+            size = 1
+            for a in axes:
+                size *= {"dp": 1, "fsdp": 4, "tp": 2}[a]
+            assert leaf.shape[dim] % size == 0, (path, leaf.shape, fitted)
+    # the big projection matrices actually shard (not all replicated)
+    att = shapes["blocks"]["att"]
+    assert mesh_lib.spec_for_path("blocks/att/receptance") != jax.sharding.PartitionSpec()
