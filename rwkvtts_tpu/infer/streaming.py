@@ -272,6 +272,15 @@ def stream_synthesize(
     from rwkvtts_tpu.data.spark_collator import pad_prompts_left
 
     batch = pad_prompts_left([sample])
+    # bucket the prompt length to a multiple of 64 (left-pad, mask 0) so
+    # the prefill program compiles once per bucket, not once per text
+    T = batch["tokens"].shape[1]
+    cap = ((T + 63) // 64) * 64
+    if cap != T:
+        batch = {
+            k: np.pad(np.asarray(v), ((0, 0), (cap - T, 0)))
+            for k, v in batch.items()
+        }
     content_len = cosy_collator.content_length(text_ids)
     min_len = int(content_len * 2)
     max_len = min(int(content_len * 20), max_new_tokens)
