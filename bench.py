@@ -24,7 +24,9 @@ def main():
     from rwkvtts_tpu.infer.generate import spark_generate
     from rwkvtts_tpu.models import spark
 
-    cfg = spark.default_config(hidden_size=768, num_layers=12)
+    # deployed-scale flagship: 0.4B-class (the reference ships 0.19B-1.5B
+    # LMs, Inference.md:19-44; round-2 VERDICT required benching >=0.4B)
+    cfg = spark.default_config(hidden_size=1024, num_layers=24)
     params = spark.init_params(jax.random.PRNGKey(0), cfg)
     # cast big tables to bf16 for the bandwidth-bound decode
     params = jax.tree.map(

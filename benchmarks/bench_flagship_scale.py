@@ -1,0 +1,156 @@
+"""Flagship-scale benchmarks on the real chip (VERDICT r2 item #1).
+
+The reference deploys 0.19B-1.5B LMs (/root/reference/Inference.md:19-44,
+README.md:140 trains from rwkv7-1.5B-world); every round-2 number was at
+103M (768x12). This measures the real deployed sizes on the actual chip:
+
+  * decode tok/s at 0.4B-class (1024x24) and 1.4B-class (2048x24)
+  * train step KT/s + MFU at 0.4B-class (1.4B train does not fit one
+    v5e-16GB with fp32 Adam state: 5.7+11.4+5.7 GB — that path is covered
+    by the fsdp virtual-mesh dryrun instead)
+
+Usage: python benchmarks/bench_flagship_scale.py [--only decode04|decode14|train04]
+Results go to PERF.md.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rwkvtts_tpu.utils import jit_cache
+
+jit_cache.enable()
+
+PEAK_FLOPS = 197e12  # v5e bf16
+
+
+def n_params(params) -> int:
+    return sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params))
+
+
+def bench_decode(hidden, layers, batch=64, t_prompt=128, t_new=256, iters=3):
+    from rwkvtts_tpu.infer.generate import spark_generate
+    from rwkvtts_tpu.models import rwkv7, spark
+
+    cfg = spark.default_config(hidden_size=hidden, num_layers=layers)
+    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
+    )
+    params = rwkv7.pack_decode_params(params, cfg.backbone)
+    np_ = n_params(params)
+
+    k = jax.random.PRNGKey(1)
+    tokens = jax.random.randint(k, (batch, t_prompt), 0, 4000)
+    modality = jnp.full((batch, t_prompt), spark.MOD_TEXT, jnp.int32)
+    modality = modality.at[:, -1].set(spark.MOD_TAG)
+    mask = jnp.ones((batch, t_prompt), jnp.int32)
+
+    def run(key):
+        toks, _ = spark_generate(
+            params, cfg, tokens, modality, mask, key,
+            max_new_tokens=t_new, top_k=50, top_p=0.95, temperature=1.0,
+        )
+        return toks
+
+    t0 = time.perf_counter()
+    np.asarray(run(jax.random.PRNGKey(2)))
+    print(f"  compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        np.asarray(run(jax.random.PRNGKey(3 + i)))
+    dt = (time.perf_counter() - t0) / iters
+    tps = batch * t_new / dt
+    out = {
+        "bench": f"decode_{hidden}x{layers}",
+        "params": np_,
+        "batch": batch,
+        "tok_per_s_chip": round(tps, 1),
+        "ms_per_step": round(dt * 1e3 / t_new, 3),
+        "vs_5k_target": round(tps / 5000.0, 2),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def bench_train(hidden, layers, batch=8, seqlen=2048, iters=5):
+    from rwkvtts_tpu.models import spark
+    from rwkvtts_tpu.parallel import train_step as ts
+    from rwkvtts_tpu.train import optimizer as opt_lib
+
+    cfg = spark.default_config(hidden_size=hidden, num_layers=layers)
+    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+    np_ = n_params(params)
+    tx = opt_lib.build_optimizer(params)
+    state = ts.init_train_state(params, tx)
+    step = ts.make_train_step(cfg, tx, donate=True)
+
+    B, T = batch, seqlen
+    k = jax.random.PRNGKey(1)
+    batch_d = {
+        "tokens": jax.random.randint(k, (B, T), 0, 4096),
+        "modality": jnp.where(
+            jnp.arange(T)[None, :] < T // 2, spark.MOD_TEXT, spark.MOD_SEMANTIC
+        ) * jnp.ones((B, 1), jnp.int32),
+        "labels": jnp.where(
+            jnp.arange(T)[None, :] < T // 2, -100,
+            jax.random.randint(k, (B, T), 0, 8192),
+        ),
+        "attention_mask": jnp.ones((B, T), jnp.int32),
+    }
+    rng = jax.random.PRNGKey(2)
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch_d, rng)
+    loss0 = float(np.asarray(metrics["loss"]))
+    print(f"  compile+first: {time.perf_counter()-t0:.1f}s loss={loss0:.4f}",
+          flush=True)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch_d, rng)
+    np.asarray(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    kts = B * T / dt / 1e3
+    mfu = 6 * np_ * B * T / dt / PEAK_FLOPS
+    out = {
+        "bench": f"train_{hidden}x{layers}",
+        "params": np_,
+        "batch": B,
+        "seqlen": T,
+        "step_ms": round(dt * 1e3, 1),
+        "kt_per_s_chip": round(kts, 1),
+        "mfu": round(mfu, 4),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--batch", type=int, default=None)
+    args = ap.parse_args()
+    results = []
+    if args.only in (None, "decode04"):
+        print("== decode 0.4B (1024x24) ==", flush=True)
+        results.append(bench_decode(1024, 24, batch=args.batch or 64))
+    if args.only in (None, "decode14"):
+        print("== decode 1.4B (2048x24) ==", flush=True)
+        results.append(bench_decode(2048, 24, batch=args.batch or 64))
+    if args.only in (None, "train04"):
+        print("== train 0.4B (1024x24) ==", flush=True)
+        results.append(bench_train(1024, 24, batch=args.batch or 8))
+    print("ALL:", json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -108,17 +108,25 @@ def extract_cosy_tokens(
     samples: Iterable[Dict[str, Any]],
     speech_tokenizer_fn: Callable[[np.ndarray], Sequence[int]],
     out_path: str,
+    instruction_fn: Optional[Callable[[str], str]] = None,
 ) -> int:
     """S3 speech-token extraction -> JSONL rows for the Cosy LM trainer:
     {text, tts_speech_tokens, prompt_text, llm_prompt_speech_token}
     (data/utils/llm_dataset.py row format). The S3 tokenizer is injected
-    (ONNX in the reference; any wav->ids callable here)."""
+    (ONNX in the reference; any wav->ids callable here).
+
+    instruction_fn: optional text augmenter for instruct2 rows — the
+    reference's `is_instructed` path (utilitie.py:546-547); use
+    data.instructions.make_instruction_fn(lang)."""
     n = 0
     with open(out_path, "a") as f:
         for s in samples:
             tokens = list(map(int, speech_tokenizer_fn(np.asarray(s["audio"], np.float32))))
+            text = s.get("text", "")
+            if instruction_fn is not None:
+                text = instruction_fn(text)
             row = {
-                "text": s.get("text", ""),
+                "text": text,
                 "tts_speech_tokens": tokens,
                 "prompt_text": s.get("prompt_text", ""),
                 "llm_prompt_speech_token": s.get("llm_prompt_speech_token", []),

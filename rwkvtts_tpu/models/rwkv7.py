@@ -462,8 +462,11 @@ def pack_decode_state(state: Params, cfg: RWKV7Config):
     )
 
 
-def unpack_decode_state(state, cfg: RWKV7Config, batch: int = 0) -> Params:
-    """Inverse of pack_decode_state: tuple-of-layers -> stacked dict."""
+def unpack_decode_state(state, cfg: RWKV7Config) -> Params:
+    """Inverse of pack_decode_state: tuple-of-layers -> stacked dict.
+
+    Round-trip with pack_decode_state is asserted in
+    tests/test_rwkv7_model.py::test_decode_state_pack_roundtrip."""
     if isinstance(state, tuple):
         return {
             k: jnp.stack([st[k] for st in state]) for k in _STATE_KEYS

@@ -438,11 +438,14 @@ def wkv7_step(
     (reference cuda/rwkv7_state_fwd_fp16.cu) but batched and designed to be
     fused by XLA into a single whole-model decode program.
 
-    A 3-D state selects the PACKED fast path: (P, N, 2N) head-pair-packed
+    A 3-D state selects the PACKED path: (P, N, 2N) head-pair-packed
     layout through the fused Pallas step kernel on TPU (one HBM pass over
     the state instead of ~4 — see ops/wkv7_step_pallas.py), or its XLA
-    reference elsewhere. Decode loops opt in by packing the state once
-    after prefill (models/rwkv7.py::pack_decode_state).
+    reference elsewhere. This is an opt-in ALTERNATIVE reached only by
+    explicitly packing via ops/wkv7_step_pallas.pack_state — no production
+    decode loop uses it because it measured slower in-model than the XLA
+    form below (4.5 vs 3.36 ms/step at B=64; PERF.md round 2: per-call
+    launch/DMA overhead exceeds the saved HBM passes on this platform).
     """
     if state.ndim == 3:
         from rwkvtts_tpu.ops import wkv7_step_pallas as sp

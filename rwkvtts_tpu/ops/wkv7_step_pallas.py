@@ -22,9 +22,14 @@ at full 128-lane width, no MXU, no relayouts. Per-half lane masks keep the
 two packed heads independent. v and the outputs (which are indexed by the
 value dim i) ride as sublane vectors (P, 2N, 1).
 
-The decode loops pack the state once after prefill
-(models/rwkv7.py::pack_decode_state) and carry the packed layout across
-steps; per-step repacking would cost the same passes this kernel removes.
+This kernel is an opt-in ALTERNATIVE, not the production decode path: in
+the full model it measured slower than the XLA step (4.5 vs 3.36 ms/step
+at B=64 — twelve pallas_calls/step cost more in fixed launch/DMA overhead
+than the saved HBM passes; PERF.md round 2). A caller opts in by packing
+the state once with pack_state() below and carrying the (P, N, 2N) layout
+across steps (models/rwkv7.py::pack_decode_state does NOT do this — it
+only splits the stacked state per layer); per-step repacking would cost
+the same passes this kernel removes.
 """
 from __future__ import annotations
 

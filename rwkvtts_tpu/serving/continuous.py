@@ -61,6 +61,16 @@ def _insert_many(carry, hk, stk, slots, take):
     return jax.lax.fori_loop(0, take, body, carry)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _mark_done(carry, slot_mask):
+    """Set the device-side done flag for retired slots. Without this a slot
+    freed host-side by the max_new cap (no EOS sampled) keeps decoding
+    discarded tokens every chunk until a new request lands in it — wasted
+    compute (ADVICE r2). One tiny program, amortized over the whole pool."""
+    h, st, done, n = carry
+    return (h, st, done | slot_mask, n)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "chunk", "temperature", "top_k", "top_p"),
@@ -264,6 +274,7 @@ class ContinuousBatcher:
         done = np.asarray(done)
         eos = self.cfg.eos_token_id
         finished = []
+        capped = np.zeros(len(self._slots), bool)
         for i, s in enumerate(self._slots):
             if s.req_id is None:
                 continue
@@ -274,6 +285,10 @@ class ContinuousBatcher:
             if hit.size or len(s.tokens) >= s.max_new:
                 finished.append((s.req_id, s.tokens[: s.max_new]))
                 self._slots[i] = _Slot()
+                if not hit.size:
+                    capped[i] = True  # retired by cap: device flag still False
+        if capped.any():
+            self._carry = _mark_done(self._carry, capped)
         return finished
 
     def drain(self) -> Dict[int, List[int]]:

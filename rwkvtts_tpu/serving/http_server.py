@@ -232,6 +232,7 @@ def _make_handler(tts: svc.BatchedTTSService):
                 req = svc.TTSRequest(
                     text=text, seed=int(payload.get("seed", 0)),
                     prompt_text=payload.get("prompt_text"),
+                    speaker=payload.get("speaker"),
                     temperature=float(payload.get("temperature", 1.0)),
                     top_k=int(payload.get("top_k", 25)),
                     top_p=float(payload.get("top_p", 0.8)),
@@ -245,6 +246,8 @@ def _make_handler(tts: svc.BatchedTTSService):
                     first = next(gen, None)
                 except NotImplementedError:
                     return self._json(501, {"error": "no streaming pipeline"})
+                except ValueError as e:
+                    return self._json(400, {"error": str(e)})
                 except Exception as e:  # noqa: BLE001
                     return self._json(500, {"error": str(e)})
                 # chunked streaming WAV: header with unknown length, then
@@ -258,12 +261,20 @@ def _make_handler(tts: svc.BatchedTTSService):
                 def chunk(b: bytes):
                     self.wfile.write(f"{len(b):x}\r\n".encode() + b + b"\r\n")
 
-                chunk(svc.stream_wav_header(sr))
-                if first is not None:
-                    chunk(svc.pcm16(first))
-                for wav in gen:
-                    chunk(svc.pcm16(wav))
-                self.wfile.write(b"0\r\n\r\n")
+                # a generator failure after headers are sent cannot become
+                # an HTTP error anymore — always emit the terminal 0-chunk
+                # so a conforming keep-alive client doesn't block to timeout
+                try:
+                    chunk(svc.stream_wav_header(sr))
+                    if first is not None:
+                        chunk(svc.pcm16(first))
+                    for wav in gen:
+                        chunk(svc.pcm16(wav))
+                finally:
+                    try:
+                        self.wfile.write(b"0\r\n\r\n")
+                    except OSError:
+                        self.close_connection = True
                 return
             if self.path not in ("/api/rwkv_tts", "/api/rwkv_tts_instruct"):
                 return self._json(404, {"error": "not found"})

@@ -1,0 +1,110 @@
+"""Serving launcher: checkpoint -> pipeline -> ContinuousTTSService -> HTTP.
+
+The production serving path (reference: service/rwkv_tts_service.py main +
+uvicorn): loads an RWKV7ForSpeech checkpoint (HF safetensors / torch .pt /
+BlinkDL .pth via convert.rwkv7_ckpt) and the BiCodec model dir, then serves
+/api/rwkv_tts through the continuous batcher (mixed-voice slot pool) —
+pass --grouped to fall back to the same-voice grouping dispatcher.
+
+    python -m rwkvtts_tpu.serving.launch --ckpt model.safetensors \
+        --codec-dir Spark-TTS-0.5B --demo-dir demos --port 8000
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+from typing import Optional
+
+log = logging.getLogger("rwkvtts_tpu")
+
+
+def build_pipeline(ckpt: str, codec_dir: Optional[str] = None):
+    import jax.numpy as jnp
+
+    from rwkvtts_tpu.convert import rwkv7_ckpt, speech_init
+    from rwkvtts_tpu.infer.spark_pipeline import SparkPipeline
+    from rwkvtts_tpu.models import spark
+    from rwkvtts_tpu.utils.tokenizer import get_world_tokenizer
+
+    sd = rwkv7_ckpt.load_torch_or_safetensors(ckpt)
+    kw = rwkv7_ckpt.infer_config_kwargs(sd)
+    cfg = spark.default_config(
+        hidden_size=kw["hidden_size"], num_layers=kw["num_layers"]
+    )
+    params = speech_init.spark_from_pretrained_sd(sd, cfg)
+    import jax
+
+    params = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.bfloat16)
+        if getattr(x, "ndim", 0) >= 2 else jnp.asarray(x),
+        params,
+    )
+    codec = None
+    if codec_dir:
+        from rwkvtts_tpu.codecs.spark_tokenizer import SparkAudioTokenizer
+
+        codec = SparkAudioTokenizer.from_pretrained(codec_dir)
+    tok = get_world_tokenizer(n_spct=48)
+    return SparkPipeline(cfg, params, tok, audio_tokenizer=codec)
+
+
+def build_service(
+    pipeline,
+    demo_dir: Optional[str] = None,
+    continuous: bool = True,
+    n_slots: int = 16,
+    chunk: int = 16,
+    max_new_tokens: int = 1024,
+    top_k: int = 50,
+    top_p: float = 0.95,
+    temperature: float = 1.0,
+    warmup: bool = True,
+):
+    from rwkvtts_tpu.serving import service as svc
+
+    speakers = svc.SpeakerLibrary(demo_dir, codec=pipeline.codec)
+    if continuous:
+        return svc.ContinuousTTSService(
+            pipeline, speakers, n_slots=n_slots, chunk=chunk,
+            max_new_tokens=max_new_tokens, top_k=top_k, top_p=top_p,
+            temperature=temperature, warmup=warmup,
+        )
+    return svc.BatchedTTSService(
+        pipeline, speakers, max_new_tokens=max_new_tokens
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt", required=True, help="RWKV7ForSpeech weights")
+    ap.add_argument("--codec-dir", default=None, help="Spark-TTS model dir (BiCodec)")
+    ap.add_argument("--demo-dir", default=None, help="demos/<speaker>/*.wav library")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--n-slots", type=int, default=16)
+    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--max-new-tokens", type=int, default=1024)
+    ap.add_argument("--top-k", type=int, default=50)
+    ap.add_argument("--top-p", type=float, default=0.95)
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--grouped", action="store_true",
+                    help="legacy same-voice grouping dispatcher")
+    ap.add_argument("--no-warmup", action="store_true")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    pipeline = build_pipeline(args.ckpt, args.codec_dir)
+    tts = build_service(
+        pipeline, args.demo_dir, continuous=not args.grouped,
+        n_slots=args.n_slots, chunk=args.chunk,
+        max_new_tokens=args.max_new_tokens, top_k=args.top_k,
+        top_p=args.top_p, temperature=args.temperature,
+        warmup=not args.no_warmup,
+    )
+    from rwkvtts_tpu.serving import http_server
+
+    http_server.serve(tts, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -90,3 +90,23 @@ def test_warmup_then_serve_unchanged():
         return [out[r] for r in rids]
 
     assert run(True) == run(False)
+
+
+def test_capped_slot_sets_device_done_flag():
+    """A slot retired by the max_new cap (no EOS sampled) must flip the
+    device-side done flag so it stops burning decode work (ADVICE r2)."""
+    cfg = spark.default_config(
+        hidden_size=32, num_layers=2, head_size=8, gate_lora=8,
+        dtype=jnp.float32, wkv_chunk=16, remat=False, dropout=0.0,
+    )
+    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+    tok = FakeTok()
+    cb = ContinuousBatcher(params, cfg, n_slots=2, chunk=4, prompt_cap=32, top_k=1)
+    # random init never samples EOS in 4 tokens -> retires via cap
+    rid = cb.add_request(_prompt("cap me", tok), 4)
+    out = {}
+    while not cb.idle():
+        out.update(cb.step())
+    assert rid in out and len(out[rid]) == 4
+    done = np.asarray(cb._carry[2])
+    assert done.all(), f"capped slot left done=False: {done}"

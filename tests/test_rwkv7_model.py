@@ -134,3 +134,24 @@ def test_layer_unroll_matches_scan():
     cfg_u = dataclasses.replace(cfg, layer_unroll=True)
     h1 = rwkv7.forward(params, cfg_u, ids)
     np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), rtol=1e-6, atol=1e-6)
+
+
+def test_decode_state_pack_roundtrip(setup):
+    """pack_decode_state <-> unpack_decode_state preserve layout exactly
+    (guards the per-layer tuple layout the decode loops carry)."""
+    cfg, params = setup
+    st = M.init_model_state(cfg, batch=2, dtype=jnp.float32)
+    # make the buffers distinguishable
+    st = jax.tree.map(
+        lambda x: x + jnp.arange(x.size, dtype=x.dtype).reshape(x.shape), st
+    )
+    packed = M.pack_decode_state(st, cfg)
+    assert isinstance(packed, tuple) and len(packed) == cfg.num_layers
+    # idempotent on an already-packed state
+    assert M.pack_decode_state(packed, cfg) is packed
+    unpacked = M.unpack_decode_state(packed, cfg)
+    assert set(unpacked) == set(st)
+    for k in st:
+        np.testing.assert_array_equal(np.asarray(unpacked[k]), np.asarray(st[k]))
+    # unpack on an already-stacked state is identity
+    assert M.unpack_decode_state(st, cfg) is st

@@ -231,3 +231,128 @@ def test_audio_b64_roundtrip(tmp_path):
     out = svc.decode_audio_b64(b64)
     assert abs(len(out) - 8000) < 4
     np.testing.assert_allclose(out[:100], wav[:100], atol=1e-3)
+
+
+# -- continuous-batcher serving path (VERDICT r2 #4) -------------------------
+
+
+class TinyCodec:
+    """detokenize: 10 samples per semantic token, amplitude = first global
+    token (lets the test verify per-request voice routing)."""
+
+    def tokenize(self, wav):
+        import numpy as np
+
+        return np.full((1, 1, 4), 7, np.int64), np.arange(3)[None]
+
+    def detokenize(self, g, sem):
+        import numpy as np
+
+        n = sem.shape[-1] * 10
+        return np.full((1, n), float(g.reshape(-1)[0]), np.float32)
+
+
+def _tiny_spark_pipeline():
+    import jax
+    import jax.numpy as jnp
+
+    from rwkvtts_tpu.infer.spark_pipeline import SparkPipeline
+    from rwkvtts_tpu.models import spark
+
+    class FakeTok:
+        def encode(self, text):
+            return [ord(c) % 200 + 1 for c in text][:12]
+
+    cfg = spark.default_config(
+        hidden_size=32, num_layers=2, head_size=8, gate_lora=8,
+        dtype=jnp.float32, wkv_chunk=16, remat=False, dropout=0.0,
+    )
+    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+    return SparkPipeline(cfg, params, FakeTok(), audio_tokenizer=TinyCodec())
+
+
+def test_continuous_service_serves_concurrent_mixed_voices():
+    """Concurrent requests with DIFFERENT voices are all served through
+    slot admission in one batcher (the grouped dispatcher would have run
+    them as separate single-voice batches)."""
+    pipe = _tiny_spark_pipeline()
+    lib = svc.SpeakerLibrary(None)
+    lib.register("alice", [5] * 4)
+    tts = svc.ContinuousTTSService(
+        pipe, lib, n_slots=4, chunk=4, prompt_cap=32, max_new_tokens=6,
+        top_k=1,
+    )
+    reqs = [
+        svc.TTSRequest(text="one", speaker="alice"),
+        svc.TTSRequest(text="two", global_tokens=[9] * 4),
+        svc.TTSRequest(text="three", global_tokens=[3] * 4),
+        svc.TTSRequest(text="four", speaker="alice"),
+        svc.TTSRequest(text="five", global_tokens=[9] * 4),
+    ]
+    results = [None] * len(reqs)
+
+    def call(i):
+        results[i] = tts.synthesize(reqs[i], timeout=120)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(len(reqs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    tts.close()
+    for i, r in enumerate(results):
+        assert r is not None and r.error is None, (i, r and r.error)
+        assert len(r.wav) > 0
+    # the TinyCodec amplitude proves each request got ITS OWN voice
+    assert results[0].wav[0] == 5.0 and results[3].wav[0] == 5.0
+    assert results[1].wav[0] == 9.0 and results[4].wav[0] == 9.0
+    assert results[2].wav[0] == 3.0
+    # a request with no voice errors cleanly instead of hanging
+    bad = svc.ContinuousTTSService(
+        _tiny_spark_pipeline(), None, n_slots=2, chunk=4, prompt_cap=32,
+        max_new_tokens=4, top_k=1,
+    )
+    r = bad.synthesize(svc.TTSRequest(text="x"), timeout=30)
+    assert r.error and "need speaker" in r.error
+    bad.close()
+
+
+def test_continuous_service_http_level():
+    """End-to-end over HTTP: concurrent mixed-voice POSTs against the
+    continuous service all round-trip wav."""
+    pipe = _tiny_spark_pipeline()
+    lib = svc.SpeakerLibrary(None)
+    lib.register("bob", [2] * 4)
+    tts = svc.ContinuousTTSService(
+        pipe, lib, n_slots=4, chunk=4, prompt_cap=32, max_new_tokens=6,
+        top_k=1,
+    )
+    server, port = http_server.start_background(tts)
+    base = f"http://127.0.0.1:{port}"
+
+    payloads = [
+        {"text": "hello", "speaker": "bob"},
+        {"text": "goodbye", "global_tokens": [8] * 4},
+        {"text": "third", "global_tokens": [1] * 4},
+    ]
+    outs = [None] * len(payloads)
+
+    def post(i):
+        body = json.dumps(payloads[i]).encode()
+        req = urllib.request.Request(
+            f"{base}/api/rwkv_tts", body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            outs[i] = (r.status, r.read())
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(len(payloads))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    server.shutdown()
+    tts.close()
+    for status, body in outs:
+        assert status == 200
+        assert body[:4] == b"RIFF" and len(body) > 44
