@@ -167,6 +167,7 @@ def collate_plain(rows, tokenizer, eos_id: int, pad_to=None, packed=False):
 def collate_with_properties(
     rows, tokenizer, eos_id: int, pad_to=None, packed=False,
     mark_phonemes_prob: float = 0.0, rng=None,
+    mark_phonemes_strict: bool = True,
 ):
     """Two samples per row: plain + SPCT-prefixed controllable sample whose
     labels also cover the global tokens (reference multiple_jsonl.py:139-233).
@@ -186,7 +187,10 @@ def collate_with_properties(
         if mark_phonemes_prob > 0 and rng.random() < mark_phonemes_prob:
             from rwkvtts_tpu.data.text_frontend import mark_phonemes
 
-            text = mark_phonemes(text, rng=rng)
+            # strict by default: the ipa-ft trainer must never train on
+            # letter-map fallback junk (VERDICT r2 weak #6) — demos/tests
+            # opt out with mark_phonemes_strict=False
+            text = mark_phonemes(text, rng=rng, strict=mark_phonemes_strict)
         text_ids = tokenizer.encode(text)
         samples.append(
             _spark_core(text_ids, r["global_tokens"], r["semantic_tokens"], eos_id)

@@ -48,6 +48,8 @@ def contains_chinese(text: str) -> bool:
 # Normalization + paragraph splitting
 
 
+_warned_tn_fallback = False
+
 _ZH_END = "。！？；"
 _EN_END = ".!?;"
 
@@ -67,7 +69,17 @@ def basic_normalize(text: str, lang: Optional[str] = None) -> str:
 
             text = Normalizer().normalize(text)
     except Exception:
-        pass
+        # regex-only fallback: fine for plain prose, but digits/symbols
+        # won't be verbalized — say so once instead of degrading silently
+        global _warned_tn_fallback
+        if not _warned_tn_fallback and any(c.isdigit() for c in text):
+            _warned_tn_fallback = True
+            import logging
+
+            logging.getLogger("rwkvtts_tpu").warning(
+                "WeTextProcessing (tn) not installed: numbers/symbols in "
+                "input text will NOT be verbalized (regex-only normalization)"
+            )
     if lang == "zh":
         text = re.sub(r"\s+", "", text)
         text = text.replace(".", "。").replace(" - ", "，")
@@ -162,7 +174,17 @@ _EN_IPA_FALLBACK = {
 }
 
 
-def to_ipa(word: str, lang: str = "en") -> str:
+_warned_ipa_fallback = False
+
+
+def to_ipa(word: str, lang: str = "en", strict: bool = False) -> str:
+    """Word -> pronunciation string via eng_to_ipa / pypinyin.
+
+    When neither dep is installed, the letter-map fallback produces JUNK
+    pronunciations (fine for demos/tests, poison for training): it warns
+    once, and `strict=True` (the ipa-ft trainer) refuses instead
+    (VERDICT r2 weak #6)."""
+    global _warned_ipa_fallback
     try:
         if lang == "en":
             import eng_to_ipa  # type: ignore
@@ -172,6 +194,21 @@ def to_ipa(word: str, lang: str = "en") -> str:
 
         return " ".join(lazy_pinyin(word, style=8))  # Style.TONE3
     except Exception:
+        if strict:
+            raise RuntimeError(
+                "IPA conversion requires eng_to_ipa (en) / pypinyin (zh); "
+                "refusing the letter-map fallback because its output is not "
+                "a real pronunciation — training on it would teach garbage "
+                "phoneme tags"
+            ) from None
+        if not _warned_ipa_fallback:
+            _warned_ipa_fallback = True
+            import logging
+
+            logging.getLogger("rwkvtts_tpu").warning(
+                "eng_to_ipa/pypinyin not installed: using the letter-map "
+                "IPA fallback (demo quality only; ipa-ft training refuses it)"
+            )
         return "".join(_EN_IPA_FALLBACK.get(c, c) for c in word.lower())
 
 
@@ -180,10 +217,14 @@ def mark_phonemes(
     lang: Optional[str] = None,
     max_mark: int = 1,
     rng=None,
+    strict: bool = False,
 ) -> str:
     """Mark up to `max_mark` words/chars with their pronunciation in the
     natural-tagged format the ipa-ft trainer consumes:
-    'hello world' -> 'hello world(pronounced as /wɝld/)'."""
+    'hello world' -> 'hello world(pronounced as /wɝld/)'.
+
+    strict=True (trainer path) raises instead of silently marking with the
+    letter-map fallback when the IPA deps are missing."""
     import random as _random
 
     rng = rng or _random.Random(0)
@@ -196,12 +237,12 @@ def mark_phonemes(
         for i in idxs:
             w = re.sub(r"\W", "", words[i])
             if w:
-                words[i] = f"{words[i]}(pronounced as /{to_ipa(w, 'en')}/)"
+                words[i] = f"{words[i]}(pronounced as /{to_ipa(w, 'en', strict=strict)}/)"
         return " ".join(words)
     chars = [c for c in text]
     cands = [i for i, c in enumerate(chars) if "一" <= c <= "鿿"]
     if not cands:
         return text
     for i in sorted(rng.sample(cands, min(max_mark, len(cands)))):
-        chars[i] = f"{chars[i]}(读作{to_ipa(chars[i], 'zh')})"
+        chars[i] = f"{chars[i]}(读作{to_ipa(chars[i], 'zh', strict=strict)})"
     return "".join(chars)

@@ -45,6 +45,7 @@ class SparkPipeline:
         text_tokenizer,
         audio_tokenizer=None,  # codecs.spark_tokenizer.SparkAudioTokenizer
         sample_rate: int = 16000,
+        prompt_pad_multiple: int = 64,
     ):
         from rwkvtts_tpu.models import rwkv7
 
@@ -54,6 +55,10 @@ class SparkPipeline:
         self.tok = text_tokenizer
         self.codec = audio_tokenizer
         self.sample_rate = sample_rate
+        # prompts pad up to a multiple of this so serving traffic compiles
+        # one prefill program per 64-token bucket, not per text length
+        # (PERF.md round-2 streaming lesson)
+        self.prompt_pad_multiple = prompt_pad_multiple
 
     # -- prompt construction --------------------------------------------------
 
@@ -75,7 +80,9 @@ class SparkPipeline:
             )
             for t, g, s, p in zip(texts, global_tokens, prompt_semantics, properties)
         ]
-        return spark_collator.pad_prompts_left(samples, pad_to=pad_to)
+        return spark_collator.pad_prompts_left(
+            samples, pad_to=pad_to, pad_multiple=self.prompt_pad_multiple
+        )
 
     # -- public API -----------------------------------------------------------
 

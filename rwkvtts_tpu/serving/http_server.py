@@ -182,6 +182,21 @@ def _make_handler(tts: svc.BatchedTTSService):
             self.end_headers()
             self.wfile.write(body)
 
+        def _audio(self, wav: np.ndarray, sr: int, audio_format: str):
+            """wav or mp3 response per the request's audio_format field
+            (reference rwkv_tts_service.py:72-99 contract)."""
+            if audio_format.lower() != "mp3":
+                return self._wav(wav, sr)
+            try:
+                body = svc.mp3_bytes(wav, sr)
+            except RuntimeError as e:
+                return self._json(501, {"error": str(e)})
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/mpeg")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             if self.path == "/api/speakers":
                 self._json(200, {"speakers": tts.speakers.speakers()})
@@ -305,7 +320,10 @@ def _make_handler(tts: svc.BatchedTTSService):
             resp = tts.synthesize(req)
             if resp.error:
                 return self._json(500, {"error": resp.error})
-            self._wav(resp.wav, resp.sample_rate)
+            self._audio(
+                resp.wav, resp.sample_rate,
+                str(payload.get("audio_format", "wav")),
+            )
 
     return Handler
 
@@ -369,6 +387,14 @@ def make_fastapi_app(tts: svc.BatchedTTSService):
         resp = tts.synthesize(req)
         if resp.error:
             raise HTTPException(500, resp.error)
+        if str(payload.get("audio_format", "wav")).lower() == "mp3":
+            try:
+                return Response(
+                    svc.mp3_bytes(resp.wav, resp.sample_rate),
+                    media_type="audio/mpeg",
+                )
+            except RuntimeError as e:
+                raise HTTPException(501, str(e))
         return Response(svc.wav_bytes(resp.wav, resp.sample_rate), media_type="audio/wav")
 
     @app.post("/api/rwkv_tts_stream")
@@ -401,6 +427,14 @@ def make_fastapi_app(tts: svc.BatchedTTSService):
         resp = tts.synthesize(req)
         if resp.error:
             raise HTTPException(500, resp.error)
+        if str(payload.get("audio_format", "wav")).lower() == "mp3":
+            try:
+                return Response(
+                    svc.mp3_bytes(resp.wav, resp.sample_rate),
+                    media_type="audio/mpeg",
+                )
+            except RuntimeError as e:
+                raise HTTPException(501, str(e))
         return Response(svc.wav_bytes(resp.wav, resp.sample_rate), media_type="audio/wav")
 
     return app

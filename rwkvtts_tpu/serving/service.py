@@ -39,6 +39,8 @@ class TTSRequest:
     temperature: float = 1.0
     top_k: int = 50
     top_p: float = 0.95
+    # per-request decode cap; clamped to the service's max_new_tokens
+    max_new_tokens: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -230,8 +232,16 @@ class BatchedTTSService:
         reqs = [b[0] for b in batch]
         try:
             r0 = reqs[0]
+            # grouped decode runs the whole batch to the LONGEST requested
+            # cap (the padding waste the continuous path eliminates);
+            # 64-bucketed so serving compiles whole decode chunks only
+            cap = max(
+                min(r.max_new_tokens or self.max_new_tokens, self.max_new_tokens)
+                for r in reqs
+            )
+            cap = min(-(-cap // 64) * 64, self.max_new_tokens)
             kw: Dict[str, Any] = {
-                "max_new_tokens": self.max_new_tokens,
+                "max_new_tokens": cap,
                 "seed": r0.seed,
                 "temperature": r0.temperature,
                 "top_k": r0.top_k,
@@ -351,7 +361,9 @@ class ContinuousTTSService(BatchedTTSService):
             pb = self.pipeline._prompt_batch(
                 [text], [globals_], [prompt_sem], [props]
             )
-            rid = self.batcher.add_request(pb, self.max_new_tokens)
+            cap = min(req.max_new_tokens or self.max_new_tokens,
+                      self.max_new_tokens)
+            rid = self.batcher.add_request(pb, cap)
             pending[rid] = (req, done, box, globals_)
         except Exception as e:  # noqa: BLE001 — service must answer
             box["resp"] = TTSResponse(np.zeros(0, np.float32), 16000, error=str(e))
@@ -446,6 +458,16 @@ def decode_audio_b64(b64: str, sample_rate: int = 16000) -> np.ndarray:
         f.write(raw)
         f.flush()
         return audio_io.load_wav(f.name, sample_rate)
+
+
+def mp3_bytes(wav: np.ndarray, sample_rate: int, bitrate_kbps: int = 128) -> bytes:
+    """MP3 response encoding (the reference serves wav AND mp3,
+    rwkv_tts_service.py:72-99 audio_format field) via the ctypes LAME
+    binding; raises RuntimeError with a clear wav-only message when
+    libmp3lame is absent on the host."""
+    from rwkvtts_tpu.utils import mp3
+
+    return mp3.encode_mp3(wav, sample_rate, bitrate_kbps=bitrate_kbps)
 
 
 def wav_bytes(wav: np.ndarray, sample_rate: int) -> bytes:

@@ -48,11 +48,9 @@ def test_s3_deterministic_and_masked(s3_small):
     assert m1.shape == t1.shape
 
 
-def test_s3_torch_layout_importer(s3_small):
-    """Synthetic state dict in the documented `s3tokenizer` layout maps
-    without KeyErrors and produces the same tokens as hand-built params."""
-    cfg, _ = s3_small
-    rng = np.random.default_rng(2)
+def build_s3_sd(cfg, rng):
+    """Synthetic state dict in the documented `s3tokenizer` layout (shared
+    with the full-shape suite, test_reference_parity_fullshape.py)."""
     d, f = cfg.d_model, cfg.ffn_dim
     sd = {
         "encoder.conv1.weight": rng.standard_normal((d, cfg.n_mels, 3)).astype(np.float32),
@@ -85,7 +83,16 @@ def test_s3_torch_layout_importer(s3_small):
                 if nm.endswith("bias")
                 else np.ones(shape, np.float32)
             )
+    return sd
+
+
+def test_s3_torch_layout_importer(s3_small):
+    """Synthetic state dict in the documented `s3tokenizer` layout maps
+    without KeyErrors and produces the same tokens as hand-built params."""
+    cfg, _ = s3_small
+    sd = build_s3_sd(cfg, np.random.default_rng(2))
     params = s3.s3_from_torch_state_dict(sd, cfg)
+    rng = np.random.default_rng(3)
     mel = jnp.asarray(rng.standard_normal((1, 24, cfg.n_mels)).astype(np.float32))
     tokens, _ = s3.encode_mel(jax.tree.map(jnp.asarray, params), cfg, mel)
     assert tokens.shape == (1, 6)
@@ -153,10 +160,9 @@ def test_campplus_embed_wav_end_to_end(cam_small):
     assert np.isfinite(np.asarray(emb)).all()
 
 
-def test_campplus_torch_layout_importer(cam_small):
-    """Synthetic speakerlab-layout state dict imports and runs."""
-    cfg, ref_params = cam_small
-    rng = np.random.default_rng(7)
+def build_campplus_sd(cfg, rng):
+    """Synthetic speakerlab-layout state dict (shared with the full-shape
+    suite)."""
     sd = {}
 
     def add_conv2d(b, cin, cout, k=3, bias=False):
@@ -214,7 +220,14 @@ def test_campplus_torch_layout_importer(cam_small):
         (cfg.embedding_size, ch * 2, 1)
     ).astype(np.float32)
     add_bn("xvector.dense.nonlinear.batchnorm", cfg.embedding_size)
+    return sd
 
+
+def test_campplus_torch_layout_importer(cam_small):
+    """Synthetic speakerlab-layout state dict imports and runs."""
+    cfg, ref_params = cam_small
+    rng = np.random.default_rng(7)
+    sd = build_campplus_sd(cfg, rng)
     params = jax.tree.map(jnp.asarray, cp.campplus_from_torch(sd, cfg))
     feat = jnp.asarray(rng.standard_normal((1, 40, cfg.feat_dim)).astype(np.float32))
     emb = cp.apply(params, cfg, feat)

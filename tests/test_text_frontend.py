@@ -52,3 +52,58 @@ def test_mark_phonemes_zh():
 def test_instruction_templates():
     s = tf.INSTRUCTION.format(text="hi")
     assert s.startswith("User:") and s.endswith("Assistant:")
+
+
+def test_ipa_strict_refuses_fallback():
+    """Trainer path: with eng_to_ipa/pypinyin absent, strict IPA marking
+    raises instead of training on letter-map junk (VERDICT r2 weak #6)."""
+    import pytest
+
+    try:
+        import eng_to_ipa  # noqa: F401
+
+        pytest.skip("eng_to_ipa installed; fallback not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="refusing the letter-map"):
+        tf.to_ipa("hello", "en", strict=True)
+    with pytest.raises(RuntimeError):
+        tf.mark_phonemes("hello world", "en", strict=True)
+    # non-strict path still works (demo quality)
+    assert tf.mark_phonemes("hello world", "en") != ""
+
+
+def test_collator_ipa_strict_default():
+    """collate_with_properties(mark_phonemes_prob>0) refuses the fallback
+    by default; opts out explicitly."""
+    import pytest
+
+    try:
+        import eng_to_ipa  # noqa: F401
+
+        pytest.skip("eng_to_ipa installed")
+    except ImportError:
+        pass
+    from rwkvtts_tpu.data import spark_collator as sc
+
+    class Tok:
+        def encode(self, t):
+            return [1, 2, 3]
+
+    rows = [{
+        "text": "hello there", "global_tokens": [1] * 4,
+        "semantic_tokens": [2] * 6, "age": "youth-adult", "gender": "female",
+        "emotion": "NEUTRAL", "pitch": "medium_pitch", "speed": "medium",
+    }]
+    import random
+
+    with pytest.raises(RuntimeError):
+        sc.collate_with_properties(
+            rows, Tok(), eos_id=8192, mark_phonemes_prob=1.0,
+            rng=random.Random(0),
+        )
+    out = sc.collate_with_properties(
+        rows, Tok(), eos_id=8192, mark_phonemes_prob=1.0,
+        rng=random.Random(0), mark_phonemes_strict=False,
+    )
+    assert out["tokens"].shape[0] == 2  # plain + properties sample
