@@ -1,8 +1,9 @@
 """CosyVoice end-to-end RTF benchmark (BASELINE config #2).
 
-LM speech-token generation -> 10-step CFG flow -> HiFT vocoder, at the
-deployed sizes (LM 768x12; flow 512-conformer + 256-ch causal UNet with 12
-mid blocks; HiFT 24 kHz). Random weights — the compute cost is what's
+LM speech-token generation -> 10-step CFG flow -> HiFT vocoder. Flow/HiFT
+run the deployed shapes (512-conformer + 256-ch causal UNet with 12 mid
+blocks; HiFT 24 kHz); --hidden/--layers set the LM (deployed: 2048x24,
+the 1.5B LM of CosyVoice2-0.5B-RWKV-7-1.5B, Inference.md:19-44). Random weights — the compute cost is what's
 measured. Prints per-stage seconds + end-to-end RTF (target <= 0.1).
 """
 from __future__ import annotations
@@ -27,6 +28,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tokens", type=int, default=250, help="speech tokens (25 Hz => 10 s)")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--hidden", type=int, default=768,
+                    help="LM width (deployed: 2048x24 = the 1.5B in CosyVoice2-0.5B-RWKV-7-1.5B)")
+    ap.add_argument("--layers", type=int, default=12)
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 decode weights (B=1 decode is weight-bandwidth-bound)")
     args = ap.parse_args()
 
     from rwkvtts_tpu.codecs import conformer, flow as flow_lib, hift as hift_lib
@@ -36,13 +42,15 @@ def main():
     from rwkvtts_tpu.models import cosy, rwkv7
 
     # --- LM stage ---
-    lm_cfg = cosy.default_config(hidden_size=768, num_layers=12)
+    lm_cfg = cosy.default_config(hidden_size=args.hidden, num_layers=args.layers)
     lm_params = cosy.init_params(jax.random.PRNGKey(0), lm_cfg)
     lm_params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if hasattr(x, "ndim") and x.ndim >= 2 else x,
         lm_params,
     )
-    lm_params = rwkv7.pack_decode_params(lm_params, lm_cfg.backbone)
+    lm_params = rwkv7.pack_decode_params(
+        lm_params, lm_cfg.backbone, quantize_int8=args.int8
+    )
 
     text_ids = list(range(1000, 1000 + args.tokens // 5))
     sample = cosy_collator.build_prompt(text_ids, [])

@@ -166,6 +166,60 @@ def evaluate_wer(
     }
 
 
+def asr_transcribe_fn(
+    asr_params,
+    asr_cfg,
+    tokenizer,
+    lang: str = "zh",
+    max_new_tokens: int = 128,
+) -> Callable[[str], str]:
+    """The repo's OWN RWKV-7 ASR model as a transcription backend — the
+    default zh backend (the reference protocol names Paraformer for zh,
+    run_wer.py:21-28; no Paraformer exists in this image, and the in-repo
+    ASR model takes the zh transcription instruction natively,
+    asr_collator.INSTRUCTIONS['zh'])."""
+    from rwkvtts_tpu.data import asr_collator
+    from rwkvtts_tpu.models import asr as asr_model
+
+    def fn(wav_path: str) -> str:
+        batch_np = asr_collator.collate(
+            [{"audio": wav_path, "text": "", "language": lang}], tokenizer
+        )
+        import jax.numpy as jnp
+
+        batch = {
+            k: jnp.asarray(v) for k, v in batch_np.items()
+            if k not in ("labels", "labels_mask")
+        }
+        toks, lengths = asr_model.transcribe(
+            asr_params, asr_cfg, batch, max_new_tokens=max_new_tokens
+        )
+        n = int(np.asarray(lengths)[0])
+        ids = [int(t) for t in np.asarray(toks)[0, :n]]
+        return tokenizer.decode(ids)
+
+    return fn
+
+
+def default_transcribe_fn(lang: str, **backends) -> Callable[[str], str]:
+    """Backend selection mirroring run_wer.py:21-28: whisper-large-v3 for
+    en (when weights are on disk), the in-repo ASR model for zh.
+
+    backends: whisper_dir=... for en; asr_params/asr_cfg/tokenizer for zh.
+    """
+    if lang == "en" and backends.get("whisper_dir"):
+        return whisper_transcribe_fn(backends["whisper_dir"], "en")
+    if backends.get("asr_params") is not None:
+        return asr_transcribe_fn(
+            backends["asr_params"], backends["asr_cfg"],
+            backends["tokenizer"], lang=lang,
+        )
+    raise ValueError(
+        f"no transcription backend for lang={lang!r}: pass whisper_dir "
+        "(en) or asr_params/asr_cfg/tokenizer (own-ASR backend)"
+    )
+
+
 def whisper_transcribe_fn(model_dir: str, lang: str = "en") -> Callable[[str], str]:
     """Gated transformers Whisper backend (used when weights are on disk)."""
     import torch

@@ -59,11 +59,16 @@ class RWKV7Config:
     # pallas-impl knobs (ignored by other impls): (batch*head) slices per
     # grid step, and matmul operand precision ('f32' | 'bf16')
     wkv_group: int = 8
+    # separate backward-kernel group (None = same as wkv_group); the bwd
+    # kernel's VMEM footprint is ~3x the forward's, so a big forward group
+    # can pair with a smaller backward one
+    wkv_group_bwd: Optional[int] = None
     wkv_mm: str = "f32"
     remat: bool = True
     # Selective rematerialization: None = full replay (lowest memory);
-    # 'dots' = save matmul outputs, recompute elementwise (trades HBM for
-    # skipping the projection replays in the backward pass)
+    # 'dots' = save matmul outputs, recompute elementwise; 'wkv' = save the
+    # Pallas WKV outputs so the backward replay skips the forward kernel
+    # (+HBM: y bf16 + entry states f32 per layer)
     remat_policy: Optional[str] = None
     # Python-unrolled layer loop for the full-sequence forward (instead of
     # lax.scan over stacked layers): per-layer buffers, no stacked
@@ -306,6 +311,7 @@ def block_forward(
         impl=cfg.wkv_impl,
         chunk=cfg.wkv_chunk,
         group=cfg.wkv_group,
+        group_bwd=cfg.wkv_group_bwd,
         mm_dtype=cfg.wkv_mm,
     )
     y = y.reshape(B, T, C)
@@ -384,6 +390,12 @@ def forward(
             None: None,
             "dots": jax.checkpoint_policies.checkpoint_dots,
             "dots_no_batch": jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+            # save the WKV kernel outputs (named in ops/wkv7_pallas.py):
+            # the backward replay rebuilds projections but never re-runs
+            # the forward Pallas kernel (~90 ms/step at 0.4B, profiled)
+            "wkv": jax.checkpoint_policies.save_only_these_names(
+                "wkv_y", "wkv_s_fin", "wkv_s_entry"
+            ),
         }[cfg.remat_policy]
         fn = jax.checkpoint(body, policy=policy) if policy else jax.checkpoint(body)
     else:

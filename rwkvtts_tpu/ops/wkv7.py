@@ -491,6 +491,7 @@ def wkv7(
     impl: str = "chunked",
     chunk: int = DEFAULT_CHUNK,
     group: int = 8,
+    group_bwd=None,
     mm_dtype: str = "f32",
 ):
     """Dispatching entry point used by the models.
@@ -527,6 +528,7 @@ def wkv7(
 
         return wkv7_pallas.wkv7_pallas(
             r, w_raw, k, v, z, b, state, resets,
-            chunk=chunk, group=group, mm_dtype=mm_dtype,
+            chunk=chunk, group=group, group_bwd=group_bwd,
+            mm_dtype=mm_dtype,
         )
     raise ValueError(f"unknown wkv7 impl: {impl!r}")

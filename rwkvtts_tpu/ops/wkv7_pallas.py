@@ -56,6 +56,8 @@ def _neumann_steps(L: int) -> int:
     return max(0, (L - 1).bit_length() - 1)
 
 
+
+
 # ---------------------------------------------------------------------------
 # The per-pair chunk function (pure jnp; traced inside both kernels, and
 # differentiated by jax.vjp inside the backward kernel)
@@ -186,7 +188,10 @@ def _pair_chunk(
     # doubling (applying (I + A^{2^k}) to sa_in directly) has fewer MACs
     # but measured SLOWER in-model (386 vs 354 ms step): it is one long
     # dependent chain, while the matrix form gives the MXU independent
-    # work to pipeline.
+    # work to pipeline. A custom-vjp adjoint solve (u = (I-A)^{-T} dy via
+    # reversed doubling powers; dA = u sa^T) also measured SLOWER (887 vs
+    # 865 ms step at 0.4B, round 3): the residual powers it carries add
+    # VMEM pressure that costs more than the ~13 saved transpose matmuls.
     eye = jnp.where(ri == ci, 1.0, 0.0).astype(f32)
     inv = eye + A
     power = A
@@ -451,21 +456,21 @@ def _bwd_call(c, blocks, s_entry, dy, dsfin, meta, *, chunk, mm_dtype,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def _wkv7_pallas_core(
     r, w_raw, k, v, z, b, state, resets,
-    chunk, group, mm_name, interpret, has_resets,
+    chunk, group, mm_name, interpret, has_resets, group_bwd,
 ):
     y, s_fin = _core_fwd(
         r, w_raw, k, v, z, b, state, resets,
-        chunk, group, mm_name, interpret, has_resets,
+        chunk, group, mm_name, interpret, has_resets, group_bwd,
     )[0]
     return y, s_fin
 
 
 def _core_fwd(
     r, w_raw, k, v, z, b, state, resets,
-    chunk, group, mm_name, interpret, has_resets,
+    chunk, group, mm_name, interpret, has_resets, group_bwd=None,
 ):
     mm_dtype = jnp.bfloat16 if mm_name == "bf16" else jnp.float32
     meta = _prep(
@@ -476,6 +481,16 @@ def _core_fwd(
         meta["c"], meta["blocks"], meta["s0"], meta,
         chunk=chunk, mm_dtype=mm_dtype, interpret=interpret,
     )
+    # Offer the kernel outputs to jax.checkpoint by name: with the model's
+    # remat_policy='wkv' (save_only_these_names) the replay rebuilds the
+    # kernel INPUTS (cheap layout + projections) but never re-executes the
+    # forward Pallas call — its outputs are saved. Without a surrounding
+    # checkpoint these are no-ops.
+    from jax.ad_checkpoint import checkpoint_name
+
+    yb = checkpoint_name(yb, "wkv_y")
+    s_fin_t = checkpoint_name(s_fin_t, "wkv_s_fin")
+    s_entry = checkpoint_name(s_entry, "wkv_s_entry")
     B, T, H, N, BH = meta["B"], meta["T"], meta["H"], meta["N"], meta["BH"]
     y = jnp.moveaxis(
         yb[:BH].reshape(B, H, meta["Tp"], N), 1, 2
@@ -486,17 +501,17 @@ def _core_fwd(
 
 def _core_fwd_vjp(
     r, w_raw, k, v, z, b, state, resets,
-    chunk, group, mm_name, interpret, has_resets,
+    chunk, group, mm_name, interpret, has_resets, group_bwd,
 ):
     (y, s_fin), (meta, s_entry) = _core_fwd(
         r, w_raw, k, v, z, b, state, resets,
-        chunk, group, mm_name, interpret, has_resets,
+        chunk, group, mm_name, interpret, has_resets, group_bwd,
     )
     res = (meta["c"], meta["blocks"], s_entry, resets)
     return (y, s_fin), res
 
 
-def _core_bwd(chunk, group, mm_name, interpret, has_resets, res, cts):
+def _core_bwd(chunk, group, mm_name, interpret, has_resets, group_bwd, res, cts):
     c, blocks, s_entry, resets = res
     dy, dsfin = cts
     mm_dtype = jnp.bfloat16 if mm_name == "bf16" else jnp.float32
@@ -514,10 +529,15 @@ def _core_bwd(chunk, group, mm_name, interpret, has_resets, res, cts):
     if BHp > BH:
         dsfin_t = jnp.pad(dsfin_t, ((0, BHp - BH), (0, 0), (0, 0)))
 
-    # G must match the forward call exactly (blocks were padded for it)
-    G = min(group, BH)
+    # BHp was padded for the FORWARD group; the backward may use its own
+    # (smaller) group — the bwd kernel carries ~3x the forward's live VMEM
+    # (recompute + vjp), so its group OOMs first. Any even G dividing BHp
+    # is legal.
+    G = min(group_bwd or group, BH)
     G -= G % 2
     G = max(G, 2)
+    while BHp % G:
+        G -= 2
     meta = dict(G=G, BHp=BHp, n_chunks=n_chunks, N=N, with_resets=has_resets)
 
     outs = _bwd_call(
@@ -551,6 +571,7 @@ def wkv7_pallas(
     *,
     chunk: int = DEFAULT_CHUNK,
     group: int = DEFAULT_GROUP,
+    group_bwd: Optional[int] = None,
     mm_dtype: str = "f32",
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -573,5 +594,5 @@ def wkv7_pallas(
         resets = resets.astype(jnp.float32)
     return _wkv7_pallas_core(
         r, w_raw, k, v, z, b, state, resets,
-        chunk, group, mm_dtype, bool(interpret), has_resets,
+        chunk, group, mm_dtype, bool(interpret), has_resets, group_bwd,
     )

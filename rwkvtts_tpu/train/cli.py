@@ -35,6 +35,14 @@ def build_model(task: str, args):
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         head_size=args.head_size,
     )
+    if jax.default_backend() == "tpu" and jax.device_count() == 1:
+        # measured train defaults at 0.4B (PERF.md round 3): replay skips
+        # the fwd WKV kernel, unrolled layers kill the scan-stacking
+        # copies — 1025 -> 865 ms step (+18.5% KT/s). Overridable below.
+        kw.setdefault("remat_policy", getattr(args, "remat_policy", None) or "wkv")
+        kw.setdefault("layer_unroll", not getattr(args, "no_layer_unroll", False))
+    elif getattr(args, "remat_policy", None):
+        kw["remat_policy"] = args.remat_policy
     key = jax.random.PRNGKey(args.seed)
     if task.startswith("spark"):
         from rwkvtts_tpu.models import spark
@@ -172,6 +180,11 @@ def main(argv=None):
     p.add_argument("--save-steps", type=int, default=1000)
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--remat-policy", default=None,
+                   choices=["wkv", "dots", "dots_no_batch"],
+                   help="override the single-chip TPU default ('wkv')")
+    p.add_argument("--no-layer-unroll", action="store_true",
+                   help="keep the scanned layer loop (faster compiles)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--warm-start", default=None, help="ckpt file to init params from")
     p.add_argument("--drop-prompt-audio-rate", type=float, default=0.5)

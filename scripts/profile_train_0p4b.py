@@ -75,9 +75,7 @@ def analyze(trace_dir, top=40):
         if e.get("ph") != "X":
             continue
         tname = names.get((e.get("pid"), e.get("tid")), "")
-        if "XLA Op" in tname or "TensorFlow Op" in tname or "Steps" in tname:
-            continue
-        if not ("TensorCore" in tname or "/device" in tname.lower()):
+        if tname != "XLA Ops":  # the TPU device op lane
             continue
         dur = e.get("dur", 0) / 1e3  # ms
         nm = e.get("name", "?")
