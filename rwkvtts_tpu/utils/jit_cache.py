@@ -13,6 +13,16 @@ def enable(cache_dir: str = "/root/repo/.jax_cache") -> None:
     try:
         import jax
 
+        if jax.default_backend() == "cpu":
+            # XLA:CPU AOT reload is BROKEN on this host (machine-feature
+            # mismatch -> SIGILL/abort in ThunkExecutor when loading cached
+            # executables; see CLAUDE.md / tests/conftest.py) — the cache
+            # is a TPU-tunnel fast path only.
+            try:
+                jax.config.update("jax_enable_compilation_cache", False)
+            except Exception:
+                pass
+            return
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -80,9 +80,33 @@ def test_sharded_train_step_runs_and_matches_single():
 
 
 def test_graft_entry_dryrun():
-    import __graft_entry__ as ge
+    """Run the driver dryrun in a FRESH subprocess (as the driver does).
 
-    ge.dryrun_multichip(8)
+    In-process it now exercises the real 0.4B flagship, and XLA:CPU aborts
+    when that compiles late in the loaded test process (the same LLVM
+    fragility the conftest reordering works around) — a clean process is
+    the actual contract."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "").replace(
+            "--xla_force_host_platform_device_count=8", ""
+        ).strip()
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "flagship-0.4B" in r.stdout
 
 
 def test_billion_param_config_shapes_and_specs():
