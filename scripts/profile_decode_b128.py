@@ -1,0 +1,95 @@
+"""Profile the B=128 decode step at 0.4B (PERF.md open item: B=128/256
+decode REGRESSES vs B=64 at 0.4B — 14.2 vs 9.0 ms/step expected ~2x work).
+
+Traces a few decode steps at B=64 and B=128 and prints per-op self-times.
+"""
+from __future__ import annotations
+
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rwkvtts_tpu.utils import jit_cache
+
+jit_cache.enable()
+
+
+def self_times(trace_dir, top=15):
+    files = sorted(
+        glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True),
+        key=os.path.getmtime,
+    )
+    with gzip.open(files[-1], "rt") as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    names = {}
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            names[(e["pid"], e["tid"])] = e["args"]["name"]
+    ops = [e for e in ev if e.get("ph") == "X"
+           and names.get((e.get("pid"), e.get("tid"))) == "XLA Ops"]
+    ops.sort(key=lambda e: (e["ts"], -e["dur"]))
+    stack, self_t = [], collections.Counter()
+    for e in ops:
+        ts, dur = e["ts"], e["dur"]
+        while stack and ts >= stack[-1][0] + stack[-1][1]:
+            stack.pop()
+        if stack:
+            self_t[stack[-1][2].split(".")[0]] -= dur / 1e3
+        self_t[e["name"].split(".")[0]] += dur / 1e3
+        stack.append((ts, dur, e["name"]))
+    total = sum(self_t.values())
+    print(f"  device total {total:.2f} ms")
+    for nm, ms in self_t.most_common(top):
+        print(f"  {ms:8.3f} ms {100*ms/total:5.1f}%  {nm}")
+
+
+def main():
+    from rwkvtts_tpu.infer import generate as gen
+    from rwkvtts_tpu.models import rwkv7, spark
+
+    cfg = spark.default_config(hidden_size=1024, num_layers=24)
+    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
+    )
+    params = rwkv7.pack_decode_params(params, cfg.backbone)
+
+    for B in (64, 128):
+        k = jax.random.PRNGKey(1)
+        tokens = jax.random.randint(k, (B, 128), 0, 4000)
+        modality = jnp.full((B, 128), spark.MOD_TEXT, jnp.int32)
+        modality = modality.at[:, -1].set(spark.MOD_TAG)
+        mask = jnp.ones((B, 128), jnp.int32)
+
+        def run(key):
+            toks, _ = gen.spark_generate(
+                params, cfg, tokens, modality, mask, key,
+                max_new_tokens=64, top_k=50, top_p=0.95,
+            )
+            return toks
+
+        np.asarray(run(jax.random.PRNGKey(2)))
+        t0 = time.perf_counter()
+        np.asarray(run(jax.random.PRNGKey(3)))
+        dt = time.perf_counter() - t0
+        print(f"B={B}: {dt*1e3/64:.2f} ms/step", flush=True)
+        out_dir = f"/tmp/dec_trace_b{B}"
+        jax.profiler.start_trace(out_dir)
+        np.asarray(run(jax.random.PRNGKey(4)))
+        jax.profiler.stop_trace()
+        self_times(out_dir)
+
+
+if __name__ == "__main__":
+    main()
