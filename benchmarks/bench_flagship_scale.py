@@ -37,7 +37,8 @@ def n_params(params) -> int:
     return sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params))
 
 
-def bench_decode(hidden, layers, batch=64, t_prompt=128, t_new=256, iters=3):
+def bench_decode(hidden, layers, batch=64, t_prompt=128, t_new=256, iters=3,
+                 int8=False):
     from rwkvtts_tpu.infer.generate import spark_generate
     from rwkvtts_tpu.models import rwkv7, spark
 
@@ -46,7 +47,7 @@ def bench_decode(hidden, layers, batch=64, t_prompt=128, t_new=256, iters=3):
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
     )
-    params = rwkv7.pack_decode_params(params, cfg.backbone)
+    params = rwkv7.pack_decode_params(params, cfg.backbone, quantize_int8=int8)
     np_ = n_params(params)
 
     k = jax.random.PRNGKey(1)
@@ -71,7 +72,7 @@ def bench_decode(hidden, layers, batch=64, t_prompt=128, t_new=256, iters=3):
     dt = (time.perf_counter() - t0) / iters
     tps = batch * t_new / dt
     out = {
-        "bench": f"decode_{hidden}x{layers}",
+        "bench": f"decode_{hidden}x{layers}" + ("_int8" if int8 else ""),
         "params": np_,
         "batch": batch,
         "tok_per_s_chip": round(tps, 1),
@@ -138,14 +139,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
     ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--int8", action="store_true")
     args = ap.parse_args()
     results = []
     if args.only in (None, "decode04"):
         print("== decode 0.4B (1024x24) ==", flush=True)
-        results.append(bench_decode(1024, 24, batch=args.batch or 64))
+        results.append(
+            bench_decode(1024, 24, batch=args.batch or 64, int8=args.int8)
+        )
     if args.only in (None, "decode14"):
         print("== decode 1.4B (2048x24) ==", flush=True)
-        results.append(bench_decode(2048, 24, batch=args.batch or 64))
+        results.append(
+            bench_decode(2048, 24, batch=args.batch or 64, int8=args.int8)
+        )
     if args.only in (None, "train04"):
         print("== train 0.4B (1024x24) ==", flush=True)
         results.append(bench_train(1024, 24, batch=args.batch or 8))

@@ -70,6 +70,11 @@ class RWKV7Config:
     # Pallas WKV outputs so the backward replay skips the forward kernel
     # (+HBM: y bf16 + entry states f32 per layer)
     remat_policy: Optional[str] = None
+    # Fold the post-projection elementwise band (kk normalize, k_a mix,
+    # ln_x GroupNorm, bonus term) into the Pallas WKV kernel pair. Only
+    # takes effect where the impl resolves to 'pallas' (single-chip TPU);
+    # elsewhere the composed path below runs, with identical semantics.
+    wkv_fuse_prep: bool = False
     # Python-unrolled layer loop for the full-sequence forward (instead of
     # lax.scan over stacked layers): per-layer buffers, no stacked
     # save/slice copies. Compile time grows with depth.
@@ -299,29 +304,50 @@ def block_forward(
     a = jax.nn.sigmoid(cast(att["a0"]) + _lora(xa, cast(att["a1"]), cast(att["a2"])))
     g = _lora(xg, cast(att["g1"]), cast(att["g2"]), jax.nn.sigmoid)
 
-    kk = l2_normalize((k * cast(att["k_k"])).reshape(B, T, H, N)).reshape(B, T, C)
-    k = k * (1 + (a - 1) * cast(att["k_a"]))
     v = masked(v)
-
     shp = lambda u: u.reshape(B, T, H, N)
-    y, wkv_state = wkv7_ops.wkv7(
-        shp(r), shp(w_raw), shp(k), shp(v), shp(-kk), shp(kk * a),
-        state=None if st is None else st["wkv"],
-        resets=resets,
-        impl=cfg.wkv_impl,
-        chunk=cfg.wkv_chunk,
-        group=cfg.wkv_group,
-        group_bwd=cfg.wkv_group_bwd,
-        mm_dtype=cfg.wkv_mm,
-    )
-    y = y.reshape(B, T, C)
-    y = group_norm(y, att["ln_x_scale"], att["ln_x_bias"], H, cfg.ln_x_eps)
-    bonus = (
-        (r.reshape(B, T, H, N) * k.reshape(B, T, H, N) * cast(att["r_k"]))
-        .sum(-1, keepdims=True)
-        * v.reshape(B, T, H, N)
-    ).reshape(B, T, C)
-    y = y + bonus
+    if cfg.wkv_fuse_prep and wkv7_ops.resolve_impl(cfg.wkv_impl) == "pallas":
+        from rwkvtts_tpu.ops import wkv7_pallas
+
+        hn = lambda p: p.astype(jnp.float32).reshape(H, N)
+        y, wkv_state = wkv7_pallas.wkv7_pallas_fused(
+            shp(r), shp(w_raw), shp(k), shp(v), shp(a),
+            hn(att["k_k"]), hn(att["k_a"]), hn(att["r_k"]),
+            hn(att["ln_x_scale"]), hn(att["ln_x_bias"]),
+            state=None if st is None else st["wkv"],
+            resets=resets,
+            ln_eps=cfg.ln_x_eps,
+            chunk=max(cfg.wkv_chunk, 64),
+            group=cfg.wkv_group,
+            group_bwd=cfg.wkv_group_bwd,
+            mm_dtype=cfg.wkv_mm,
+        )
+        y = y.reshape(B, T, C)
+    else:
+        kk = l2_normalize(
+            (k * cast(att["k_k"])).reshape(B, T, H, N)
+        ).reshape(B, T, C)
+        k = k * (1 + (a - 1) * cast(att["k_a"]))
+        y, wkv_state = wkv7_ops.wkv7(
+            shp(r), shp(w_raw), shp(k), shp(v), shp(-kk), shp(kk * a),
+            state=None if st is None else st["wkv"],
+            resets=resets,
+            impl=cfg.wkv_impl,
+            chunk=cfg.wkv_chunk,
+            group=cfg.wkv_group,
+            group_bwd=cfg.wkv_group_bwd,
+            mm_dtype=cfg.wkv_mm,
+        )
+        y = y.reshape(B, T, C)
+        y = group_norm(
+            y, att["ln_x_scale"], att["ln_x_bias"], H, cfg.ln_x_eps
+        )
+        bonus = (
+            (r.reshape(B, T, H, N) * k.reshape(B, T, H, N) * cast(att["r_k"]))
+            .sum(-1, keepdims=True)
+            * v.reshape(B, T, H, N)
+        ).reshape(B, T, C)
+        y = y + bonus
     att_out = (y * g) @ cast(att["output"])
     x = x + att_out
 

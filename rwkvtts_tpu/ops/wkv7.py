@@ -478,6 +478,17 @@ def wkv7_step(
 # ---------------------------------------------------------------------------
 
 
+def resolve_impl(impl: str = "auto") -> str:
+    """'auto' -> 'pallas' on a single TPU chip, 'chunked' elsewhere (CPU
+    tests and multi-device GSPMD jit, where an unsharded Pallas call would
+    force an operand gather)."""
+    if impl != "auto":
+        return impl
+    if jax.default_backend() == "tpu" and jax.device_count() == 1:
+        return "pallas"
+    return "chunked"
+
+
 def wkv7(
     r,
     w_raw,
@@ -508,11 +519,9 @@ def wkv7(
     tests/test_wkv7_pallas.py::test_pallas_under_shard_map).
     """
     if impl == "auto":
-        if jax.default_backend() == "tpu" and jax.device_count() == 1:
-            impl = "pallas"
+        impl = resolve_impl(impl)
+        if impl == "pallas":
             chunk = max(chunk, 64)  # pallas tiles want 128-row pairs
-        else:
-            impl = "chunked"
     if impl == "scan":
         return wkv7_scan(r, w_raw, k, v, z, b, state, resets)
     if impl == "chunked":

@@ -328,20 +328,23 @@ def _auto_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _prep(r, w_raw, k, v, z, b, state, resets, chunk, group):
+def _prep(arrs, state, resets, chunk, group):
     """Common layout work: pad T, flatten (B,H), build segment counters.
 
-    Returns a dict of kernel-ready arrays plus layout metadata.
+    arrs: tuple of (B, T, H, N) chunk inputs; arrs[1] must be w_raw (its
+    padding value keeps the decay at identity). Returns a dict of
+    kernel-ready arrays plus layout metadata.
     """
-    B, T, H, N = r.shape
+    B, T, H, N = arrs[0].shape
     pad = (-T) % chunk
     if pad:
-        zpad = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        r, k, v, z, b = map(zpad, (r, k, v, z, b))
-        w_raw = jnp.pad(
-            w_raw, ((0, 0), (0, pad), (0, 0), (0, 0)),
-            constant_values=_PAD_W_RAW,
-        )
+        def zpad(x, i):
+            return jnp.pad(
+                x, ((0, 0), (0, pad), (0, 0), (0, 0)),
+                constant_values=_PAD_W_RAW if i == 1 else 0,
+            )
+
+        arrs = tuple(zpad(x, i) for i, x in enumerate(arrs))
     Tp = T + pad
     n_chunks = Tp // chunk
     BH = B * H
@@ -364,7 +367,7 @@ def _prep(r, w_raw, k, v, z, b, state, resets, chunk, group):
     def to_blocks(x):  # (B, Tp, H, N) -> (BH, n_chunks, L, N)
         return jnp.moveaxis(x, 2, 1).reshape(BH, n_chunks, chunk, N)
 
-    blocks = tuple(map(to_blocks, (r, w_raw, k, v, z, b)))
+    blocks = tuple(map(to_blocks, arrs))
     s0 = state.reshape(BH, N, N)  # (value-dim rows, key-dim lanes)
 
     G = min(group, BH)
@@ -474,7 +477,7 @@ def _core_fwd(
 ):
     mm_dtype = jnp.bfloat16 if mm_name == "bf16" else jnp.float32
     meta = _prep(
-        r, w_raw, k, v, z, b, state, resets if has_resets else None,
+        (r, w_raw, k, v, z, b), state, resets if has_resets else None,
         chunk, group,
     )
     yb, s_fin_t, s_entry = _fwd_call(
@@ -595,4 +598,392 @@ def wkv7_pallas(
     return _wkv7_pallas_core(
         r, w_raw, k, v, z, b, state, resets,
         chunk, group, mm_dtype, bool(interpret), has_resets, group_bwd,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused-prep variant: the post-projection elementwise band lives IN-kernel
+# ---------------------------------------------------------------------------
+#
+# The time-mix ops between the projections and the WKV call — kk =
+# l2_normalize(k*k_k), k_eff = k*(1+(a-1)*k_a), z = -kk, b = kk*a, the ln_x
+# GroupNorm on y, and the bonus term (r·k_eff·r_k)·v — are HBM-bound XLA
+# fusions bracketing an opaque pallas_call (reference math:
+# rwkv_asr_cuda_whisper.py:206-214). Folding them into the kernel removes
+# those fusion boundaries: the kernel reads (r, w_raw, k_raw, v, a) and the
+# tiny per-head params, and writes the FINAL pre-gate y. Per-head params
+# ride as (BH, N) rows (head-tiled over batch); their gradients accumulate
+# in the revisited output block across the backward chunk sweep and are
+# reduced over batch outside.
+
+_L2_EPS_SQ = 1e-24  # matches ops/norm.l2_normalize (eps=1e-12, clamped pre-sqrt)
+
+
+def _pair_fused(
+    s0p, r, w_raw, kraw, v, a, kkp, kap, rkp, lnwp, lnbp, c2,
+    *,
+    L: int,
+    with_resets: bool,
+    mm_dtype,
+    ln_eps: float,
+):
+    """_pair_chunk plus the surrounding elementwise prep/post, fused.
+
+    kraw/a: (2L, N) pre-normalize key and in-context learning rate.
+    kkp..lnbp: (2, N) f32 per-head params for the two packed heads.
+    Returns (y_final (2L, N) f32, s_out (2N, N) f32).
+    """
+    f32 = jnp.float32
+    N = kraw.shape[-1]
+    L2 = 2 * L
+    rb0 = jax.lax.broadcasted_iota(jnp.int32, (L2, 1), 0) < L
+    sel = lambda p: jnp.where(rb0, p[0:1, :], p[1:2, :])  # (2L, N)
+
+    kraw = kraw.astype(f32)
+    a = a.astype(f32)
+    kx = kraw * sel(kkp)
+    s = jnp.sum(kx * kx, axis=-1, keepdims=True)
+    kk = kx / jnp.sqrt(jnp.maximum(s, _L2_EPS_SQ))
+    keff = kraw * (1.0 + (a - 1.0) * sel(kap))
+    y, s_out = _pair_chunk(
+        s0p, r, w_raw, keff, v, -kk, kk * a, c2,
+        L=L, with_resets=with_resets, mm_dtype=mm_dtype,
+    )
+    # ln_x GroupNorm: per (position, head) stats over the N lanes
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    yc = y - mu
+    var = jnp.mean(yc * yc, axis=-1, keepdims=True)
+    yn = yc * jax.lax.rsqrt(var + ln_eps) * sel(lnwp) + sel(lnbp)
+    bonus = jnp.sum(
+        r.astype(f32) * keff * sel(rkp), axis=-1, keepdims=True
+    ) * v.astype(f32)
+    return yn + bonus, s_out
+
+
+def _fwd_kernel_fused(
+    c_ref, r_ref, w_ref, k_ref, v_ref, a_ref,
+    kkp_ref, kap_ref, rkp_ref, lnw_ref, lnb_ref, s0_ref,
+    y_ref, sfin_ref, sentry_ref, st,
+    *, L: int, with_resets: bool, mm_dtype, ln_eps: float,
+):
+    G = r_ref.shape[0]
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
+    def _():
+        st[...] = s0_ref[...]
+
+    sentry_ref[:, 0] = st[...]
+
+    for p in range(G // 2):
+        sl = slice(2 * p, 2 * p + 2)
+        N = r_ref.shape[-1]
+        pair = lambda ref: ref[sl, 0].reshape(2 * L, N)
+        prm = lambda ref: ref[sl]
+        s0t = st[sl].reshape(2 * N, N)
+        c2 = c_ref[sl, 0].reshape(2, L) if with_resets else jnp.zeros(
+            (2, L), jnp.float32
+        )
+        y, s_out = _pair_fused(
+            s0t, pair(r_ref), pair(w_ref), pair(k_ref), pair(v_ref),
+            pair(a_ref), prm(kkp_ref), prm(kap_ref), prm(rkp_ref),
+            prm(lnw_ref), prm(lnb_ref), c2,
+            L=L, with_resets=with_resets, mm_dtype=mm_dtype, ln_eps=ln_eps,
+        )
+        y_ref[sl, 0] = y.reshape(2, L, N).astype(y_ref.dtype)
+        st[sl] = s_out.reshape(2, N, N)
+
+    sfin_ref[...] = st[...]
+
+
+def _bwd_kernel_fused(
+    c_ref, r_ref, w_ref, k_ref, v_ref, a_ref,
+    kkp_ref, kap_ref, rkp_ref, lnw_ref, lnb_ref, sentry_ref,
+    dy_ref, dsfin_ref,
+    dr_ref, dw_ref, dk_ref, dv_ref, da_ref,
+    dkkp_ref, dkap_ref, drkp_ref, dlnw_ref, dlnb_ref, ds0_ref, dst,
+    *, L: int, n_chunks: int, with_resets: bool, mm_dtype, ln_eps: float,
+):
+    """Reverse sweep as _bwd_kernel; per-head param grads accumulate into
+    their (G, N) output blocks, which stay VMEM-resident across the chunk
+    iterations of a grid row (the output index map ignores the chunk dim)."""
+    G = r_ref.shape[0]
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dst[...] = dsfin_ref[...]
+        for ref in (dkkp_ref, dkap_ref, drkp_ref, dlnw_ref, dlnb_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    for p in range(G // 2):
+        sl = slice(2 * p, 2 * p + 2)
+        N = r_ref.shape[-1]
+        pair = lambda ref: ref[sl, 0].reshape(2 * L, N)
+        prm = lambda ref: ref[sl]
+        s0t = sentry_ref[sl, 0].reshape(2 * N, N)
+        c2 = c_ref[sl, 0].reshape(2, L) if with_resets else jnp.zeros(
+            (2, L), jnp.float32
+        )
+
+        def f(rr, ww, kr, vv, aa, p1, p2, p3, p4, p5, s0t_):
+            return _pair_fused(
+                s0t_, rr, ww, kr, vv, aa, p1, p2, p3, p4, p5, c2,
+                L=L, with_resets=with_resets, mm_dtype=mm_dtype,
+                ln_eps=ln_eps,
+            )
+
+        args = (
+            pair(r_ref), pair(w_ref), pair(k_ref), pair(v_ref), pair(a_ref),
+            prm(kkp_ref), prm(kap_ref), prm(rkp_ref), prm(lnw_ref),
+            prm(lnb_ref), s0t,
+        )
+        _, vjp = jax.vjp(f, *args)
+        dy = dy_ref[sl, 0].reshape(2 * L, N).astype(jnp.float32)
+        ds_out = dst[sl].reshape(2 * N, N)
+        grads = vjp((dy, ds_out))
+        dr, dw, dk, dv, da = grads[:5]
+        dkkp, dkap, drkp, dlnw, dlnb = grads[5:10]
+        ds0t = grads[10]
+
+        wr = lambda ref, val: ref.__setitem__(
+            (sl, 0), val.reshape(2, L, N).astype(ref.dtype)
+        )
+        wr(dr_ref, dr)
+        wr(dw_ref, dw)
+        wr(dk_ref, dk)
+        wr(dv_ref, dv)
+        wr(da_ref, da)
+        dkkp_ref[sl] += dkkp
+        dkap_ref[sl] += dkap
+        drkp_ref[sl] += drkp
+        dlnw_ref[sl] += dlnw
+        dlnb_ref[sl] += dlnb
+        dst[sl] = ds0t.reshape(2, N, N)
+
+    ds0_ref[...] = dst[...]
+
+
+def _fused_fwd_call(c, blocks, prms, s0, meta, *, chunk, mm_dtype, ln_eps,
+                    interpret):
+    G, BHp, n_chunks, N = meta["G"], meta["BHp"], meta["n_chunks"], meta["N"]
+    L = chunk
+    chunk_spec, cseg_spec, state_spec, sentry_spec = _specs(G, L, N, n_chunks)
+    prm_spec = pl.BlockSpec(
+        (G, N), lambda gi, ci: (gi, 0), memory_space=pltpu.VMEM
+    )
+    out_dtype = blocks[3].dtype  # v's dtype
+    kernel = functools.partial(
+        _fwd_kernel_fused, L=L, with_resets=meta["with_resets"],
+        mm_dtype=mm_dtype, ln_eps=ln_eps,
+    )
+    y, s_fin, s_entry = pl.pallas_call(
+        kernel,
+        grid=(BHp // G, n_chunks),
+        in_specs=[cseg_spec] + [chunk_spec] * 5 + [prm_spec] * 5
+        + [state_spec],
+        out_specs=(chunk_spec, state_spec, sentry_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((BHp, n_chunks, L, N), out_dtype),
+            jax.ShapeDtypeStruct((BHp, N, N), jnp.float32),
+            jax.ShapeDtypeStruct((BHp, n_chunks, N, N), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((G, N, N), jnp.float32)],
+        interpret=interpret,
+    )(c, *blocks, *prms, s0)
+    return y, s_fin, s_entry
+
+
+def _fused_bwd_call(c, blocks, prms, s_entry, dy, dsfin, meta, *, chunk,
+                    mm_dtype, ln_eps, interpret):
+    G, BHp, n_chunks, N = meta["G"], meta["BHp"], meta["n_chunks"], meta["N"]
+    L = chunk
+    chunk_spec, cseg_spec, state_spec, sentry_spec = _specs(
+        G, L, N, n_chunks, reverse=True
+    )
+    prm_spec = pl.BlockSpec(
+        (G, N), lambda gi, ci: (gi, 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _bwd_kernel_fused, L=L, n_chunks=n_chunks,
+        with_resets=meta["with_resets"], mm_dtype=mm_dtype, ln_eps=ln_eps,
+    )
+    in_dtypes = [b.dtype for b in blocks]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(BHp // G, n_chunks),
+        in_specs=[cseg_spec] + [chunk_spec] * 5 + [prm_spec] * 5
+        + [sentry_spec] + [chunk_spec, state_spec],
+        out_specs=tuple(
+            [chunk_spec] * 5 + [prm_spec] * 5 + [state_spec]
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((BHp, n_chunks, L, N), dt)
+            for dt in in_dtypes
+        )
+        + tuple(
+            jax.ShapeDtypeStruct((BHp, N), jnp.float32) for _ in range(5)
+        )
+        + (jax.ShapeDtypeStruct((BHp, N, N), jnp.float32),),
+        scratch_shapes=[pltpu.VMEM((G, N, N), jnp.float32)],
+        interpret=interpret,
+    )(c, *blocks, *prms, s_entry, dy, dsfin)
+    return outs
+
+
+def _tile_params(p, B, H, N, BHp):
+    """(H, N) f32 -> (BHp, N): head rows tiled over batch, zero-padded."""
+    t = jnp.broadcast_to(p.astype(jnp.float32)[None], (B, H, N)).reshape(
+        B * H, N
+    )
+    if BHp > B * H:
+        t = jnp.pad(t, ((0, BHp - B * H), (0, 0)))
+    return t
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17, 18))
+def _wkv7_fused_core(
+    r, w_raw, k_raw, v, a, kkp, kap, rkp, lnw, lnb, state, resets,
+    chunk, group, mm_name, interpret, has_resets, group_bwd, ln_eps,
+):
+    return _fused_fwd(
+        r, w_raw, k_raw, v, a, kkp, kap, rkp, lnw, lnb, state, resets,
+        chunk, group, mm_name, interpret, has_resets, group_bwd, ln_eps,
+    )[0]
+
+
+def _fused_fwd(
+    r, w_raw, k_raw, v, a, kkp, kap, rkp, lnw, lnb, state, resets,
+    chunk, group, mm_name, interpret, has_resets, group_bwd, ln_eps,
+):
+    mm_dtype = jnp.bfloat16 if mm_name == "bf16" else jnp.float32
+    meta = _prep(
+        (r, w_raw, k_raw, v, a), state, resets if has_resets else None,
+        chunk, group,
+    )
+    B, H, N, BHp = meta["B"], meta["H"], meta["N"], meta["BHp"]
+    prms = tuple(
+        _tile_params(p, B, H, N, BHp) for p in (kkp, kap, rkp, lnw, lnb)
+    )
+    yb, s_fin_t, s_entry = _fused_fwd_call(
+        meta["c"], meta["blocks"], prms, meta["s0"], meta,
+        chunk=chunk, mm_dtype=mm_dtype, ln_eps=ln_eps, interpret=interpret,
+    )
+    from jax.ad_checkpoint import checkpoint_name
+
+    yb = checkpoint_name(yb, "wkv_y")
+    s_fin_t = checkpoint_name(s_fin_t, "wkv_s_fin")
+    s_entry = checkpoint_name(s_entry, "wkv_s_entry")
+    T, BH = meta["T"], meta["BH"]
+    y = jnp.moveaxis(yb[:BH].reshape(B, H, meta["Tp"], N), 1, 2)[:, :T]
+    s_fin = s_fin_t[:BH].reshape(B, H, N, N)
+    return (y, s_fin), (meta, prms, s_entry)
+
+
+def _fused_fwd_vjp(
+    r, w_raw, k_raw, v, a, kkp, kap, rkp, lnw, lnb, state, resets,
+    chunk, group, mm_name, interpret, has_resets, group_bwd, ln_eps,
+):
+    (y, s_fin), (meta, prms, s_entry) = _fused_fwd(
+        r, w_raw, k_raw, v, a, kkp, kap, rkp, lnw, lnb, state, resets,
+        chunk, group, mm_name, interpret, has_resets, group_bwd, ln_eps,
+    )
+    res = (meta["c"], meta["blocks"], prms, s_entry, resets)
+    return (y, s_fin), res
+
+
+def _fused_bwd(
+    chunk, group, mm_name, interpret, has_resets, group_bwd, ln_eps,
+    res, cts,
+):
+    c, blocks, prms, s_entry, resets = res
+    dy, dsfin = cts
+    mm_dtype = jnp.bfloat16 if mm_name == "bf16" else jnp.float32
+    BHp, n_chunks, L, N = blocks[0].shape
+    B, T, H, _ = dy.shape
+    BH = B * H
+    pad = n_chunks * L - T
+    dyp = jnp.pad(dy, ((0, 0), (0, pad), (0, 0), (0, 0))) if pad else dy
+    dyb = jnp.moveaxis(dyp, 2, 1).reshape(BH, n_chunks, L, N)
+    if BHp > BH:
+        dyb = jnp.pad(dyb, ((0, BHp - BH), (0, 0), (0, 0), (0, 0)))
+    dsfin_t = dsfin.reshape(BH, N, N).astype(jnp.float32)
+    if BHp > BH:
+        dsfin_t = jnp.pad(dsfin_t, ((0, BHp - BH), (0, 0), (0, 0)))
+
+    G = min(group_bwd or group, BH)
+    G -= G % 2
+    G = max(G, 2)
+    while BHp % G:
+        G -= 2
+    meta = dict(G=G, BHp=BHp, n_chunks=n_chunks, N=N, with_resets=has_resets)
+
+    outs = _fused_bwd_call(
+        c, blocks, prms, s_entry, dyb.astype(blocks[0].dtype), dsfin_t,
+        meta, chunk=L, mm_dtype=mm_dtype, ln_eps=ln_eps, interpret=interpret,
+    )
+    dblocks, dprms, ds0t = outs[:5], outs[5:10], outs[10]
+
+    def from_blocks(x):
+        x = x[:BH].reshape(B, H, n_chunks * L, N)
+        return jnp.moveaxis(x, 1, 2)[:, :T]
+
+    dr, dw, dk, dv, da = map(from_blocks, dblocks)
+    dprm = lambda x: x[:BH].reshape(B, H, N).sum(axis=0)  # (H, N) f32
+    dkkp, dkap, drkp, dlnw, dlnb = map(dprm, dprms)
+    dstate = ds0t[:BH].reshape(B, H, N, N)
+    return (
+        dr, dw, dk, dv, da, dkkp, dkap, drkp, dlnw, dlnb, dstate,
+        jnp.zeros_like(resets),
+    )
+
+
+_wkv7_fused_core.defvjp(_fused_fwd_vjp, _fused_bwd)
+
+
+def wkv7_pallas_fused(
+    r: jax.Array,
+    w_raw: jax.Array,
+    k_raw: jax.Array,
+    v: jax.Array,
+    a: jax.Array,
+    k_k: jax.Array,
+    k_a: jax.Array,
+    r_k: jax.Array,
+    ln_w: jax.Array,
+    ln_b: jax.Array,
+    state: Optional[jax.Array] = None,
+    resets: Optional[jax.Array] = None,
+    *,
+    ln_eps: float,
+    chunk: int = DEFAULT_CHUNK,
+    group: int = DEFAULT_GROUP,
+    group_bwd: Optional[int] = None,
+    mm_dtype: str = "f32",
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused WKV7 including the surrounding time-mix elementwise band.
+
+    Computes, per head: kk = l2_normalize(k_raw*k_k), k_eff =
+    k_raw*(1+(a-1)*k_a), the WKV recurrence on (r, w_raw, k_eff, v, -kk,
+    kk*a), the ln_x GroupNorm (eps=ln_eps) and the bonus term
+    (r·k_eff·r_k)·v — reference rwkv_asr_cuda_whisper.py:206-214 — in one
+    kernel pair. r/w_raw/k_raw/v/a: (B, T, H, N); k_k/k_a/r_k/ln_w/ln_b:
+    (H, N) f32; state (B, H, N, N) f32. Returns (y_final pre-gate in v's
+    dtype, final_state).
+    """
+    B, T, H, N = r.shape
+    if state is None:
+        state = jnp.zeros((B, H, N, N), jnp.float32)
+    if interpret is None:
+        interpret = _auto_interpret()
+    has_resets = resets is not None
+    if resets is None:
+        resets = jnp.zeros((B, T), jnp.float32)
+    else:
+        resets = resets.astype(jnp.float32)
+    return _wkv7_fused_core(
+        r, w_raw, k_raw, v, a, k_k, k_a, r_k, ln_w, ln_b, state, resets,
+        chunk, group, mm_dtype, bool(interpret), has_resets, group_bwd,
+        float(ln_eps),
     )

@@ -38,9 +38,14 @@ def build_model(task: str, args):
     if jax.default_backend() == "tpu" and jax.device_count() == 1:
         # measured train defaults at 0.4B (PERF.md round 3): replay skips
         # the fwd WKV kernel, unrolled layers kill the scan-stacking
-        # copies — 1025 -> 865 ms step (+18.5% KT/s). Overridable below.
+        # copies, and the post-projection elementwise band (kk normalize,
+        # ln_x, bonus) runs inside the Pallas kernel pair —
+        # 1025 -> 865 -> 784 ms step (MFU 19.7 -> 25.8%). Overridable below.
         kw.setdefault("remat_policy", getattr(args, "remat_policy", None) or "wkv")
         kw.setdefault("layer_unroll", not getattr(args, "no_layer_unroll", False))
+        kw.setdefault(
+            "wkv_fuse_prep", not getattr(args, "no_wkv_fuse_prep", False)
+        )
     elif getattr(args, "remat_policy", None):
         kw["remat_policy"] = args.remat_policy
     key = jax.random.PRNGKey(args.seed)
@@ -185,6 +190,8 @@ def main(argv=None):
                    help="override the single-chip TPU default ('wkv')")
     p.add_argument("--no-layer-unroll", action="store_true",
                    help="keep the scanned layer loop (faster compiles)")
+    p.add_argument("--no-wkv-fuse-prep", action="store_true",
+                   help="keep the elementwise prep outside the WKV kernel")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--warm-start", default=None, help="ckpt file to init params from")
     p.add_argument("--drop-prompt-audio-rate", type=float, default=0.5)

@@ -28,12 +28,12 @@ from rwkvtts_tpu.utils import jit_cache
 jit_cache.enable()
 
 
-def build(hidden, layers, B, T):
+def build(hidden, layers, B, T, **cfg_kw):
     from rwkvtts_tpu.models import spark
     from rwkvtts_tpu.parallel import train_step as ts
     from rwkvtts_tpu.train import optimizer as opt_lib
 
-    cfg = spark.default_config(hidden_size=hidden, num_layers=layers)
+    cfg = spark.default_config(hidden_size=hidden, num_layers=layers, **cfg_kw)
     params = spark.init_params(jax.random.PRNGKey(0), cfg)
     tx = opt_lib.build_optimizer(params)
     state = ts.init_train_state(params, tx)
@@ -96,13 +96,18 @@ def main():
     ap.add_argument("--seqlen", type=int, default=2048)
     ap.add_argument("--out", default="/tmp/train04_trace")
     ap.add_argument("--analyze-only", action="store_true")
+    ap.add_argument("--remat-policy", default=None, help="e.g. wkv")
+    ap.add_argument("--layer-unroll", action="store_true")
+    ap.add_argument("--fuse-prep", action="store_true")
     args = ap.parse_args()
     if args.analyze_only:
         analyze(args.out)
         return
 
     cfg, state, step, batch = build(
-        args.hidden, args.layers, args.batch, args.seqlen
+        args.hidden, args.layers, args.batch, args.seqlen,
+        remat_policy=args.remat_policy, layer_unroll=args.layer_unroll,
+        wkv_fuse_prep=args.fuse_prep,
     )
     rng = jax.random.PRNGKey(2)
     t0 = time.perf_counter()

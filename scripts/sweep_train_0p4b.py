@@ -20,11 +20,10 @@ from rwkvtts_tpu.utils import jit_cache
 
 jit_cache.enable()
 
-B, T = 8, 2048
 PEAK = 197e12
 
 
-def run(name, cfg_kw):
+def run(name, cfg_kw, B=8, T=2048):
     from rwkvtts_tpu.models import spark
     from rwkvtts_tpu.parallel import train_step as ts
     from rwkvtts_tpu.train import optimizer as opt_lib
@@ -83,15 +82,21 @@ VARIANTS = {
     "wkvpol_unroll": {"remat_policy": "wkv", "layer_unroll": True},
     "wkvpol_unroll_g16": {"remat_policy": "wkv", "layer_unroll": True,
                           "wkv_group": 16, "wkv_group_bwd": 8},
+    # fused-prep kernel (kk normalize + k_a mix + ln_x + bonus in-kernel)
+    "fuse": {"wkv_fuse_prep": True},
+    "fuse_wkvpol_unroll": {"wkv_fuse_prep": True, "remat_policy": "wkv",
+                           "layer_unroll": True},
 }
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default="base,bf16mm,g16,unroll")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seqlen", type=int, default=2048)
     args = ap.parse_args()
     for v in args.variants.split(","):
-        run(v, VARIANTS[v])
+        run(v, VARIANTS[v], B=args.batch, T=args.seqlen)
 
 
 if __name__ == "__main__":

@@ -4,6 +4,8 @@ Greedy-equivalence between the parallel (chunked) forward and the sequential
 decode step is the model-level analogue of the reference's pure-Python
 RWKV_x070 forward_one/forward_seq consistency (rwkv_s2s_single_ffn.py:400-477).
 """
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -155,3 +157,31 @@ def test_decode_state_pack_roundtrip(setup):
         np.testing.assert_array_equal(np.asarray(unpacked[k]), np.asarray(st[k]))
     # unpack on an already-stacked state is identity
     assert M.unpack_decode_state(st, cfg) is st
+
+
+def test_block_fuse_prep_matches_composed(monkeypatch):
+    """wkv_fuse_prep routes through the fused Pallas kernel (interpret on
+    CPU via a forced resolver) and must match the composed block math,
+    values AND grads, at the model level."""
+    import rwkvtts_tpu.ops.wkv7 as W
+
+    cfg = M.RWKV7Config(
+        vocab_size=64, hidden_size=32, num_layers=2, head_size=8,
+        dtype=jnp.float32,
+    )
+    cfg_f = dataclasses.replace(cfg, wkv_fuse_prep=True, wkv_chunk=16)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 40), 0, 64)
+
+    def loss(p, c):
+        h = M.forward(p, c, ids)
+        return (M.logits(p, c, h).astype(jnp.float32) ** 2).mean()
+
+    l_ref, g_ref = jax.value_and_grad(loss)(params, cfg)
+    monkeypatch.setattr(W, "resolve_impl", lambda impl="auto": "pallas")
+    l_fused, g_fused = jax.value_and_grad(loss)(params, cfg_f)
+    np.testing.assert_allclose(l_fused, l_ref, rtol=1e-4, atol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-4),
+        g_fused, g_ref,
+    )

@@ -140,3 +140,130 @@ def test_pallas_under_shard_map():
     y_ref, s_ref = W.wkv7_scan(r, w_raw, k, v, z, b, state)
     np.testing.assert_allclose(y, y_ref, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(s, s_ref, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused-prep kernel (wkv7_pallas_fused): elementwise band folded in-kernel
+# ---------------------------------------------------------------------------
+
+_LN_EPS = 64e-5
+
+
+def make_fused_inputs(key, B=2, T=48, H=3, N=8):
+    ks = jax.random.split(key, 11)
+    shp = (B, T, H, N)
+    r = jax.random.normal(ks[0], shp) * 0.4
+    w_raw = -0.5 - jax.nn.softplus(jax.random.normal(ks[1], shp))
+    k_raw = jax.random.normal(ks[2], shp) * 0.4
+    v = jax.random.normal(ks[3], shp) * 0.4
+    a = jax.nn.sigmoid(jax.random.normal(ks[4], shp))
+    k_k = 0.7 + 0.1 * jax.random.normal(ks[5], (H, N))
+    k_a = 1.0 + 0.05 * jax.random.normal(ks[6], (H, N))
+    r_k = -0.04 + 0.1 * jax.random.normal(ks[7], (H, N))
+    ln_w = 1.0 + 0.1 * jax.random.normal(ks[8], (H, N))
+    ln_b = 0.05 * jax.random.normal(ks[9], (H, N))
+    state = jax.random.normal(ks[10], (B, H, N, N), jnp.float32) * 0.3
+    return (r, w_raw, k_raw, v, a, k_k, k_a, r_k, ln_w, ln_b, state)
+
+
+def fused_ref(r, w_raw, k_raw, v, a, k_k, k_a, r_k, ln_w, ln_b, state,
+              resets=None):
+    """Composed reference: the exact model math the fused kernel replaces
+    (models/rwkv7.py block_forward composed branch, all-f32)."""
+    kx = k_raw * k_k[None, None]
+    s = (kx * kx).sum(-1, keepdims=True)
+    kk = kx / jnp.sqrt(jnp.maximum(s, 1e-24))
+    keff = k_raw * (1.0 + (a - 1.0) * k_a[None, None])
+    y, sf = W.wkv7_scan(r, w_raw, keff, v, -kk, kk * a, state, resets)
+    yf = y.astype(jnp.float32)
+    mu = yf.mean(-1, keepdims=True)
+    var = ((yf - mu) ** 2).mean(-1, keepdims=True)
+    yn = (yf - mu) / jnp.sqrt(var + _LN_EPS) * ln_w[None, None] + ln_b[None, None]
+    bonus = (r * keff * r_k[None, None]).sum(-1, keepdims=True) * v
+    return yn + bonus, sf
+
+
+@pytest.mark.parametrize("T", [48, 37])
+def test_fused_fwd_matches_composed(T):
+    args = make_fused_inputs(jax.random.PRNGKey(0), T=T)
+    y_ref, s_ref = fused_ref(*args)
+    y, s = WP.wkv7_pallas_fused(*args, ln_eps=_LN_EPS, chunk=16, group=4)
+    np.testing.assert_allclose(y, y_ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(s, s_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_gradients_match_composed():
+    args = make_fused_inputs(jax.random.PRNGKey(1), B=1, T=32, H=2, N=8)
+
+    def loss_fn(impl):
+        def f(args):
+            y, s = impl(*args)
+            return (y.astype(jnp.float32) ** 2).sum() + (s**2).sum() * 0.1
+
+        return f
+
+    g_ref = jax.grad(loss_fn(fused_ref))(args)
+    g_pal = jax.grad(
+        loss_fn(
+            lambda *a: WP.wkv7_pallas_fused(
+                *a, ln_eps=_LN_EPS, chunk=16, group=2
+            )
+        )
+    )(args)
+    names = "r w k_raw v a k_k k_a r_k ln_w ln_b state".split()
+    for gr, gc, name in zip(g_ref, g_pal, names):
+        np.testing.assert_allclose(
+            gc, gr, rtol=5e-3, atol=1e-3, err_msg=f"fused grad mismatch: {name}"
+        )
+
+
+def test_fused_resets_fwd_and_grad():
+    B, T = 2, 40
+    args = make_fused_inputs(jax.random.PRNGKey(2), B=B, T=T)
+    resets = np.zeros((B, T), dtype=bool)
+    resets[0, 13] = True
+    resets[1, 5] = True
+    resets = jnp.asarray(resets)
+
+    y_ref, s_ref = fused_ref(*args, resets=resets)
+    y, s = WP.wkv7_pallas_fused(
+        *args, resets=resets, ln_eps=_LN_EPS, chunk=16, group=6
+    )
+    np.testing.assert_allclose(y, y_ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(s, s_ref, rtol=2e-4, atol=2e-4)
+
+    def lf(impl):
+        def f(args):
+            y, s = impl(*args)
+            return (y.astype(jnp.float32) ** 2).sum() + (s**2).sum() * 0.1
+
+        return f
+
+    g_ref = jax.grad(lf(lambda *a: fused_ref(*a, resets=resets)))(args)
+    g_pal = jax.grad(
+        lf(
+            lambda *a: WP.wkv7_pallas_fused(
+                *a, resets=resets, ln_eps=_LN_EPS, chunk=16, group=4
+            )
+        )
+    )(args)
+    names = "r w k_raw v a k_k k_a r_k ln_w ln_b state".split()
+    for gr, gc, name in zip(g_ref, g_pal, names):
+        np.testing.assert_allclose(
+            gc, gr, rtol=5e-3, atol=1e-3,
+            err_msg=f"fused resets grad mismatch: {name}"
+        )
+
+
+def test_fused_bf16_io():
+    args = make_fused_inputs(jax.random.PRNGKey(3), T=32)
+    r, w_raw, k_raw, v, a = (x.astype(jnp.bfloat16) for x in args[:5])
+    y, s = WP.wkv7_pallas_fused(
+        r, w_raw, k_raw, v, a, *args[5:], ln_eps=_LN_EPS, chunk=16, group=6
+    )
+    assert y.dtype == jnp.bfloat16
+    assert s.dtype == jnp.float32
+    y_ref, _ = fused_ref(*args)
+    np.testing.assert_allclose(
+        y.astype(jnp.float32), y_ref, rtol=0.1, atol=0.1
+    )
