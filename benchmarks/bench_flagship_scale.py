@@ -38,11 +38,13 @@ def n_params(params) -> int:
 
 
 def bench_decode(hidden, layers, batch=64, t_prompt=128, t_new=256, iters=3,
-                 int8=False):
+                 int8=False, packed_wkv=False):
     from rwkvtts_tpu.infer.generate import spark_generate
     from rwkvtts_tpu.models import rwkv7, spark
 
-    cfg = spark.default_config(hidden_size=hidden, num_layers=layers)
+    cfg = spark.default_config(
+        hidden_size=hidden, num_layers=layers, decode_wkv_packed=packed_wkv
+    )
     params = spark.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
@@ -72,7 +74,8 @@ def bench_decode(hidden, layers, batch=64, t_prompt=128, t_new=256, iters=3,
     dt = (time.perf_counter() - t0) / iters
     tps = batch * t_new / dt
     out = {
-        "bench": f"decode_{hidden}x{layers}" + ("_int8" if int8 else ""),
+        "bench": f"decode_{hidden}x{layers}" + ("_int8" if int8 else "")
+        + ("_packed" if packed_wkv else ""),
         "params": np_,
         "batch": batch,
         "tok_per_s_chip": round(tps, 1),
@@ -88,7 +91,14 @@ def bench_train(hidden, layers, batch=8, seqlen=2048, iters=5):
     from rwkvtts_tpu.parallel import train_step as ts
     from rwkvtts_tpu.train import optimizer as opt_lib
 
-    cfg = spark.default_config(hidden_size=hidden, num_layers=layers)
+    # the production single-chip train defaults (train/cli.py, PERF.md):
+    # fused-prep Pallas kernel, 'wkv' remat policy, unrolled layers, bf16
+    # kernel matmuls — so this bench measures what training actually runs
+    cfg = spark.default_config(
+        hidden_size=hidden, num_layers=layers,
+        wkv_fuse_prep=True, remat_policy="wkv", layer_unroll=True,
+        wkv_mm="bf16",
+    )
     params = spark.init_params(jax.random.PRNGKey(0), cfg)
     np_ = n_params(params)
     tx = opt_lib.build_optimizer(params)
@@ -140,17 +150,20 @@ def main():
     ap.add_argument("--only", default=None)
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--packed-wkv", action="store_true")
     args = ap.parse_args()
     results = []
     if args.only in (None, "decode04"):
         print("== decode 0.4B (1024x24) ==", flush=True)
         results.append(
-            bench_decode(1024, 24, batch=args.batch or 64, int8=args.int8)
+            bench_decode(1024, 24, batch=args.batch or 64, int8=args.int8,
+                         packed_wkv=args.packed_wkv)
         )
     if args.only in (None, "decode14"):
         print("== decode 1.4B (2048x24) ==", flush=True)
         results.append(
-            bench_decode(2048, 24, batch=args.batch or 64, int8=args.int8)
+            bench_decode(2048, 24, batch=args.batch or 64, int8=args.int8,
+                         packed_wkv=args.packed_wkv)
         )
     if args.only in (None, "train04"):
         print("== train 0.4B (1024x24) ==", flush=True)

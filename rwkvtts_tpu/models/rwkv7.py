@@ -75,6 +75,12 @@ class RWKV7Config:
     # takes effect where the impl resolves to 'pallas' (single-chip TPU);
     # elsewhere the composed path below runs, with identical semantics.
     wkv_fuse_prep: bool = False
+    # Decode: keep the WKV state in the head-pair-packed (P, N, 2N) layout
+    # and step it with the in-place Pallas kernel (ops/wkv7_step_pallas).
+    # Opt-in: at B<=64 the XLA step wins (launch overhead), but past
+    # B~128 XLA re-materializes the carried state every step (copies grow
+    # superlinearly, PERF.md round 3) and the one-pass kernel is the fix.
+    decode_wkv_packed: bool = False
     # Python-unrolled layer loop for the full-sequence forward (instead of
     # lax.scan over stacked layers): per-layer buffers, no stacked
     # save/slice copies. Compile time grows with depth.
@@ -491,12 +497,28 @@ def pack_decode_state(state: Params, cfg: RWKV7Config):
     at decode batch 64 those copies alone are ~0.9 ms of a 3.3 ms step
     (profiled; the WKV state is 12.6 MB/layer fp32). With one leaf per
     layer the while-loop carries each state buffer independently and XLA
-    updates it in place — no stacking copies."""
+    updates it in place — no stacking copies.
+
+    With cfg.decode_wkv_packed (and an even head count) each layer's wkv
+    leaf is additionally converted to the head-pair-packed (P, N, 2N)
+    layout, which routes wkv7_step through the one-HBM-pass Pallas step
+    kernel (state updated in place via input/output aliasing)."""
+    pack_wkv = cfg.decode_wkv_packed and cfg.num_heads % 2 == 0
+
+    def _maybe_pack(st_l):
+        if pack_wkv and st_l["wkv"].ndim == 4:
+            from rwkvtts_tpu.ops import wkv7_step_pallas as sp
+
+            return {**st_l, "wkv": sp.pack_state(st_l["wkv"])}
+        return st_l
+
     if isinstance(state, tuple):
-        return state
+        if not pack_wkv or all(st["wkv"].ndim == 3 for st in state):
+            return state
+        return tuple(_maybe_pack(st_l) for st_l in state)
     L = state["att_x"].shape[0]
     return tuple(
-        {k: state[k][l] for k in _STATE_KEYS} for l in range(L)
+        _maybe_pack({k: state[k][l] for k in _STATE_KEYS}) for l in range(L)
     )
 
 
@@ -506,8 +528,17 @@ def unpack_decode_state(state, cfg: RWKV7Config) -> Params:
     Round-trip with pack_decode_state is asserted in
     tests/test_rwkv7_model.py::test_decode_state_pack_roundtrip."""
     if isinstance(state, tuple):
+        def leaf(st, k):
+            x = st[k]
+            if k == "wkv" and x.ndim == 3:  # head-pair-packed layout
+                from rwkvtts_tpu.ops import wkv7_step_pallas as sp
+
+                H = cfg.num_heads
+                return sp.unpack_state(x, 2 * x.shape[0] // H, H)
+            return x
+
         return {
-            k: jnp.stack([st[k] for st in state]) for k in _STATE_KEYS
+            k: jnp.stack([leaf(st, k) for st in state]) for k in _STATE_KEYS
         }
     return state
 

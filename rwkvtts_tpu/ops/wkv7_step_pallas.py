@@ -44,7 +44,10 @@ from jax.experimental.pallas import tpu as pltpu
 from rwkvtts_tpu.ops.wkv7 import decay_from_raw
 
 STATE_DTYPE = jnp.float32
-DEFAULT_STEP_GROUP = 8
+# group sweep at B=64/128 (scripts/bench_step_group.py, PERF.md round 3):
+# G=8 -> 32 within 2% (the call is launch-overhead-bound, not grid-bound),
+# G=64 VMEM-OOMs (23.9M scoped > 16M). 16 is the safe flat-region choice.
+DEFAULT_STEP_GROUP = 16
 
 
 # ---------------------------------------------------------------------------
@@ -161,6 +164,11 @@ def wkv7_step_packed(
             jax.ShapeDtypeStruct((P, N, 2 * N), jnp.float32),
             jax.ShapeDtypeStruct((P, 2 * N, 1), jnp.float32),
         ],
+        # state is updated IN PLACE (operand 0 -> output 0): inside a scan
+        # the carried buffer never round-trips through a fresh HBM
+        # allocation — the copy band that makes the XLA step regress past
+        # B~128 (PERF.md round 3) cannot appear here
+        input_output_aliases={0: 0},
         interpret=interpret,
     )(f32(state), vec(wd), vec(k), vec(z), vec(b), vec(r), _subs(f32(v)))
 

@@ -48,8 +48,12 @@ def _insert_many(carry, hk, stk, slots, take):
         slot = slots[j]
 
         def ins(cl, s):
-            row = jax.lax.dynamic_slice_in_dim(s, j, 1, axis=0)
-            idx = (slot,) + (jnp.int32(0),) * (cl.ndim - 1)
+            # leaves whose leading dim is a multiple of the batch (e.g. the
+            # head-pair-packed wkv state, (B*H/2, N, 2N)) own `f` contiguous
+            # rows per request — slot j maps to rows [j*f, (j+1)*f)
+            f = s.shape[0] // hk.shape[0]
+            row = jax.lax.dynamic_slice_in_dim(s, j * f, f, axis=0)
+            idx = (slot * f,) + (jnp.int32(0),) * (cl.ndim - 1)
             return jax.lax.dynamic_update_slice(cl, row.astype(cl.dtype), idx)
 
         h = ins(h, hk)

@@ -46,6 +46,10 @@ def build_model(task: str, args):
         kw.setdefault(
             "wkv_fuse_prep", not getattr(args, "no_wkv_fuse_prep", False)
         )
+        # bf16 operands + fp32 accumulation inside the kernel pair — the
+        # reference CUDA kernel's own precision contract (wkv7_cuda.cu:3-8);
+        # measured 784 -> 770 ms at 0.4B with the fused-prep kernel
+        kw.setdefault("wkv_mm", getattr(args, "wkv_mm", None) or "bf16")
     elif getattr(args, "remat_policy", None):
         kw["remat_policy"] = args.remat_policy
     key = jax.random.PRNGKey(args.seed)
@@ -192,6 +196,9 @@ def main(argv=None):
                    help="keep the scanned layer loop (faster compiles)")
     p.add_argument("--no-wkv-fuse-prep", action="store_true",
                    help="keep the elementwise prep outside the WKV kernel")
+    p.add_argument("--wkv-mm", default=None, choices=["f32", "bf16"],
+                   help="kernel matmul operand dtype (single-chip TPU "
+                        "default: bf16, the reference CUDA contract)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--warm-start", default=None, help="ckpt file to init params from")
     p.add_argument("--drop-prompt-audio-rate", type=float, default=0.5)

@@ -86,6 +86,10 @@ VARIANTS = {
     "fuse": {"wkv_fuse_prep": True},
     "fuse_wkvpol_unroll": {"wkv_fuse_prep": True, "remat_policy": "wkv",
                            "layer_unroll": True},
+    "fuse_g16": {"wkv_fuse_prep": True, "remat_policy": "wkv",
+                 "layer_unroll": True, "wkv_group": 16, "wkv_group_bwd": 8},
+    "fuse_bf16": {"wkv_fuse_prep": True, "remat_policy": "wkv",
+                  "layer_unroll": True, "wkv_mm": "bf16"},
 }
 
 

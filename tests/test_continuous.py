@@ -110,3 +110,38 @@ def test_capped_slot_sets_device_done_flag():
     assert rid in out and len(out[rid]) == 4
     done = np.asarray(cb._carry[2])
     assert done.all(), f"capped slot left done=False: {done}"
+
+
+def test_continuous_packed_wkv_matches_isolated_greedy():
+    """Same slot-pool parity with cfg.decode_wkv_packed: the wkv leaves ride
+    the head-pair-packed (P, N, 2N) layout, so _insert_many must map request
+    rows to slot rows with the H/2 leading-dim factor."""
+    cfg = spark.default_config(
+        hidden_size=64, num_layers=2, head_size=16, gate_lora=16,
+        dtype=jnp.float32, wkv_chunk=16, remat=False, dropout=0.0,
+        decode_wkv_packed=True,
+    )
+    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+    tok = FakeTok()
+    texts = [f"packed req {i}" for i in range(4)]
+    max_new = 10
+
+    expected = {}
+    for i, t in enumerate(texts):
+        pb = _prompt(t, tok)
+        toks, lengths = gen.spark_generate(
+            params, cfg, jnp.asarray(pb["tokens"]), jnp.asarray(pb["modality"]),
+            jnp.asarray(pb["attention_mask"]), jax.random.PRNGKey(9),
+            max_new_tokens=max_new, top_k=1, top_p=1.0,
+        )
+        n = int(np.asarray(lengths)[0])
+        expected[i] = np.asarray(toks)[0, :n].tolist()[:max_new]
+
+    cb = ContinuousBatcher(params, cfg, n_slots=2, chunk=4, prompt_cap=32, top_k=1)
+    rids = {cb.add_request(_prompt(t, tok), max_new): i for i, t in enumerate(texts)}
+    out = cb.drain()
+    assert len(out) == 4
+    for rid, toks in out.items():
+        assert toks == expected[rids[rid]], (
+            f"packed slot decode diverged for request {rids[rid]}"
+        )

@@ -185,3 +185,37 @@ def test_block_fuse_prep_matches_composed(monkeypatch):
         lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-4),
         g_fused, g_ref,
     )
+
+
+def test_packed_wkv_decode_matches_unpacked(setup):
+    """decode with cfg.decode_wkv_packed (head-pair-packed (P, N, 2N) wkv
+    leaves through the Pallas step kernel / its XLA ref on CPU) matches the
+    standard per-layer decode exactly, and unpack_decode_state restores the
+    stacked layout."""
+    cfg, params = setup
+    B, T, T_dec = 2, 10, 5
+    ids = jax.random.randint(jax.random.PRNGKey(9), (B, T + T_dec), 0, cfg.vocab_size)
+
+    _, st0 = M.forward(params, cfg, input_ids=ids[:, :T], return_state=True)
+    pv = M.layer_decode_views(params, cfg)
+
+    st_ref = M.pack_decode_state(st0, cfg)
+    cfg_p = dataclasses.replace(cfg, decode_wkv_packed=True)
+    st_pk = M.pack_decode_state(st0, cfg_p)
+    assert all(s["wkv"].ndim == 3 for s in st_pk)
+    # idempotent + no-op passthrough on an already-packed tuple
+    assert M.pack_decode_state(st_pk, cfg_p) is st_pk
+
+    for t in range(T, T + T_dec):
+        x = M.embed(params, cfg, ids[:, t])
+        h_ref, st_ref = M.decode_step(pv, cfg, x, st_ref)
+        h_pk, st_pk = M.decode_step(pv, cfg_p, x, st_pk)
+        np.testing.assert_allclose(
+            np.asarray(h_pk), np.asarray(h_ref), rtol=2e-5, atol=2e-5
+        )
+
+    unk = M.unpack_decode_state(st_pk, cfg_p)
+    ref = M.unpack_decode_state(st_ref, cfg)
+    np.testing.assert_allclose(
+        np.asarray(unk["wkv"]), np.asarray(ref["wkv"]), rtol=2e-5, atol=2e-5
+    )
