@@ -97,7 +97,7 @@ def bench_train(hidden, layers, batch=8, seqlen=2048, iters=5):
     cfg = spark.default_config(
         hidden_size=hidden, num_layers=layers,
         wkv_fuse_prep=True, remat_policy="wkv", layer_unroll=True,
-        wkv_mm="bf16",
+        wkv_mm="bf16", wkv_group=16, wkv_group_bwd=16,
     )
     params = spark.init_params(jax.random.PRNGKey(0), cfg)
     np_ = n_params(params)

@@ -64,6 +64,11 @@ class RWKV7Config:
     # can pair with a smaller backward one
     wkv_group_bwd: Optional[int] = None
     wkv_mm: str = "f32"
+    # pallas backward solve strategy: 'saved' stores each chunk's Neumann
+    # inverse from the forward so the backward's solve adjoint is two
+    # matmuls; 'autodiff' differentiates through the doubling chain
+    # (ops/wkv7_pallas.py, PERF.md round 3)
+    wkv_solve: str = "saved"
     remat: bool = True
     # Selective rematerialization: None = full replay (lowest memory);
     # 'dots' = save matmul outputs, recompute elementwise; 'wkv' = save the
@@ -327,6 +332,7 @@ def block_forward(
             group=cfg.wkv_group,
             group_bwd=cfg.wkv_group_bwd,
             mm_dtype=cfg.wkv_mm,
+            solve=cfg.wkv_solve,
         )
         y = y.reshape(B, T, C)
     else:
@@ -343,6 +349,7 @@ def block_forward(
             group=cfg.wkv_group,
             group_bwd=cfg.wkv_group_bwd,
             mm_dtype=cfg.wkv_mm,
+            solve=cfg.wkv_solve,
         )
         y = y.reshape(B, T, C)
         y = group_norm(
@@ -426,7 +433,7 @@ def forward(
             # the backward replay rebuilds projections but never re-runs
             # the forward Pallas kernel (~90 ms/step at 0.4B, profiled)
             "wkv": jax.checkpoint_policies.save_only_these_names(
-                "wkv_y", "wkv_s_fin", "wkv_s_entry"
+                "wkv_y", "wkv_s_fin", "wkv_s_entry", "wkv_inv"
             ),
         }[cfg.remat_policy]
         fn = jax.checkpoint(body, policy=policy) if policy else jax.checkpoint(body)

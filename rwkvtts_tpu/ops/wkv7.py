@@ -504,6 +504,7 @@ def wkv7(
     group: int = 8,
     group_bwd=None,
     mm_dtype: str = "f32",
+    solve: str = "saved",
 ):
     """Dispatching entry point used by the models.
 
@@ -538,6 +539,6 @@ def wkv7(
         return wkv7_pallas.wkv7_pallas(
             r, w_raw, k, v, z, b, state, resets,
             chunk=chunk, group=group, group_bwd=group_bwd,
-            mm_dtype=mm_dtype,
+            mm_dtype=mm_dtype, solve=solve,
         )
     raise ValueError(f"unknown wkv7 impl: {impl!r}")

@@ -70,6 +70,8 @@ def _pair_chunk(
     L: int,
     with_resets: bool,
     mm_dtype,
+    inv_in=None,
+    return_inv: bool = False,
 ):
     """One chunk for a packed pair of (batch, head) slices.
 
@@ -192,13 +194,37 @@ def _pair_chunk(
     # reversed doubling powers; dA = u sa^T) also measured SLOWER (887 vs
     # 865 ms step at 0.4B, round 3): the residual powers it carries add
     # VMEM pressure that costs more than the ~13 saved transpose matmuls.
-    eye = jnp.where(ri == ci, 1.0, 0.0).astype(f32)
-    inv = eye + A
-    power = A
-    for _ in range(_neumann_steps(L)):
-        power = dot(power, power)
-        inv = dot(inv, eye + power)
-    sa = dot(inv, sa_in)
+    if inv_in is not None:
+        # Saved-inverse solve (backward kernel): the forward stored
+        # inv = (I-A)^{-1}, so the solve's adjoint is u = inv^T dsa and
+        # dA = u sa^T — two matmuls instead of autodiff through the
+        # doubling chain (~30 serial MXU ops, PERF.md round 3). Exact
+        # same math: A is per-block nilpotent so the Neumann inverse is
+        # the true inverse and u sa^T its true gradient.
+        @jax.custom_vjp
+        def _solve(A_, sain_, inv_):
+            return dot(inv_, sain_)
+
+        def _solve_fwd(A_, sain_, inv_):
+            sa_ = dot(inv_, sain_)
+            return sa_, (inv_, sa_)
+
+        def _solve_bwd(res_, dsa_):
+            inv_, sa_ = res_
+            u = dotTl(inv_, dsa_)  # (I-A)^{-T} dsa
+            return dotT(u, sa_), u, jnp.zeros_like(inv_)
+
+        _solve.defvjp(_solve_fwd, _solve_bwd)
+        inv = inv_in
+        sa = _solve(A, sa_in, inv_in)
+    else:
+        eye = jnp.where(ri == ci, 1.0, 0.0).astype(f32)
+        inv = eye + A
+        power = A
+        for _ in range(_neumann_steps(L)):
+            power = dot(power, power)
+            inv = dot(inv, eye + power)
+        sa = dot(inv, sa_in)
 
     # y's two chunk-matrix terms share the merged QBK: [QB|QK] @ [sa; v]
     y = collapse(ZQ[L2:]) + dot(QBK, jnp.concatenate([sa, v], axis=0))
@@ -230,6 +256,8 @@ def _pair_chunk(
         jnp.concatenate([expand(sa, rb0), expand(v, rb0)], axis=0),
         jnp.concatenate([b_fin, k_fin], axis=0),
     )
+    if return_inv:
+        return y, s_out, inv
     return y, s_out
 
 
@@ -240,9 +268,13 @@ def _pair_chunk(
 
 def _fwd_kernel(
     c_ref, r_ref, w_ref, k_ref, v_ref, z_ref, b_ref, s0_ref,
-    y_ref, sfin_ref, sentry_ref, st,
-    *, L: int, with_resets: bool, mm_dtype,
+    y_ref, sfin_ref, sentry_ref, *rest,
+    L: int, with_resets: bool, mm_dtype, save_inv: bool,
 ):
+    if save_inv:
+        inv_ref, st = rest
+    else:
+        (st,) = rest
     G = r_ref.shape[0]
     ci = pl.program_id(1)
 
@@ -258,11 +290,15 @@ def _fwd_kernel(
         pair = lambda ref: ref[sl, 0].reshape(2 * L, N)
         s0t = st[sl].reshape(2 * N, N)
         c2 = c_ref[sl, 0].reshape(2, L) if with_resets else jnp.zeros((2, L), jnp.float32)
-        y, s_out_t = _pair_chunk(
+        out = _pair_chunk(
             s0t, pair(r_ref), pair(w_ref), pair(k_ref), pair(v_ref),
             pair(z_ref), pair(b_ref), c2,
             L=L, with_resets=with_resets, mm_dtype=mm_dtype,
+            return_inv=save_inv,
         )
+        y, s_out_t = out[0], out[1]
+        if save_inv:
+            inv_ref[p, 0] = out[2]
         y_ref[sl, 0] = y.reshape(2, L, N).astype(y_ref.dtype)
         st[sl] = s_out_t.reshape(2, N, N)
 
@@ -271,13 +307,18 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     c_ref, r_ref, w_ref, k_ref, v_ref, z_ref, b_ref, sentry_ref,
-    dy_ref, dsfin_ref,
-    dr_ref, dw_ref, dk_ref, dv_ref, dz_ref, db_ref, ds0_ref, dst,
-    *, L: int, n_chunks: int, with_resets: bool, mm_dtype,
+    *rest,
+    L: int, n_chunks: int, with_resets: bool, mm_dtype, save_inv: bool,
 ):
     """Reverse chunk sweep: index maps deliver chunk n_chunks-1-i at grid
     step i; dS^T is carried in scratch; each chunk's forward is recomputed
     from the checkpointed entry state and differentiated in place."""
+    if save_inv:
+        inv_ref, *rest = rest
+    else:
+        inv_ref = None
+    (dy_ref, dsfin_ref,
+     dr_ref, dw_ref, dk_ref, dv_ref, dz_ref, db_ref, ds0_ref, dst) = rest
     G = r_ref.shape[0]
     i = pl.program_id(1)
 
@@ -291,11 +332,13 @@ def _bwd_kernel(
         pair = lambda ref: ref[sl, 0].reshape(2 * L, N)
         s0t = sentry_ref[sl, 0].reshape(2 * N, N)
         c2 = c_ref[sl, 0].reshape(2, L) if with_resets else jnp.zeros((2, L), jnp.float32)
+        inv_p = inv_ref[p, 0] if save_inv else None
 
         def f(rr, ww, kk, vv, zz, bb, s0t_):
             return _pair_chunk(
                 s0t_, rr, ww, kk, vv, zz, bb, c2,
                 L=L, with_resets=with_resets, mm_dtype=mm_dtype,
+                inv_in=inv_p,
             )
 
         args = (pair(r_ref), pair(w_ref), pair(k_ref), pair(v_ref),
@@ -398,50 +441,76 @@ def _specs(G, L, N, n_chunks, reverse=False):
         (G, N, N), lambda gi, ci: (gi, 0, 0), memory_space=pltpu.VMEM
     )
     sentry_spec = pl.BlockSpec((G, 1, N, N), cmap, memory_space=pltpu.VMEM)
-    return chunk_spec, cseg_spec, state_spec, sentry_spec
+    # per-PAIR saved (I-A)^{-1} blocks: (2L, 2L) block-diagonal
+    inv_spec = pl.BlockSpec((G // 2, 1, 2 * L, 2 * L), cmap,
+                            memory_space=pltpu.VMEM)
+    return chunk_spec, cseg_spec, state_spec, sentry_spec, inv_spec
 
 
-def _fwd_call(c, blocks, s0, meta, *, chunk, mm_dtype, interpret):
+def _fwd_call(c, blocks, s0, meta, *, chunk, mm_dtype, interpret,
+              save_inv=False):
     G, BHp, n_chunks, N = meta["G"], meta["BHp"], meta["n_chunks"], meta["N"]
     L = chunk
-    chunk_spec, cseg_spec, state_spec, sentry_spec = _specs(G, L, N, n_chunks)
+    chunk_spec, cseg_spec, state_spec, sentry_spec, inv_spec = _specs(
+        G, L, N, n_chunks
+    )
     out_dtype = blocks[2].dtype  # v's dtype
     kernel = functools.partial(
-        _fwd_kernel, L=L, with_resets=meta["with_resets"], mm_dtype=mm_dtype
+        _fwd_kernel, L=L, with_resets=meta["with_resets"], mm_dtype=mm_dtype,
+        save_inv=save_inv,
     )
-    y, s_fin, s_entry = pl.pallas_call(
+    out_specs = (chunk_spec, state_spec, sentry_spec)
+    out_shape = (
+        jax.ShapeDtypeStruct((BHp, n_chunks, L, N), out_dtype),
+        jax.ShapeDtypeStruct((BHp, N, N), jnp.float32),
+        jax.ShapeDtypeStruct((BHp, n_chunks, N, N), jnp.float32),
+    )
+    if save_inv:
+        out_specs = out_specs + (inv_spec,)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct(
+                (BHp // 2, n_chunks, 2 * L, 2 * L), jnp.float32
+            ),
+        )
+    outs = pl.pallas_call(
         kernel,
         grid=(BHp // G, n_chunks),
         in_specs=[cseg_spec] + [chunk_spec] * 6 + [state_spec],
-        out_specs=(chunk_spec, state_spec, sentry_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((BHp, n_chunks, L, N), out_dtype),
-            jax.ShapeDtypeStruct((BHp, N, N), jnp.float32),
-            jax.ShapeDtypeStruct((BHp, n_chunks, N, N), jnp.float32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((G, N, N), jnp.float32)],
         interpret=interpret,
     )(c, *blocks, s0)
-    return y, s_fin, s_entry
+    if save_inv:
+        return outs
+    return outs + (None,)
 
 
 def _bwd_call(c, blocks, s_entry, dy, dsfin, meta, *, chunk, mm_dtype,
-              interpret):
+              interpret, inv=None):
     G, BHp, n_chunks, N = meta["G"], meta["BHp"], meta["n_chunks"], meta["N"]
     L = chunk
-    chunk_spec, cseg_spec, state_spec, sentry_spec = _specs(
+    save_inv = inv is not None
+    chunk_spec, cseg_spec, state_spec, sentry_spec, inv_spec = _specs(
         G, L, N, n_chunks, reverse=True
     )
     kernel = functools.partial(
         _bwd_kernel, L=L, n_chunks=n_chunks,
         with_resets=meta["with_resets"], mm_dtype=mm_dtype,
+        save_inv=save_inv,
     )
     in_dtypes = [b.dtype for b in blocks]
+    in_specs = [cseg_spec] + [chunk_spec] * 6 + [sentry_spec]
+    ins = (c,) + tuple(blocks) + (s_entry,)
+    if save_inv:
+        in_specs += [inv_spec]
+        ins += (inv,)
+    in_specs += [chunk_spec, state_spec]
+    ins += (dy, dsfin)
     outs = pl.pallas_call(
         kernel,
         grid=(BHp // G, n_chunks),
-        in_specs=[cseg_spec] + [chunk_spec] * 6 + [sentry_spec]
-        + [chunk_spec, state_spec],
+        in_specs=in_specs,
         out_specs=tuple([chunk_spec] * 6 + [state_spec]),
         out_shape=tuple(
             jax.ShapeDtypeStruct((BHp, n_chunks, L, N), dt)
@@ -450,7 +519,7 @@ def _bwd_call(c, blocks, s_entry, dy, dsfin, meta, *, chunk, mm_dtype,
         + (jax.ShapeDtypeStruct((BHp, N, N), jnp.float32),),
         scratch_shapes=[pltpu.VMEM((G, N, N), jnp.float32)],
         interpret=interpret,
-    )(c, *blocks, s_entry, dy, dsfin)
+    )(*ins)
     return outs
 
 
@@ -459,14 +528,16 @@ def _bwd_call(c, blocks, s_entry, dy, dsfin, meta, *, chunk, mm_dtype,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
 def _wkv7_pallas_core(
     r, w_raw, k, v, z, b, state, resets,
-    chunk, group, mm_name, interpret, has_resets, group_bwd,
+    chunk, group, mm_name, interpret, has_resets, group_bwd, solve,
 ):
+    # primal (not being differentiated): never store inv — only the vjp
+    # forward below needs it
     y, s_fin = _core_fwd(
         r, w_raw, k, v, z, b, state, resets,
-        chunk, group, mm_name, interpret, has_resets, group_bwd,
+        chunk, group, mm_name, interpret, has_resets, group_bwd, "autodiff",
     )[0]
     return y, s_fin
 
@@ -474,15 +545,17 @@ def _wkv7_pallas_core(
 def _core_fwd(
     r, w_raw, k, v, z, b, state, resets,
     chunk, group, mm_name, interpret, has_resets, group_bwd=None,
+    solve="saved",
 ):
     mm_dtype = jnp.bfloat16 if mm_name == "bf16" else jnp.float32
     meta = _prep(
         (r, w_raw, k, v, z, b), state, resets if has_resets else None,
         chunk, group,
     )
-    yb, s_fin_t, s_entry = _fwd_call(
+    yb, s_fin_t, s_entry, inv = _fwd_call(
         meta["c"], meta["blocks"], meta["s0"], meta,
         chunk=chunk, mm_dtype=mm_dtype, interpret=interpret,
+        save_inv=(solve == "saved"),
     )
     # Offer the kernel outputs to jax.checkpoint by name: with the model's
     # remat_policy='wkv' (save_only_these_names) the replay rebuilds the
@@ -494,28 +567,31 @@ def _core_fwd(
     yb = checkpoint_name(yb, "wkv_y")
     s_fin_t = checkpoint_name(s_fin_t, "wkv_s_fin")
     s_entry = checkpoint_name(s_entry, "wkv_s_entry")
+    if inv is not None:
+        inv = checkpoint_name(inv, "wkv_inv")
     B, T, H, N, BH = meta["B"], meta["T"], meta["H"], meta["N"], meta["BH"]
     y = jnp.moveaxis(
         yb[:BH].reshape(B, H, meta["Tp"], N), 1, 2
     )[:, :T]
     s_fin = s_fin_t[:BH].reshape(B, H, N, N)
-    return (y, s_fin), (meta, s_entry)
+    return (y, s_fin), (meta, s_entry, inv)
 
 
 def _core_fwd_vjp(
     r, w_raw, k, v, z, b, state, resets,
-    chunk, group, mm_name, interpret, has_resets, group_bwd,
+    chunk, group, mm_name, interpret, has_resets, group_bwd, solve,
 ):
-    (y, s_fin), (meta, s_entry) = _core_fwd(
+    (y, s_fin), (meta, s_entry, inv) = _core_fwd(
         r, w_raw, k, v, z, b, state, resets,
-        chunk, group, mm_name, interpret, has_resets, group_bwd,
+        chunk, group, mm_name, interpret, has_resets, group_bwd, solve,
     )
-    res = (meta["c"], meta["blocks"], s_entry, resets)
+    res = (meta["c"], meta["blocks"], s_entry, inv, resets)
     return (y, s_fin), res
 
 
-def _core_bwd(chunk, group, mm_name, interpret, has_resets, group_bwd, res, cts):
-    c, blocks, s_entry, resets = res
+def _core_bwd(chunk, group, mm_name, interpret, has_resets, group_bwd, solve,
+              res, cts):
+    c, blocks, s_entry, inv, resets = res
     dy, dsfin = cts
     mm_dtype = jnp.bfloat16 if mm_name == "bf16" else jnp.float32
     BHp, n_chunks, L, N = blocks[0].shape
@@ -545,7 +621,7 @@ def _core_bwd(chunk, group, mm_name, interpret, has_resets, group_bwd, res, cts)
 
     outs = _bwd_call(
         c, blocks, s_entry, dyb.astype(blocks[0].dtype), dsfin_t, meta,
-        chunk=L, mm_dtype=mm_dtype, interpret=interpret,
+        chunk=L, mm_dtype=mm_dtype, interpret=interpret, inv=inv,
     )
     dblocks, ds0t = outs[:6], outs[6]
 
@@ -577,6 +653,7 @@ def wkv7_pallas(
     group_bwd: Optional[int] = None,
     mm_dtype: str = "f32",
     interpret: Optional[bool] = None,
+    solve: str = "saved",
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused WKV7, differentiable. Inputs (B, T, H, N); state (B, H, Nv, Nk)
     fp32. Returns (y, final_state); y in v's dtype.
@@ -584,6 +661,11 @@ def wkv7_pallas(
     mm_dtype: 'f32' (default; fp32 MXU passes, tightest parity with the
     scan reference) or 'bf16' (bf16 operands + fp32 accumulation — the
     reference CUDA kernel's own precision contract, wkv7_cuda.cu:3-8).
+
+    solve: 'saved' (default) stores the per-chunk Neumann inverse from the
+    forward so the backward's solve adjoint is two matmuls; 'autodiff'
+    recomputes it in the backward and differentiates through the doubling
+    chain (~30 extra serial MXU ops per chunk, but no inv HBM traffic).
     """
     B, T, H, N = r.shape
     if state is None:
@@ -598,6 +680,7 @@ def wkv7_pallas(
     return _wkv7_pallas_core(
         r, w_raw, k, v, z, b, state, resets,
         chunk, group, mm_dtype, bool(interpret), has_resets, group_bwd,
+        solve,
     )
 
 
@@ -626,6 +709,8 @@ def _pair_fused(
     with_resets: bool,
     mm_dtype,
     ln_eps: float,
+    inv_in=None,
+    return_inv: bool = False,
 ):
     """_pair_chunk plus the surrounding elementwise prep/post, fused.
 
@@ -645,10 +730,12 @@ def _pair_fused(
     s = jnp.sum(kx * kx, axis=-1, keepdims=True)
     kk = kx / jnp.sqrt(jnp.maximum(s, _L2_EPS_SQ))
     keff = kraw * (1.0 + (a - 1.0) * sel(kap))
-    y, s_out = _pair_chunk(
+    out = _pair_chunk(
         s0p, r, w_raw, keff, v, -kk, kk * a, c2,
         L=L, with_resets=with_resets, mm_dtype=mm_dtype,
+        inv_in=inv_in, return_inv=return_inv,
     )
+    y, s_out = out[0], out[1]
     # ln_x GroupNorm: per (position, head) stats over the N lanes
     mu = jnp.mean(y, axis=-1, keepdims=True)
     yc = y - mu
@@ -657,15 +744,21 @@ def _pair_fused(
     bonus = jnp.sum(
         r.astype(f32) * keff * sel(rkp), axis=-1, keepdims=True
     ) * v.astype(f32)
+    if return_inv:
+        return yn + bonus, s_out, out[2]
     return yn + bonus, s_out
 
 
 def _fwd_kernel_fused(
     c_ref, r_ref, w_ref, k_ref, v_ref, a_ref,
     kkp_ref, kap_ref, rkp_ref, lnw_ref, lnb_ref, s0_ref,
-    y_ref, sfin_ref, sentry_ref, st,
-    *, L: int, with_resets: bool, mm_dtype, ln_eps: float,
+    y_ref, sfin_ref, sentry_ref, *rest,
+    L: int, with_resets: bool, mm_dtype, ln_eps: float, save_inv: bool,
 ):
+    if save_inv:
+        inv_ref, st = rest
+    else:
+        (st,) = rest
     G = r_ref.shape[0]
     ci = pl.program_id(1)
 
@@ -684,12 +777,16 @@ def _fwd_kernel_fused(
         c2 = c_ref[sl, 0].reshape(2, L) if with_resets else jnp.zeros(
             (2, L), jnp.float32
         )
-        y, s_out = _pair_fused(
+        out = _pair_fused(
             s0t, pair(r_ref), pair(w_ref), pair(k_ref), pair(v_ref),
             pair(a_ref), prm(kkp_ref), prm(kap_ref), prm(rkp_ref),
             prm(lnw_ref), prm(lnb_ref), c2,
             L=L, with_resets=with_resets, mm_dtype=mm_dtype, ln_eps=ln_eps,
+            return_inv=save_inv,
         )
+        y, s_out = out[0], out[1]
+        if save_inv:
+            inv_ref[p, 0] = out[2]
         y_ref[sl, 0] = y.reshape(2, L, N).astype(y_ref.dtype)
         st[sl] = s_out.reshape(2, N, N)
 
@@ -699,14 +796,20 @@ def _fwd_kernel_fused(
 def _bwd_kernel_fused(
     c_ref, r_ref, w_ref, k_ref, v_ref, a_ref,
     kkp_ref, kap_ref, rkp_ref, lnw_ref, lnb_ref, sentry_ref,
-    dy_ref, dsfin_ref,
-    dr_ref, dw_ref, dk_ref, dv_ref, da_ref,
-    dkkp_ref, dkap_ref, drkp_ref, dlnw_ref, dlnb_ref, ds0_ref, dst,
-    *, L: int, n_chunks: int, with_resets: bool, mm_dtype, ln_eps: float,
+    *rest,
+    L: int, n_chunks: int, with_resets: bool, mm_dtype, ln_eps: float,
+    save_inv: bool,
 ):
     """Reverse sweep as _bwd_kernel; per-head param grads accumulate into
     their (G, N) output blocks, which stay VMEM-resident across the chunk
     iterations of a grid row (the output index map ignores the chunk dim)."""
+    if save_inv:
+        inv_ref, *rest = rest
+    else:
+        inv_ref = None
+    (dy_ref, dsfin_ref,
+     dr_ref, dw_ref, dk_ref, dv_ref, da_ref,
+     dkkp_ref, dkap_ref, drkp_ref, dlnw_ref, dlnb_ref, ds0_ref, dst) = rest
     G = r_ref.shape[0]
     i = pl.program_id(1)
 
@@ -725,12 +828,13 @@ def _bwd_kernel_fused(
         c2 = c_ref[sl, 0].reshape(2, L) if with_resets else jnp.zeros(
             (2, L), jnp.float32
         )
+        inv_p = inv_ref[p, 0] if save_inv else None
 
         def f(rr, ww, kr, vv, aa, p1, p2, p3, p4, p5, s0t_):
             return _pair_fused(
                 s0t_, rr, ww, kr, vv, aa, p1, p2, p3, p4, p5, c2,
                 L=L, with_resets=with_resets, mm_dtype=mm_dtype,
-                ln_eps=ln_eps,
+                ln_eps=ln_eps, inv_in=inv_p,
             )
 
         args = (
@@ -765,40 +869,54 @@ def _bwd_kernel_fused(
 
 
 def _fused_fwd_call(c, blocks, prms, s0, meta, *, chunk, mm_dtype, ln_eps,
-                    interpret):
+                    interpret, save_inv=False):
     G, BHp, n_chunks, N = meta["G"], meta["BHp"], meta["n_chunks"], meta["N"]
     L = chunk
-    chunk_spec, cseg_spec, state_spec, sentry_spec = _specs(G, L, N, n_chunks)
+    chunk_spec, cseg_spec, state_spec, sentry_spec, inv_spec = _specs(
+        G, L, N, n_chunks
+    )
     prm_spec = pl.BlockSpec(
         (G, N), lambda gi, ci: (gi, 0), memory_space=pltpu.VMEM
     )
     out_dtype = blocks[3].dtype  # v's dtype
     kernel = functools.partial(
         _fwd_kernel_fused, L=L, with_resets=meta["with_resets"],
-        mm_dtype=mm_dtype, ln_eps=ln_eps,
+        mm_dtype=mm_dtype, ln_eps=ln_eps, save_inv=save_inv,
     )
-    y, s_fin, s_entry = pl.pallas_call(
+    out_specs = (chunk_spec, state_spec, sentry_spec)
+    out_shape = (
+        jax.ShapeDtypeStruct((BHp, n_chunks, L, N), out_dtype),
+        jax.ShapeDtypeStruct((BHp, N, N), jnp.float32),
+        jax.ShapeDtypeStruct((BHp, n_chunks, N, N), jnp.float32),
+    )
+    if save_inv:
+        out_specs = out_specs + (inv_spec,)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct(
+                (BHp // 2, n_chunks, 2 * L, 2 * L), jnp.float32
+            ),
+        )
+    outs = pl.pallas_call(
         kernel,
         grid=(BHp // G, n_chunks),
         in_specs=[cseg_spec] + [chunk_spec] * 5 + [prm_spec] * 5
         + [state_spec],
-        out_specs=(chunk_spec, state_spec, sentry_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((BHp, n_chunks, L, N), out_dtype),
-            jax.ShapeDtypeStruct((BHp, N, N), jnp.float32),
-            jax.ShapeDtypeStruct((BHp, n_chunks, N, N), jnp.float32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((G, N, N), jnp.float32)],
         interpret=interpret,
     )(c, *blocks, *prms, s0)
-    return y, s_fin, s_entry
+    if save_inv:
+        return outs
+    return outs + (None,)
 
 
 def _fused_bwd_call(c, blocks, prms, s_entry, dy, dsfin, meta, *, chunk,
-                    mm_dtype, ln_eps, interpret):
+                    mm_dtype, ln_eps, interpret, inv=None):
     G, BHp, n_chunks, N = meta["G"], meta["BHp"], meta["n_chunks"], meta["N"]
     L = chunk
-    chunk_spec, cseg_spec, state_spec, sentry_spec = _specs(
+    save_inv = inv is not None
+    chunk_spec, cseg_spec, state_spec, sentry_spec, inv_spec = _specs(
         G, L, N, n_chunks, reverse=True
     )
     prm_spec = pl.BlockSpec(
@@ -807,13 +925,20 @@ def _fused_bwd_call(c, blocks, prms, s_entry, dy, dsfin, meta, *, chunk,
     kernel = functools.partial(
         _bwd_kernel_fused, L=L, n_chunks=n_chunks,
         with_resets=meta["with_resets"], mm_dtype=mm_dtype, ln_eps=ln_eps,
+        save_inv=save_inv,
     )
     in_dtypes = [b.dtype for b in blocks]
+    in_specs = [cseg_spec] + [chunk_spec] * 5 + [prm_spec] * 5 + [sentry_spec]
+    ins = (c,) + tuple(blocks) + tuple(prms) + (s_entry,)
+    if save_inv:
+        in_specs += [inv_spec]
+        ins += (inv,)
+    in_specs += [chunk_spec, state_spec]
+    ins += (dy, dsfin)
     outs = pl.pallas_call(
         kernel,
         grid=(BHp // G, n_chunks),
-        in_specs=[cseg_spec] + [chunk_spec] * 5 + [prm_spec] * 5
-        + [sentry_spec] + [chunk_spec, state_spec],
+        in_specs=in_specs,
         out_specs=tuple(
             [chunk_spec] * 5 + [prm_spec] * 5 + [state_spec]
         ),
@@ -827,7 +952,7 @@ def _fused_bwd_call(c, blocks, prms, s_entry, dy, dsfin, meta, *, chunk,
         + (jax.ShapeDtypeStruct((BHp, N, N), jnp.float32),),
         scratch_shapes=[pltpu.VMEM((G, N, N), jnp.float32)],
         interpret=interpret,
-    )(c, *blocks, *prms, s_entry, dy, dsfin)
+    )(*ins)
     return outs
 
 
@@ -841,20 +966,26 @@ def _tile_params(p, B, H, N, BHp):
     return t
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17, 18))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17, 18, 19)
+)
 def _wkv7_fused_core(
     r, w_raw, k_raw, v, a, kkp, kap, rkp, lnw, lnb, state, resets,
-    chunk, group, mm_name, interpret, has_resets, group_bwd, ln_eps,
+    chunk, group, mm_name, interpret, has_resets, group_bwd, ln_eps, solve,
 ):
+    # primal (not being differentiated): never store inv — only the vjp
+    # forward below needs it
     return _fused_fwd(
         r, w_raw, k_raw, v, a, kkp, kap, rkp, lnw, lnb, state, resets,
         chunk, group, mm_name, interpret, has_resets, group_bwd, ln_eps,
+        "autodiff",
     )[0]
 
 
 def _fused_fwd(
     r, w_raw, k_raw, v, a, kkp, kap, rkp, lnw, lnb, state, resets,
     chunk, group, mm_name, interpret, has_resets, group_bwd, ln_eps,
+    solve="saved",
 ):
     mm_dtype = jnp.bfloat16 if mm_name == "bf16" else jnp.float32
     meta = _prep(
@@ -865,38 +996,42 @@ def _fused_fwd(
     prms = tuple(
         _tile_params(p, B, H, N, BHp) for p in (kkp, kap, rkp, lnw, lnb)
     )
-    yb, s_fin_t, s_entry = _fused_fwd_call(
+    yb, s_fin_t, s_entry, inv = _fused_fwd_call(
         meta["c"], meta["blocks"], prms, meta["s0"], meta,
         chunk=chunk, mm_dtype=mm_dtype, ln_eps=ln_eps, interpret=interpret,
+        save_inv=(solve == "saved"),
     )
     from jax.ad_checkpoint import checkpoint_name
 
     yb = checkpoint_name(yb, "wkv_y")
     s_fin_t = checkpoint_name(s_fin_t, "wkv_s_fin")
     s_entry = checkpoint_name(s_entry, "wkv_s_entry")
+    if inv is not None:
+        inv = checkpoint_name(inv, "wkv_inv")
     T, BH = meta["T"], meta["BH"]
     y = jnp.moveaxis(yb[:BH].reshape(B, H, meta["Tp"], N), 1, 2)[:, :T]
     s_fin = s_fin_t[:BH].reshape(B, H, N, N)
-    return (y, s_fin), (meta, prms, s_entry)
+    return (y, s_fin), (meta, prms, s_entry, inv)
 
 
 def _fused_fwd_vjp(
     r, w_raw, k_raw, v, a, kkp, kap, rkp, lnw, lnb, state, resets,
-    chunk, group, mm_name, interpret, has_resets, group_bwd, ln_eps,
+    chunk, group, mm_name, interpret, has_resets, group_bwd, ln_eps, solve,
 ):
-    (y, s_fin), (meta, prms, s_entry) = _fused_fwd(
+    (y, s_fin), (meta, prms, s_entry, inv) = _fused_fwd(
         r, w_raw, k_raw, v, a, kkp, kap, rkp, lnw, lnb, state, resets,
         chunk, group, mm_name, interpret, has_resets, group_bwd, ln_eps,
+        solve,
     )
-    res = (meta["c"], meta["blocks"], prms, s_entry, resets)
+    res = (meta["c"], meta["blocks"], prms, s_entry, inv, resets)
     return (y, s_fin), res
 
 
 def _fused_bwd(
-    chunk, group, mm_name, interpret, has_resets, group_bwd, ln_eps,
+    chunk, group, mm_name, interpret, has_resets, group_bwd, ln_eps, solve,
     res, cts,
 ):
-    c, blocks, prms, s_entry, resets = res
+    c, blocks, prms, s_entry, inv, resets = res
     dy, dsfin = cts
     mm_dtype = jnp.bfloat16 if mm_name == "bf16" else jnp.float32
     BHp, n_chunks, L, N = blocks[0].shape
@@ -921,6 +1056,7 @@ def _fused_bwd(
     outs = _fused_bwd_call(
         c, blocks, prms, s_entry, dyb.astype(blocks[0].dtype), dsfin_t,
         meta, chunk=L, mm_dtype=mm_dtype, ln_eps=ln_eps, interpret=interpret,
+        inv=inv,
     )
     dblocks, dprms, ds0t = outs[:5], outs[5:10], outs[10]
 
@@ -961,6 +1097,7 @@ def wkv7_pallas_fused(
     group_bwd: Optional[int] = None,
     mm_dtype: str = "f32",
     interpret: Optional[bool] = None,
+    solve: str = "saved",
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused WKV7 including the surrounding time-mix elementwise band.
 
@@ -985,5 +1122,5 @@ def wkv7_pallas_fused(
     return _wkv7_fused_core(
         r, w_raw, k_raw, v, a, k_k, k_a, r_k, ln_w, ln_b, state, resets,
         chunk, group, mm_dtype, bool(interpret), has_resets, group_bwd,
-        float(ln_eps),
+        float(ln_eps), solve,
     )

@@ -50,6 +50,11 @@ def build_model(task: str, args):
         # reference CUDA kernel's own precision contract (wkv7_cuda.cu:3-8);
         # measured 784 -> 770 ms at 0.4B with the fused-prep kernel
         kw.setdefault("wkv_mm", getattr(args, "wkv_mm", None) or "bf16")
+        # group 16/16: with the saved-inverse backward solve the bwd
+        # kernel's VMEM no longer carries the Neumann adjoint, so the
+        # larger group fits and wins (658 -> 647 ms at 0.4B, PERF.md r3)
+        kw.setdefault("wkv_group", 16)
+        kw.setdefault("wkv_group_bwd", 16)
     elif getattr(args, "remat_policy", None):
         kw["remat_policy"] = args.remat_policy
     key = jax.random.PRNGKey(args.seed)

@@ -99,15 +99,25 @@ def main():
     ap.add_argument("--remat-policy", default=None, help="e.g. wkv")
     ap.add_argument("--layer-unroll", action="store_true")
     ap.add_argument("--fuse-prep", action="store_true")
+    ap.add_argument("--wkv-mm", default="f32")
+    ap.add_argument("--wkv-solve", default="saved")
+    ap.add_argument("--production", action="store_true",
+                    help="the train/cli.py single-chip TPU defaults")
     args = ap.parse_args()
     if args.analyze_only:
         analyze(args.out)
         return
 
-    cfg, state, step, batch = build(
-        args.hidden, args.layers, args.batch, args.seqlen,
+    kw = dict(
         remat_policy=args.remat_policy, layer_unroll=args.layer_unroll,
-        wkv_fuse_prep=args.fuse_prep,
+        wkv_fuse_prep=args.fuse_prep, wkv_mm=args.wkv_mm,
+        wkv_solve=args.wkv_solve,
+    )
+    if args.production:
+        kw.update(remat_policy="wkv", layer_unroll=True, wkv_fuse_prep=True,
+                  wkv_mm="bf16")
+    cfg, state, step, batch = build(
+        args.hidden, args.layers, args.batch, args.seqlen, **kw
     )
     rng = jax.random.PRNGKey(2)
     t0 = time.perf_counter()

@@ -90,6 +90,20 @@ VARIANTS = {
                  "layer_unroll": True, "wkv_group": 16, "wkv_group_bwd": 8},
     "fuse_bf16": {"wkv_fuse_prep": True, "remat_policy": "wkv",
                   "layer_unroll": True, "wkv_mm": "bf16"},
+    # saved-inverse backward solve A/B (cfg default is 'saved'; autodiff
+    # re-derives the Neumann chain in the bwd kernel — PERF.md round 3)
+    "fuse_bf16_autodiff": {"wkv_fuse_prep": True, "remat_policy": "wkv",
+                           "layer_unroll": True, "wkv_mm": "bf16",
+                           "wkv_solve": "autodiff"},
+    "fuse_bf16_saved_g16": {"wkv_fuse_prep": True, "remat_policy": "wkv",
+                            "layer_unroll": True, "wkv_mm": "bf16",
+                            "wkv_group": 16, "wkv_group_bwd": 16},
+    # chunk 128: with the saved-inverse solve the bwd no longer pays the
+    # Neumann adjoint, so longer chunks (fewer grid steps + checkpoints)
+    # may now win where L128 lost at 103M (PERF.md round 2)
+    "fuse_bf16_l128": {"wkv_fuse_prep": True, "remat_policy": "wkv",
+                       "layer_unroll": True, "wkv_mm": "bf16",
+                       "wkv_chunk": 128},
 }
 
 

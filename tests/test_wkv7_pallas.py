@@ -267,3 +267,52 @@ def test_fused_bf16_io():
     np.testing.assert_allclose(
         y.astype(jnp.float32), y_ref, rtol=0.1, atol=0.1
     )
+
+
+def test_saved_solve_matches_autodiff():
+    """solve='saved' (forward stores (I-A)^{-1}; backward adjoint is
+    u = inv^T dsa, dA = u sa^T) must match solve='autodiff' (vjp through
+    the Neumann doubling chain) to float-association noise — values
+    exactly, grads to ~1e-5. Covers both kernel families, with resets."""
+    key = jax.random.PRNGKey(11)
+    args = make_inputs(key, B=2, T=48, H=4, N=16)
+    resets = (
+        jax.random.uniform(jax.random.PRNGKey(12), (2, 48)) < 0.06
+    ).astype(jnp.float32)
+
+    def lf(solve):
+        def f(a):
+            y, s = WP.wkv7_pallas(
+                *a, resets=resets, chunk=16, group=4, solve=solve
+            )
+            return (y.astype(jnp.float32) ** 2).sum() + (s**2).sum() * 0.1
+
+        return f
+
+    la, ga = jax.value_and_grad(lf("autodiff"))(args)
+    ls, gs = jax.value_and_grad(lf("saved"))(args)
+    np.testing.assert_allclose(float(ls), float(la), rtol=1e-6)
+    for a_, s_ in zip(ga, gs):
+        np.testing.assert_allclose(
+            np.asarray(s_), np.asarray(a_), rtol=5e-4, atol=5e-5
+        )
+
+    fargs = make_fused_inputs(jax.random.PRNGKey(13), T=48)
+
+    def lff(solve):
+        def f(a):
+            y, s = WP.wkv7_pallas_fused(
+                *a, resets=resets, ln_eps=_LN_EPS, chunk=16, group=4,
+                solve=solve,
+            )
+            return (y.astype(jnp.float32) ** 2).sum() + (s**2).sum() * 0.1
+
+        return f
+
+    la, ga = jax.value_and_grad(lff("autodiff"))(fargs)
+    ls, gs = jax.value_and_grad(lff("saved"))(fargs)
+    np.testing.assert_allclose(float(ls), float(la), rtol=1e-6)
+    for a_, s_ in zip(ga, gs):
+        np.testing.assert_allclose(
+            np.asarray(s_), np.asarray(a_), rtol=5e-4, atol=5e-5
+        )
