@@ -82,6 +82,11 @@ def main():
     ap.add_argument("--slots", type=int, default=16)
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--skip-grouped", action="store_true")
+    ap.add_argument("--packed-wkv", action="store_true",
+                    help="head-pair-packed decode state (wins past ~128 "
+                         "slot rows, PERF.md round 3)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 decode weights in the pipeline")
     ap.add_argument("--cpu", action="store_true", help="smoke-test on CPU")
     args = ap.parse_args()
     if args.cpu:
@@ -91,12 +96,15 @@ def main():
     from rwkvtts_tpu.models import spark
     from rwkvtts_tpu.serving import service as svc
 
-    cfg = spark.default_config(hidden_size=args.hidden, num_layers=args.layers)
+    cfg = spark.default_config(
+        hidden_size=args.hidden, num_layers=args.layers,
+        decode_wkv_packed=args.packed_wkv,
+    )
     params = spark.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
     )
-    pipe = SparkPipeline(cfg, params, BenchTok())
+    pipe = SparkPipeline(cfg, params, BenchTok(), quantize_int8=args.int8)
 
     reqs = make_requests(args.requests)
     same_voice = make_requests(args.requests, seed=1, n_voices=1)

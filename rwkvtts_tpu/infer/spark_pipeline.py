@@ -46,12 +46,17 @@ class SparkPipeline:
         audio_tokenizer=None,  # codecs.spark_tokenizer.SparkAudioTokenizer
         sample_rate: int = 16000,
         prompt_pad_multiple: int = 64,
+        quantize_int8: bool = False,
     ):
         from rwkvtts_tpu.models import rwkv7
 
         self.cfg = lm_cfg
-        # fused decode projections (exact same math, fewer dispatches)
-        self.params = rwkv7.pack_decode_params(lm_params, lm_cfg.backbone)
+        # fused decode projections (exact same math, fewer dispatches);
+        # opt-in int8 decode weights (quality bound: zero greedy flips at
+        # 0.4B, scripts/measure_int8_quality.py + PERF.md round 3)
+        self.params = rwkv7.pack_decode_params(
+            lm_params, lm_cfg.backbone, quantize_int8=quantize_int8
+        )
         self.tok = text_tokenizer
         self.codec = audio_tokenizer
         self.sample_rate = sample_rate

@@ -18,7 +18,8 @@ from typing import Optional
 log = logging.getLogger("rwkvtts_tpu")
 
 
-def build_pipeline(ckpt: str, codec_dir: Optional[str] = None):
+def build_pipeline(ckpt: str, codec_dir: Optional[str] = None,
+                   packed_wkv: bool = True, int8: bool = False):
     import jax.numpy as jnp
 
     from rwkvtts_tpu.convert import rwkv7_ckpt, speech_init
@@ -29,7 +30,11 @@ def build_pipeline(ckpt: str, codec_dir: Optional[str] = None):
     sd = rwkv7_ckpt.load_torch_or_safetensors(ckpt)
     kw = rwkv7_ckpt.infer_config_kwargs(sd)
     cfg = spark.default_config(
-        hidden_size=kw["hidden_size"], num_layers=kw["num_layers"]
+        hidden_size=kw["hidden_size"], num_layers=kw["num_layers"],
+        # head-pair-packed decode state: the slot pool runs ~96 rows where
+        # the in-place Pallas step beats the XLA step (PERF.md round 3:
+        # 5164 vs 5017 sustained mixed, and same-voice 5629 vs 4549)
+        decode_wkv_packed=packed_wkv,
     )
     params = speech_init.spark_from_pretrained_sd(sd, cfg)
     import jax
@@ -45,15 +50,17 @@ def build_pipeline(ckpt: str, codec_dir: Optional[str] = None):
 
         codec = SparkAudioTokenizer.from_pretrained(codec_dir)
     tok = get_world_tokenizer(n_spct=48)
-    return SparkPipeline(cfg, params, tok, audio_tokenizer=codec)
+    return SparkPipeline(
+        cfg, params, tok, audio_tokenizer=codec, quantize_int8=int8
+    )
 
 
 def build_service(
     pipeline,
     demo_dir: Optional[str] = None,
     continuous: bool = True,
-    n_slots: int = 16,
-    chunk: int = 16,
+    n_slots: int = 96,
+    chunk: int = 32,
     max_new_tokens: int = 1024,
     top_k: int = 50,
     top_p: float = 0.95,
@@ -81,8 +88,18 @@ def main(argv=None):
     ap.add_argument("--demo-dir", default=None, help="demos/<speaker>/*.wav library")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
-    ap.add_argument("--n-slots", type=int, default=16)
-    ap.add_argument("--chunk", type=int, default=16)
+    # slot-pool sweep at 0.4B (PERF.md round 3): 48 -> 3.4k, 64 -> 4.1k,
+    # 96 -> 5.2k, 128 -> 3.9k sustained mixed-voice tok/s — 96 is the peak
+    ap.add_argument("--n-slots", type=int, default=96)
+    # 32-step chunks are what the pool-size curve above was measured with;
+    # 16 halves worst-case admission latency at some throughput cost
+    ap.add_argument("--chunk", type=int, default=32)
+    ap.add_argument("--no-packed-wkv", action="store_true",
+                    help="XLA decode state instead of the packed Pallas "
+                         "step (packed wins at the 96-slot default)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 decode weights (zero measured greedy flips; "
+                         "PERF.md round 3)")
     ap.add_argument("--max-new-tokens", type=int, default=1024)
     ap.add_argument("--top-k", type=int, default=50)
     ap.add_argument("--top-p", type=float, default=0.95)
@@ -93,7 +110,10 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
-    pipeline = build_pipeline(args.ckpt, args.codec_dir)
+    pipeline = build_pipeline(
+        args.ckpt, args.codec_dir, packed_wkv=not args.no_packed_wkv,
+        int8=args.int8,
+    )
     tts = build_service(
         pipeline, args.demo_dir, continuous=not args.grouped,
         n_slots=args.n_slots, chunk=args.chunk,

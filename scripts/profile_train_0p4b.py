@@ -37,7 +37,9 @@ def build(hidden, layers, B, T, **cfg_kw):
     params = spark.init_params(jax.random.PRNGKey(0), cfg)
     tx = opt_lib.build_optimizer(params)
     state = ts.init_train_state(params, tx)
-    step = ts.make_train_step(cfg, tx, donate=False)
+    # donate: without it two train-state copies live across the step and
+    # the 0.4B saved-inverse config HBM-OOMs; the trace is unaffected
+    step = ts.make_train_step(cfg, tx, donate=True)
     k = jax.random.PRNGKey(1)
     batch = {
         "tokens": jax.random.randint(k, (B, T), 0, 4096),
@@ -70,6 +72,7 @@ def analyze(trace_dir, top=40):
         if e.get("ph") == "M" and e.get("name") == "thread_name":
             names[(e["pid"], e["tid"])] = e["args"]["name"]
     agg = collections.Counter()
+    indiv = collections.Counter()
     total = 0.0
     for e in events:
         if e.get("ph") != "X":
@@ -82,9 +85,13 @@ def analyze(trace_dir, top=40):
         # collapse fusion indices: fusion.123 -> fusion
         base = nm.split(".")[0]
         agg[base] += dur
+        indiv[nm] += dur
         total += dur
     print(f"-- trace {files[-1]}  device total {total:.1f} ms --")
     for nm, ms in agg.most_common(top):
+        print(f"{ms:10.2f} ms  {100*ms/max(total,1e-9):5.1f}%  {nm}")
+    print("-- top individual ops --")
+    for nm, ms in indiv.most_common(top):
         print(f"{ms:10.2f} ms  {100*ms/max(total,1e-9):5.1f}%  {nm}")
 
 
@@ -115,7 +122,7 @@ def main():
     )
     if args.production:
         kw.update(remat_policy="wkv", layer_unroll=True, wkv_fuse_prep=True,
-                  wkv_mm="bf16")
+                  wkv_mm="bf16", wkv_group=16, wkv_group_bwd=16)
     cfg, state, step, batch = build(
         args.hidden, args.layers, args.batch, args.seqlen, **kw
     )

@@ -104,6 +104,9 @@ VARIANTS = {
     "fuse_bf16_l128": {"wkv_fuse_prep": True, "remat_policy": "wkv",
                        "layer_unroll": True, "wkv_mm": "bf16",
                        "wkv_chunk": 128},
+    "fuse_bf16_saved_g32": {"wkv_fuse_prep": True, "remat_policy": "wkv",
+                            "layer_unroll": True, "wkv_mm": "bf16",
+                            "wkv_group": 32, "wkv_group_bwd": 32},
 }
 
 
