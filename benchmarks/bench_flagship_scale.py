@@ -5,9 +5,12 @@ README.md:140 trains from rwkv7-1.5B-world); every round-2 number was at
 103M (768x12). This measures the real deployed sizes on the actual chip:
 
   * decode tok/s at 0.4B-class (1024x24) and 1.4B-class (2048x24)
-  * train step KT/s + MFU at 0.4B-class (1.4B train does not fit one
-    v5e-16GB with fp32 Adam state: 5.7+11.4+5.7 GB — that path is covered
-    by the fsdp virtual-mesh dryrun instead)
+  * train step KT/s + MFU at 0.4B-class with the production fp32-Adam
+    state, and at 1.4B-class (--only train14) with the low-memory
+    factored-second-moment optimizer (fp32 Adam state for 1.4B is
+    5.7+11.4 GB and exceeds one v5e-16GB — the reference needed ZeRO-3
+    CPU-offload for the same LM; multi-chip fsdp is covered by the
+    virtual-mesh dryrun)
 
 Usage: python benchmarks/bench_flagship_scale.py [--only decode04|decode14|train04]
 Results go to PERF.md.
@@ -86,7 +89,8 @@ def bench_decode(hidden, layers, batch=64, t_prompt=128, t_new=256, iters=3,
     return out
 
 
-def bench_train(hidden, layers, batch=8, seqlen=2048, iters=5):
+def bench_train(hidden, layers, batch=8, seqlen=2048, iters=5,
+                low_memory=None):
     from rwkvtts_tpu.models import spark
     from rwkvtts_tpu.parallel import train_step as ts
     from rwkvtts_tpu.train import optimizer as opt_lib
@@ -101,7 +105,7 @@ def bench_train(hidden, layers, batch=8, seqlen=2048, iters=5):
     )
     params = spark.init_params(jax.random.PRNGKey(0), cfg)
     np_ = n_params(params)
-    tx = opt_lib.build_optimizer(params)
+    tx = opt_lib.build_optimizer(params, low_memory=low_memory)
     state = ts.init_train_state(params, tx)
     step = ts.make_train_step(cfg, tx, donate=True)
 
@@ -133,7 +137,8 @@ def bench_train(hidden, layers, batch=8, seqlen=2048, iters=5):
     kts = B * T / dt / 1e3
     mfu = 6 * np_ * B * T / dt / PEAK_FLOPS
     out = {
-        "bench": f"train_{hidden}x{layers}",
+        "bench": f"train_{hidden}x{layers}"
+        + (f"_{low_memory}" if low_memory else ""),
         "params": np_,
         "batch": B,
         "seqlen": T,
@@ -168,6 +173,16 @@ def main():
     if args.only in (None, "train04"):
         print("== train 0.4B (1024x24) ==", flush=True)
         results.append(bench_train(1024, 24, batch=args.batch or 8))
+    if args.only == "train14":
+        # 1.4B fp32 Adam state (5.7+11.4 GB) exceeds one 16 GB chip — the
+        # reference needed ZeRO-3 CPU-offload for the same model
+        # (train_..._properties.py:377-387); our single-chip path is the
+        # factored-second-moment optimizer (train/optimizer.py low_memory)
+        print("== train 1.4B (2048x24, adafactor state) ==", flush=True)
+        results.append(
+            bench_train(2048, 24, batch=args.batch or 2,
+                        low_memory="adafactor")
+        )
     print("ALL:", json.dumps(results), flush=True)
 
 

@@ -441,11 +441,12 @@ def wkv7_step(
     A 3-D state selects the PACKED path: (P, N, 2N) head-pair-packed
     layout through the fused Pallas step kernel on TPU (one HBM pass over
     the state instead of ~4 — see ops/wkv7_step_pallas.py), or its XLA
-    reference elsewhere. This is an opt-in ALTERNATIVE reached only by
-    explicitly packing via ops/wkv7_step_pallas.pack_state — no production
-    decode loop uses it because it measured slower in-model than the XLA
-    form below (4.5 vs 3.36 ms/step at B=64; PERF.md round 2: per-call
-    launch/DMA overhead exceeds the saved HBM passes on this platform).
+    reference elsewhere. Production decode loops reach it by setting
+    `cfg.decode_wkv_packed` (models/rwkv7.py::pack_decode_state then packs
+    each layer's wkv leaf); it wins in the ~96-128-row slot-pool regime
+    and loses to the XLA form below at small B to per-call launch/DMA
+    overhead (PERF.md round 3: B=64 13.2k vs 14.2k tok/s, B=128 10.2k vs
+    9.0k) — hence opt-in per config rather than a global default.
     """
     if state.ndim == 3:
         from rwkvtts_tpu.ops import wkv7_step_pallas as sp

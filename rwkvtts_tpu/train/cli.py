@@ -191,6 +191,12 @@ def main(argv=None):
     p.add_argument("--total-steps", type=int, default=100_000)
     p.add_argument("--weight-decay", type=float, default=0.01)
     p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument(
+        "--low-memory-opt", choices=["mu_bf16", "adafactor"], default=None,
+        help="shrink optimizer state for models whose fp32 Adam slots "
+             "exceed one chip (1.4B on 16 GB v5e); LR groups/schedule/"
+             "wd mask unchanged — see train/optimizer.py",
+    )
     p.add_argument("--save-steps", type=int, default=1000)
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
@@ -272,6 +278,7 @@ def main(argv=None):
         log_every=args.log_every, peak_lr=args.lr, final_lr=args.lr_final,
         warmup_steps=args.warmup_steps, total_steps=args.total_steps,
         weight_decay=args.weight_decay, grad_clip=args.grad_clip,
+        low_memory_opt=args.low_memory_opt,
         seed=args.seed, wandb_project=args.wandb_project, run_name=args.run_name,
     )
     tr = trainer_lib.Trainer(cfg, params, trainer_lib.LOSS_FNS[args.task], tcfg)

@@ -73,13 +73,37 @@ def build_optimizer(
     b2: float = 0.95,
     eps: float = 1e-18,
     grad_clip: Optional[float] = 1.0,
+    low_memory: Optional[str] = None,
 ) -> optax.GradientTransformation:
+    """AdamW with the reference's group policy (see module docstring).
+
+    ``low_memory`` swaps the moment estimator while keeping the LR groups,
+    schedule, and weight-decay mask identical — the single-host answer to
+    the reference's ZeRO-3 CPU-offload for its 1.5B LM
+    (train_..._properties.py:377-387); on a pod the first choice is fsdp
+    sharding (parallel/mesh.py), but one 16 GB chip cannot hold fp32 Adam
+    state for 1.4B params (5.7+11.4 GB):
+      * "mu_bf16":   first moment stored bf16 (halves mu memory; update
+                     math still fp32 — optax casts per-step)
+      * "adafactor": factored second moment, no first moment
+                     (optax.scale_by_factored_rms; state is O(rows+cols))
+    """
     sched = lr_schedule(peak_lr, final_lr, warmup_steps, total_steps)
     sched2x = lr_schedule(2 * peak_lr, 2 * final_lr, warmup_steps, total_steps)
 
     def adamw(schedule, wd):
+        if low_memory == "adafactor":
+            scale = optax.scale_by_factored_rms(decay_rate=b2)
+        elif low_memory == "mu_bf16":
+            scale = optax.scale_by_adam(
+                b1=b1, b2=b2, eps=eps, mu_dtype=jnp.bfloat16
+            )
+        elif low_memory is None:
+            scale = optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
+        else:
+            raise ValueError(f"unknown low_memory mode: {low_memory!r}")
         return optax.chain(
-            optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+            scale,
             optax.add_decayed_weights(wd) if wd else optax.identity(),
             optax.scale_by_schedule(lambda s: -schedule(s)),
         )

@@ -125,6 +125,9 @@ class TrainerConfig:
     total_steps: int = 100_000
     weight_decay: float = 0.01
     grad_clip: float = 1.0
+    # None | "mu_bf16" | "adafactor" — low-memory optimizer state for
+    # models whose fp32 Adam state exceeds one chip (see train/optimizer.py)
+    low_memory_opt: Optional[str] = None
     seed: int = 0
     wandb_project: Optional[str] = None
     run_name: Optional[str] = None
@@ -149,6 +152,7 @@ class Trainer:
             total_steps=tcfg.total_steps,
             weight_decay=tcfg.weight_decay,
             grad_clip=tcfg.grad_clip,
+            low_memory=tcfg.low_memory_opt,
         )
         n_dev = jax.device_count()
         self.mesh = None

@@ -141,3 +141,54 @@ def test_static_batch_metadata_reaches_loss(setup):
     # one trace per metadata value, each observing its own static bool
     assert True in seen and False in seen
     assert len(tr._step_cache) >= 2
+
+
+@pytest.mark.parametrize("mode", ["mu_bf16", "adafactor"])
+def test_low_memory_optimizer_steps(setup, mode):
+    """Low-memory optimizer modes (single-host answer to the reference's
+    ZeRO-3 CPU-offload for its 1.5B LM, train_..._properties.py:377-387)
+    must keep the group policy, shrink the state, and still learn."""
+    from rwkvtts_tpu.parallel import train_step as ts
+    from rwkvtts_tpu.train import optimizer as opt_lib
+
+    cfg, _, _ = setup
+    params = spark.init_params(jax.random.PRNGKey(4), cfg)
+    tx = opt_lib.build_optimizer(
+        params, peak_lr=1e-3, warmup_steps=1, total_steps=10,
+        low_memory=mode,
+    )
+    state = ts.init_train_state(params, tx)
+
+    leaves = jax.tree_util.tree_leaves(state.opt_state)
+    if mode == "adafactor":
+        # factoring engages only for dims >= optax's min_dim_size_to_factor
+        # (128) — the tiny test model never factors, so check the state
+        # shrinkage on a realistically-shaped tree instead
+        big = {"w": jnp.zeros((1024, 4096))}
+        tx_big = opt_lib.build_optimizer(
+            big, peak_lr=1e-3, warmup_steps=1, total_steps=10,
+            low_memory=mode,
+        )
+        st_big = tx_big.init(big)
+        fp32_state = sum(
+            l.size * 4 for l in jax.tree_util.tree_leaves(st_big)
+            if hasattr(l, "dtype") and l.dtype == jnp.float32
+        )
+        # factored second moment: O(rows+cols) << one fp32 param copy
+        assert fp32_state < 0.05 * big["w"].size * 4
+    else:
+        # mu stored bf16: the first moment must not be fp32
+        assert any(
+            hasattr(l, "dtype") and l.dtype == jnp.bfloat16 for l in leaves
+        )
+
+    step = ts.make_train_step(cfg, tx, donate=False)
+    b = _dataset()
+    batch = next(iter(b.epoch(0)))
+    batch = {k: v for k, v in batch.items() if not k.startswith("_")}
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # same batch repeated: must descend
