@@ -127,9 +127,31 @@ class ContinuousBatcher:
         top_k: int = 1,  # greedy default: deterministic serving
         top_p: float = 1.0,
         seed: int = 0,
+        mesh: Optional[jax.sharding.Mesh] = None,
     ):
         self.cfg = cfg
         bb = cfg.backbone
+        self.mesh = mesh
+        if mesh is not None:
+            # dp-sharded slot pool: the slot axis of every carry leaf is
+            # split over the mesh's "dp" axis and params are replicated, so
+            # one chunk program decodes n_slots rows across the whole slice
+            # (the pod-scale version of this engine; the reference's
+            # thread-pool service has no multi-GPU story at all,
+            # service/tts_service.py:14-120). Decode-step math is
+            # batch-row-independent, so sharded output is bit-identical to
+            # single-device (tests/test_continuous.py, test_sharded_decode).
+            if n_slots % mesh.shape["dp"] != 0:
+                raise ValueError(
+                    f"n_slots={n_slots} not divisible by dp={mesh.shape['dp']}"
+                )
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._repl = NamedSharding(mesh, PartitionSpec())
+            self._slot_sh = lambda x: NamedSharding(
+                mesh, PartitionSpec("dp", *([None] * (x.ndim - 1)))
+            )
+            params = jax.device_put(params, self._repl)
         # stacked params for prefill (scan-over-layers forward), layered
         # views for the decode chunk (per-layer state leaves)
         self.params = params
@@ -144,16 +166,23 @@ class ContinuousBatcher:
         self._queue: List[Tuple[int, Dict[str, np.ndarray], int]] = []
         self._slots = [_Slot() for _ in range(n_slots)]
         self._prefill = jax.jit(spark.prefill, static_argnames=("cfg",))
+        self._carry = self._fresh_carry()
 
-        C = bb.hidden_size
-        st = rwkv7.init_model_state(bb, n_slots)
+    def _fresh_carry(self):
+        bb = self.cfg.backbone
+        st = rwkv7.init_model_state(bb, self.n_slots)
         st = rwkv7.pack_decode_state(st, bb)
-        self._carry = (
-            jnp.zeros((n_slots, C), bb.dtype),
+        carry = (
+            jnp.zeros((self.n_slots, bb.hidden_size), bb.dtype),
             st,
-            jnp.ones((n_slots,), bool),  # empty slots count as done
-            jnp.zeros((n_slots,), jnp.int32),
+            jnp.ones((self.n_slots,), bool),  # empty slots count as done
+            jnp.zeros((self.n_slots,), jnp.int32),
         )
+        if self.mesh is not None:
+            carry = jax.tree.map(
+                lambda x: jax.device_put(x, self._slot_sh(x)), carry
+            )
+        return carry
 
     # -- client API -------------------------------------------------------
 
@@ -198,15 +227,7 @@ class ContinuousBatcher:
             self.chunk, self.temperature, self.top_k, self.top_p,
         )
         # reset engine state touched by the warmup chunk
-        C = self.cfg.backbone.hidden_size
-        st = rwkv7.init_model_state(self.cfg.backbone, self.n_slots)
-        st = rwkv7.pack_decode_state(st, self.cfg.backbone)
-        self._carry = (
-            jnp.zeros((self.n_slots, C), self.cfg.backbone.dtype),
-            st,
-            jnp.ones((self.n_slots,), bool),
-            jnp.zeros((self.n_slots,), jnp.int32),
-        )
+        self._carry = self._fresh_carry()
 
     # -- engine -----------------------------------------------------------
 

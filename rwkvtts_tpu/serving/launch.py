@@ -66,6 +66,7 @@ def build_service(
     top_p: float = 0.95,
     temperature: float = 1.0,
     warmup: bool = True,
+    dp: int = 1,
 ):
     from rwkvtts_tpu.serving import service as svc
 
@@ -74,7 +75,7 @@ def build_service(
         return svc.ContinuousTTSService(
             pipeline, speakers, n_slots=n_slots, chunk=chunk,
             max_new_tokens=max_new_tokens, top_k=top_k, top_p=top_p,
-            temperature=temperature, warmup=warmup,
+            temperature=temperature, warmup=warmup, dp=dp,
         )
     return svc.BatchedTTSService(
         pipeline, speakers, max_new_tokens=max_new_tokens
@@ -106,6 +107,9 @@ def main(argv=None):
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--grouped", action="store_true",
                     help="legacy same-voice grouping dispatcher")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="shard the slot pool over a dp device mesh "
+                         "(multi-chip slice serving; n-slots must divide)")
     ap.add_argument("--no-warmup", action="store_true")
     args = ap.parse_args(argv)
 
@@ -119,7 +123,7 @@ def main(argv=None):
         n_slots=args.n_slots, chunk=args.chunk,
         max_new_tokens=args.max_new_tokens, top_k=args.top_k,
         top_p=args.top_p, temperature=args.temperature,
-        warmup=not args.no_warmup,
+        warmup=not args.no_warmup, dp=args.dp,
     )
     from rwkvtts_tpu.serving import http_server
 

@@ -304,13 +304,22 @@ class ContinuousTTSService(BatchedTTSService):
         seed: int = 0,
         voices=None,
         warmup: bool = False,
+        dp: int = 1,
     ):
         from rwkvtts_tpu.serving.continuous import ContinuousBatcher
 
+        mesh = None
+        if dp > 1:
+            # shard the slot pool over a dp device mesh — one chunk program
+            # decodes all slots across the slice (bit-identical to the
+            # single-device pool, tests/test_continuous.py)
+            from rwkvtts_tpu.parallel import mesh as mesh_lib
+
+            mesh = mesh_lib.make_mesh(dp=dp)
         self.batcher = ContinuousBatcher(
             pipeline.params, pipeline.cfg, n_slots=n_slots, chunk=chunk,
             prompt_cap=prompt_cap, temperature=temperature, top_k=top_k,
-            top_p=top_p, seed=seed,
+            top_p=top_p, seed=seed, mesh=mesh,
         )
         if warmup:
             self.batcher.warmup()

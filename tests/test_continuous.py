@@ -145,3 +145,37 @@ def test_continuous_packed_wkv_matches_isolated_greedy():
         assert toks == expected[rids[rid]], (
             f"packed slot decode diverged for request {rids[rid]}"
         )
+
+
+def test_dp_sharded_pool_matches_unsharded():
+    """Slot pool sharded over a dp mesh (pod-scale serving) must produce
+    exactly the tokens the single-device pool produces: decode-step math is
+    batch-row-independent, so GSPMD splitting the slot axis cannot change
+    results (same claim as tests/test_sharded_decode.py, at the serving
+    engine level)."""
+    from rwkvtts_tpu.parallel import mesh as mesh_lib
+
+    cfg = spark.default_config(
+        hidden_size=32, num_layers=2, head_size=8, gate_lora=8,
+        dtype=jnp.float32, wkv_chunk=16, remat=False, dropout=0.0,
+    )
+    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+    tok = FakeTok()
+    texts = [f"sharded pool req {i}" for i in range(6)]
+    max_new = 10
+
+    def run(mesh):
+        cb = ContinuousBatcher(
+            params, cfg, n_slots=4, chunk=4, prompt_cap=32, top_k=1,
+            mesh=mesh,
+        )
+        rids = {
+            cb.add_request(_prompt(t, tok), max_new): i
+            for i, t in enumerate(texts)
+        }
+        return {rids[r]: t for r, t in cb.drain().items()}
+
+    base = run(None)
+    mesh = mesh_lib.make_mesh(dp=4)
+    sharded = run(mesh)
+    assert sharded == base
