@@ -141,3 +141,31 @@ def sample_with_rejection(
     masked = x.at[..., reject_ids].set(NEG_INF) if reject_ids.ndim == 1 else x
     fallback = jnp.argmax(masked, axis=-1)
     return jnp.where(is_rejected(tok), fallback, tok)
+
+
+def sample_rows(
+    key: jax.Array,
+    logits: jax.Array,
+    *,
+    temperature: jax.Array,
+    top_k: int,
+    top_p: jax.Array,
+) -> jax.Array:
+    """Per-ROW temperature / top-p (traced (B,) vectors) with a STATIC
+    top-k cap: serving slots carry each request's sampling params, and the
+    decode-chunk program stays one compiled shape for any mix of requests
+    (rows wanting a smaller effective k express it through top_p; rows
+    wanting no nucleus cut pass top_p=1). Same fused no-full-vocab-sort
+    construction as sample()."""
+    x = logits.astype(jnp.float32)
+    x = x / jnp.maximum(temperature.astype(jnp.float32), 1e-6)[:, None]
+    V = x.shape[-1]
+    k = top_k if 0 < top_k < V else V
+    vals, idx = jax.lax.top_k(x, k)
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    vals = jnp.where(
+        cum - probs < top_p.astype(jnp.float32)[:, None], vals, NEG_INF
+    )
+    choice = jax.random.categorical(key, vals, axis=-1)
+    return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]

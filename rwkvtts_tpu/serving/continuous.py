@@ -37,14 +37,15 @@ class _Slot:
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _insert_many(carry, hk, stk, slots, take):
+def _insert_many(carry, hk, stk, slots, take, tvec, pvec):
     """Swap the first `take` prefilled requests (rows of hk/stk) into batch
-    positions `slots[j]`. A fori_loop with a TRACED count: one small
-    compiled program per prefill-batch shape, regardless of how many
-    requests are admitted."""
+    positions `slots[j]`, along with each request's sampling params
+    (tvec/pvec: per-request temperature / top-p). A fori_loop with a TRACED
+    count: one small compiled program per prefill-batch shape, regardless
+    of how many requests are admitted."""
 
     def body(j, c):
-        h, st, done, n = c
+        h, st, done, n, temp, topp = c
         slot = slots[j]
 
         def ins(cl, s):
@@ -60,7 +61,9 @@ def _insert_many(carry, hk, stk, slots, take):
         st = jax.tree.map(ins, st, stk)
         done = done.at[slot].set(False)
         n = n.at[slot].set(0)
-        return (h, st, done, n)
+        temp = temp.at[slot].set(tvec[j])
+        topp = topp.at[slot].set(pvec[j])
+        return (h, st, done, n, temp, topp)
 
     return jax.lax.fori_loop(0, take, body, carry)
 
@@ -71,34 +74,35 @@ def _mark_done(carry, slot_mask):
     freed host-side by the max_new cap (no EOS sampled) keeps decoding
     discarded tokens every chunk until a new request lands in it — wasted
     compute (ADVICE r2). One tiny program, amortized over the whole pool."""
-    h, st, done, n = carry
-    return (h, st, done | slot_mask, n)
+    h, st, done, n, temp, topp = carry
+    return (h, st, done | slot_mask, n, temp, topp)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "chunk", "temperature", "top_k", "top_p"),
+    static_argnames=("cfg", "chunk", "top_k"),
     donate_argnums=(1,),
 )
-def _decode_chunk(
-    params, carry, base_key, counter, cfg, chunk: int,
-    temperature: float, top_k: int, top_p: float,
-):
+def _decode_chunk(params, carry, base_key, counter, cfg, chunk: int, top_k: int):
+    """Temperature/top-p ride PER SLOT in the carry (traced vectors), so a
+    pool of mixed requests samples with each request's own params in one
+    compiled program; top_k is the static cap (rows express smaller
+    effective k through top_p)."""
     bb = cfg.backbone
     eos_id = cfg.eos_token_id
     key = jax.random.fold_in(base_key, counter)
 
     def step(c, step_key):
-        h, st, done, n = c
+        h, st, done, n, temp, topp = c
         logits = (h @ params["head"].astype(bb.dtype)).astype(jnp.float32)
-        tok = sampling.sample(
-            step_key, logits, temperature=temperature, top_k=top_k, top_p=top_p
+        tok = sampling.sample_rows(
+            step_key, logits, temperature=temp, top_k=top_k, top_p=topp
         )
         tok = jnp.where(done, eos_id, tok)
         done = done | (tok == eos_id)
         x = spark.decode_embed(params, cfg, tok)
         h, st = rwkv7.decode_step(params, bb, x, st)
-        return (h, st, done, n + 1), tok
+        return (h, st, done, n + 1, temp, topp), tok
 
     keys = jax.random.split(key, chunk)
     carry, toks = jax.lax.scan(step, carry, keys)
@@ -163,7 +167,8 @@ class ContinuousBatcher:
         self.key = jax.random.PRNGKey(seed)
         self._counter = 0
         self._next_id = 0
-        self._queue: List[Tuple[int, Dict[str, np.ndarray], int]] = []
+        # (rid, prompt_batch, max_new, temperature, top_p)
+        self._queue: List[Tuple[int, Dict[str, np.ndarray], int, float, float]] = []
         self._slots = [_Slot() for _ in range(n_slots)]
         self._prefill = jax.jit(spark.prefill, static_argnames=("cfg",))
         self._carry = self._fresh_carry()
@@ -177,6 +182,8 @@ class ContinuousBatcher:
             st,
             jnp.ones((self.n_slots,), bool),  # empty slots count as done
             jnp.zeros((self.n_slots,), jnp.int32),
+            jnp.full((self.n_slots,), self.temperature, jnp.float32),
+            jnp.full((self.n_slots,), self.top_p, jnp.float32),
         )
         if self.mesh is not None:
             carry = jax.tree.map(
@@ -186,12 +193,24 @@ class ContinuousBatcher:
 
     # -- client API -------------------------------------------------------
 
-    def add_request(self, prompt_batch: Dict[str, np.ndarray], max_new_tokens: int) -> int:
+    def add_request(
+        self,
+        prompt_batch: Dict[str, np.ndarray],
+        max_new_tokens: int,
+        temperature: Optional[float] = None,
+        top_p: Optional[float] = None,
+    ) -> int:
         """prompt_batch: a B=1 left-padded batch ({tokens, modality,
-        attention_mask}) as produced by spark_collator.pad_prompts_left."""
+        attention_mask}) as produced by spark_collator.pad_prompts_left.
+        temperature/top_p default to the pool-level values; they ride in
+        the slot carry, so mixed-request sampling params cost nothing."""
         rid = self._next_id
         self._next_id += 1
-        self._queue.append((rid, prompt_batch, max_new_tokens))
+        self._queue.append((
+            rid, prompt_batch, max_new_tokens,
+            self.temperature if temperature is None else float(temperature),
+            self.top_p if top_p is None else float(top_p),
+        ))
         return rid
 
     def idle(self) -> bool:
@@ -218,13 +237,14 @@ class ContinuousBatcher:
             self._carry = _insert_many(
                 self._carry, hk, stk,
                 np.zeros((bucket,), np.int32), np.int32(0),
+                np.ones((bucket,), np.float32), np.ones((bucket,), np.float32),
             )
             if bucket >= self.n_slots:
                 break
             bucket *= 2
         self._carry, _, _ = _decode_chunk(
             self.params_l, self._carry, self.key, np.int32(0), self.cfg,
-            self.chunk, self.temperature, self.top_k, self.top_p,
+            self.chunk, self.top_k,
         )
         # reset engine state touched by the warmup chunk
         self._carry = self._fresh_carry()
@@ -261,10 +281,14 @@ class ContinuousBatcher:
         bucket = 1
         while bucket < take:
             bucket *= 2
-        pbs = [self._pad_prompt(b) for _, b, _ in reqs]
+        pbs = [self._pad_prompt(b) for _, b, _, _, _ in reqs]
         pbs += [pbs[-1]] * (bucket - take)
         slot_ids = [free[j] for j in range(take)]
         slot_ids += [slot_ids[-1]] * (bucket - take)
+        tvec = np.ones((bucket,), np.float32)
+        pvec = np.ones((bucket,), np.float32)
+        for j, (_, _, _, t, p) in enumerate(reqs):
+            tvec[j], pvec[j] = t, p
         cap = max(p["tokens"].shape[1] for p in pbs)
         stacked = {
             k: np.concatenate(
@@ -280,9 +304,9 @@ class ContinuousBatcher:
         stk = rwkv7.pack_decode_state(stk, self.cfg.backbone)
         self._carry = _insert_many(
             self._carry, hk, stk, np.asarray(slot_ids, np.int32),
-            np.int32(take),
+            np.int32(take), tvec, pvec,
         )
-        for j, (rid, _, max_new) in enumerate(reqs):
+        for j, (rid, _, max_new, _, _) in enumerate(reqs):
             self._slots[free[j]] = _Slot(req_id=rid, tokens=[], max_new=max_new)
 
     def step(self) -> List[Tuple[int, List[int]]]:
@@ -292,8 +316,7 @@ class ContinuousBatcher:
         self._counter += 1
         self._carry, toks, done = _decode_chunk(
             self.params_l, self._carry, self.key, np.int32(self._counter),
-            self.cfg, self.chunk,
-            self.temperature, self.top_k, self.top_p,
+            self.cfg, self.chunk, self.top_k,
         )
         toks = np.asarray(toks)
         done = np.asarray(done)

@@ -285,9 +285,10 @@ class ContinuousTTSService(BatchedTTSService):
     (/root/reference/service/tts_service.py:14-120): no per-request engine
     affinity, no padding waste, requests join mid-flight.
 
-    Sampling knobs (temperature/top_k/top_p) are compiled into the decode
-    chunk, so they are per-service here, not per-request; per-request
-    fields on TTSRequest are ignored in this mode.
+    Per-request temperature/top_p are honored: they ride in the slot carry
+    as traced vectors, so a pool of mixed sampling params runs one compiled
+    chunk program. top_k is the pool-level static cap (a request wanting a
+    tighter distribution expresses it through top_p).
     """
 
     def __init__(
@@ -372,7 +373,9 @@ class ContinuousTTSService(BatchedTTSService):
             )
             cap = min(req.max_new_tokens or self.max_new_tokens,
                       self.max_new_tokens)
-            rid = self.batcher.add_request(pb, cap)
+            rid = self.batcher.add_request(
+                pb, cap, temperature=req.temperature, top_p=req.top_p
+            )
             pending[rid] = (req, done, box, globals_)
         except Exception as e:  # noqa: BLE001 — service must answer
             box["resp"] = TTSResponse(np.zeros(0, np.float32), 16000, error=str(e))

@@ -179,3 +179,40 @@ def test_dp_sharded_pool_matches_unsharded():
     mesh = mesh_lib.make_mesh(dp=4)
     sharded = run(mesh)
     assert sharded == base
+
+
+def test_per_request_sampling_params_ride_slots():
+    """Per-request temperature/top_p live in the slot carry: a near-zero-
+    temperature request must reproduce the isolated greedy decode even when
+    it shares the pool (and one compiled chunk program) with a hot-
+    temperature request, and the hot slot must actually explore (diverge
+    from greedy) — the reference's service has no per-request sampling at
+    all (service/rwkv_tts_service.py)."""
+    cfg = spark.default_config(
+        hidden_size=64, num_layers=2, head_size=16, gate_lora=16,
+        dtype=jnp.float32, wkv_chunk=16, remat=False, dropout=0.0,
+    )
+    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+    tok = FakeTok()
+    max_new = 12
+
+    pb = _prompt("cold deterministic request", tok)
+    toks, lengths = gen.spark_generate(
+        params, cfg, jnp.asarray(pb["tokens"]), jnp.asarray(pb["modality"]),
+        jnp.asarray(pb["attention_mask"]), jax.random.PRNGKey(9),
+        max_new_tokens=max_new, top_k=1, top_p=1.0,
+    )
+    n = int(np.asarray(lengths)[0])
+    greedy = np.asarray(toks)[0, :n].tolist()[:max_new]
+
+    cb = ContinuousBatcher(
+        params, cfg, n_slots=2, chunk=4, prompt_cap=32,
+        top_k=0, temperature=1.0, top_p=1.0,  # pool default: full sampling
+    )
+    cold = cb.add_request(pb, max_new, temperature=1e-6)
+    hot = cb.add_request(
+        _prompt("cold deterministic request", tok), max_new, temperature=3.0
+    )
+    out = cb.drain()
+    assert out[cold] == greedy
+    assert out[hot] != greedy  # same prompt, hot slot must explore
