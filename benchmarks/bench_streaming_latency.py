@@ -33,6 +33,13 @@ def main():
     ap.add_argument("--text-len", type=int, default=60)
     ap.add_argument("--hop", type=int, default=50)
     ap.add_argument("--iters", type=int, default=3)
+    # deployed pairing: --hidden 2048 --layers 24 [--int8] reproduces the
+    # CosyVoice2-0.5B + RWKV-7-1.5B ship config (Inference.md:19-44)
+    ap.add_argument("--hidden", type=int, default=768)
+    ap.add_argument("--layers", type=int, default=12)
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 LM decode weights (quality bound: zero "
+                         "greedy flips, PERF.md round 3)")
     args = ap.parse_args()
 
     from rwkvtts_tpu.codecs import flow as flow_lib, hift as hift_lib
@@ -40,7 +47,7 @@ def main():
     from rwkvtts_tpu.infer.cosy_pipeline import CosyPipeline
     from rwkvtts_tpu.models import cosy
 
-    lm_cfg = cosy.default_config(hidden_size=768, num_layers=12)
+    lm_cfg = cosy.default_config(hidden_size=args.hidden, num_layers=args.layers)
     lm_params = cosy.init_params(jax.random.PRNGKey(0), lm_cfg)
     fcfg = flow_lib.FlowConfig()
     fparams = flow_lib.init_params(jax.random.PRNGKey(1), fcfg)
@@ -48,7 +55,7 @@ def main():
     hparams = hift_lib.init_params(jax.random.PRNGKey(2), hcfg)
     pipe = CosyPipeline(
         lm_cfg, lm_params, _Tok(), flow_cfg=fcfg, flow_params=fparams,
-        hift_cfg=hcfg, hift_params=hparams,
+        hift_cfg=hcfg, hift_params=hparams, quantize_int8=args.int8,
     )
     scfg = streaming.StreamConfig(token_hop_len=args.hop)
     text = "streaming latency benchmark " * (args.text_len // 28 + 1)

@@ -57,11 +57,17 @@ class CosyPipeline:
         campplus_cfg=None,
         campplus_params=None,
         sample_rate: int = 24000,
+        quantize_int8: bool = False,
     ):
         from rwkvtts_tpu.models import rwkv7
 
         self.lm_cfg = lm_cfg
-        self.lm_params = rwkv7.pack_decode_params(lm_params, lm_cfg.backbone)
+        # opt-in int8 LM decode weights — what clears RTF<=0.1 at the
+        # deployed 1.5B pairing (PERF.md round 3; quality bound: zero
+        # greedy decision flips measured)
+        self.lm_params = rwkv7.pack_decode_params(
+            lm_params, lm_cfg.backbone, quantize_int8=quantize_int8
+        )
         self.tok = text_tokenizer
         self.flow_cfg = flow_cfg
         self.flow_params = flow_params
