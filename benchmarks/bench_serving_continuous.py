@@ -22,6 +22,13 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# --cpu must take effect BEFORE jit_cache.enable(): enable() queries the
+# default backend, which would initialize (and on a dead tunnel, hang on)
+# the axon platform pinned by sitecustomize
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from rwkvtts_tpu.utils import jit_cache
