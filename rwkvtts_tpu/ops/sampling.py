@@ -156,7 +156,11 @@ def sample_rows(
     decode-chunk program stays one compiled shape for any mix of requests
     (rows wanting a smaller effective k express it through top_p; rows
     wanting no nucleus cut pass top_p=1). Same fused no-full-vocab-sort
-    construction as sample()."""
+    construction as sample().
+
+    `key` is either one key for the whole batch or PER-ROW keys of shape
+    (B, 2) (uint32 key data) — per-row keys make each row's draw a pure
+    function of its own key, independent of what shares the batch."""
     x = logits.astype(jnp.float32)
     x = x / jnp.maximum(temperature.astype(jnp.float32), 1e-6)[:, None]
     V = x.shape[-1]
@@ -167,5 +171,12 @@ def sample_rows(
     vals = jnp.where(
         cum - probs < top_p.astype(jnp.float32)[:, None], vals, NEG_INF
     )
-    choice = jax.random.categorical(key, vals, axis=-1)
+    if key.ndim == 2:  # per-row keys
+        choice = jax.vmap(
+            lambda kk, v: jax.random.categorical(
+                jax.random.wrap_key_data(kk, impl="threefry2x32"), v
+            )
+        )(key, vals)
+    else:
+        choice = jax.random.categorical(key, vals, axis=-1)
     return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]

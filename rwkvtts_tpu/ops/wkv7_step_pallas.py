@@ -22,14 +22,16 @@ at full 128-lane width, no MXU, no relayouts. Per-half lane masks keep the
 two packed heads independent. v and the outputs (which are indexed by the
 value dim i) ride as sublane vectors (P, 2N, 1).
 
-This kernel is an opt-in ALTERNATIVE, not the production decode path: in
-the full model it measured slower than the XLA step (4.5 vs 3.36 ms/step
-at B=64 — twelve pallas_calls/step cost more in fixed launch/DMA overhead
-than the saved HBM passes; PERF.md round 2). A caller opts in by packing
-the state once with pack_state() below and carrying the (P, N, 2N) layout
-across steps (models/rwkv7.py::pack_decode_state does NOT do this — it
-only splits the stacked state per layer); per-step repacking would cost
-the same passes this kernel removes.
+Opt-in per config: `cfg.decode_wkv_packed` makes
+models/rwkv7.py::pack_decode_state pack each layer's wkv leaf once with
+pack_state() below, and every decode loop then carries the (P, N, 2N)
+layout across steps (per-step repacking would cost the same passes this
+kernel removes). It wins in the ~96-128-row slot-pool regime and loses to
+the XLA step at small B (PERF.md round 3: B=64 13.2k vs 14.2k tok/s,
+B=128 10.2k vs 9.0k — per-layer pallas_call launch/DMA overhead vs XLA's
+state re-materialization copies), hence per-config rather than default.
+Single-device only: a GSPMD-sharded carry would gather the state around
+the pallas_call (same rule as ops/wkv7.resolve_impl for training).
 """
 from __future__ import annotations
 

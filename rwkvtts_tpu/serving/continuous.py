@@ -37,15 +37,15 @@ class _Slot:
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _insert_many(carry, hk, stk, slots, take, tvec, pvec):
+def _insert_many(carry, hk, stk, slots, take, tvec, pvec, svec):
     """Swap the first `take` prefilled requests (rows of hk/stk) into batch
     positions `slots[j]`, along with each request's sampling params
-    (tvec/pvec: per-request temperature / top-p). A fori_loop with a TRACED
-    count: one small compiled program per prefill-batch shape, regardless
-    of how many requests are admitted."""
+    (tvec/pvec/svec: per-request temperature / top-p / seed). A fori_loop
+    with a TRACED count: one small compiled program per prefill-batch
+    shape, regardless of how many requests are admitted."""
 
     def body(j, c):
-        h, st, done, n, temp, topp = c
+        h, st, done, n, temp, topp, seed = c
         slot = slots[j]
 
         def ins(cl, s):
@@ -63,7 +63,8 @@ def _insert_many(carry, hk, stk, slots, take, tvec, pvec):
         n = n.at[slot].set(0)
         temp = temp.at[slot].set(tvec[j])
         topp = topp.at[slot].set(pvec[j])
-        return (h, st, done, n, temp, topp)
+        seed = seed.at[slot].set(svec[j])
+        return (h, st, done, n, temp, topp, seed)
 
     return jax.lax.fori_loop(0, take, body, carry)
 
@@ -74,8 +75,8 @@ def _mark_done(carry, slot_mask):
     freed host-side by the max_new cap (no EOS sampled) keeps decoding
     discarded tokens every chunk until a new request lands in it — wasted
     compute (ADVICE r2). One tiny program, amortized over the whole pool."""
-    h, st, done, n, temp, topp = carry
-    return (h, st, done | slot_mask, n, temp, topp)
+    h, st, done, n, temp, topp, seed = carry
+    return (h, st, done | slot_mask, n, temp, topp, seed)
 
 
 @functools.partial(
@@ -83,29 +84,40 @@ def _mark_done(carry, slot_mask):
     static_argnames=("cfg", "chunk", "top_k"),
     donate_argnums=(1,),
 )
-def _decode_chunk(params, carry, base_key, counter, cfg, chunk: int, top_k: int):
-    """Temperature/top-p ride PER SLOT in the carry (traced vectors), so a
-    pool of mixed requests samples with each request's own params in one
-    compiled program; top_k is the static cap (rows express smaller
-    effective k through top_p)."""
+def _decode_chunk(params, carry, cfg, chunk: int, top_k: int):
+    """Temperature/top-p/seed ride PER SLOT in the carry (traced vectors),
+    so a pool of mixed requests samples with each request's own params in
+    one compiled program; top_k is the static cap (rows express smaller
+    effective k through top_p).
+
+    Each row's sampling key is fold_in(PRNGKey(its seed), its own step
+    index n) — a pure function of the REQUEST, not of pool cohabitation,
+    admission timing, or chunk boundaries. The same (prompt, seed) request
+    therefore reproduces exactly no matter what else shares the pool
+    (tested: test_continuous.py::test_seed_determinism_across_pool_mixes)."""
     bb = cfg.backbone
     eos_id = cfg.eos_token_id
-    key = jax.random.fold_in(base_key, counter)
 
-    def step(c, step_key):
-        h, st, done, n, temp, topp = c
+    def step(c, _):
+        h, st, done, n, temp, topp, seed = c
         logits = (h @ params["head"].astype(bb.dtype)).astype(jnp.float32)
+        keys = jax.vmap(
+            lambda s, i: jax.random.key_data(
+                jax.random.fold_in(
+                    jax.random.key(s, impl="threefry2x32"), i
+                )
+            )
+        )(seed, n)
         tok = sampling.sample_rows(
-            step_key, logits, temperature=temp, top_k=top_k, top_p=topp
+            keys, logits, temperature=temp, top_k=top_k, top_p=topp
         )
         tok = jnp.where(done, eos_id, tok)
         done = done | (tok == eos_id)
         x = spark.decode_embed(params, cfg, tok)
         h, st = rwkv7.decode_step(params, bb, x, st)
-        return (h, st, done, n + 1, temp, topp), tok
+        return (h, st, done, n + 1, temp, topp, seed), tok
 
-    keys = jax.random.split(key, chunk)
-    carry, toks = jax.lax.scan(step, carry, keys)
+    carry, toks = jax.lax.scan(step, carry, None, length=chunk)
     return carry, jnp.moveaxis(toks, 0, 1), carry[2]
 
 
@@ -149,6 +161,15 @@ class ContinuousBatcher:
                 raise ValueError(
                     f"n_slots={n_slots} not divisible by dp={mesh.shape['dp']}"
                 )
+            if getattr(cfg, "decode_wkv_packed", False):
+                # the packed path is a per-device pallas_call; under a
+                # GSPMD-sharded carry it would force a full state gather
+                # every step (see ops/wkv7.resolve_impl's same rule for
+                # training) — serve multi-chip with the XLA step instead
+                raise ValueError(
+                    "decode_wkv_packed is single-device-only; disable it "
+                    "(launch.py --no-packed-wkv) when serving with dp>1"
+                )
             from jax.sharding import NamedSharding, PartitionSpec
 
             self._repl = NamedSharding(mesh, PartitionSpec())
@@ -164,11 +185,12 @@ class ContinuousBatcher:
         self.chunk = chunk
         self.prompt_cap = prompt_cap
         self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
-        self.key = jax.random.PRNGKey(seed)
-        self._counter = 0
+        self.seed = seed  # default per-request seed
         self._next_id = 0
-        # (rid, prompt_batch, max_new, temperature, top_p)
-        self._queue: List[Tuple[int, Dict[str, np.ndarray], int, float, float]] = []
+        # (rid, prompt_batch, max_new, temperature, top_p, seed)
+        self._queue: List[
+            Tuple[int, Dict[str, np.ndarray], int, float, float, int]
+        ] = []
         self._slots = [_Slot() for _ in range(n_slots)]
         self._prefill = jax.jit(spark.prefill, static_argnames=("cfg",))
         self._carry = self._fresh_carry()
@@ -184,6 +206,7 @@ class ContinuousBatcher:
             jnp.zeros((self.n_slots,), jnp.int32),
             jnp.full((self.n_slots,), self.temperature, jnp.float32),
             jnp.full((self.n_slots,), self.top_p, jnp.float32),
+            jnp.full((self.n_slots,), self.seed, jnp.int32),
         )
         if self.mesh is not None:
             carry = jax.tree.map(
@@ -199,17 +222,21 @@ class ContinuousBatcher:
         max_new_tokens: int,
         temperature: Optional[float] = None,
         top_p: Optional[float] = None,
+        seed: Optional[int] = None,
     ) -> int:
         """prompt_batch: a B=1 left-padded batch ({tokens, modality,
         attention_mask}) as produced by spark_collator.pad_prompts_left.
-        temperature/top_p default to the pool-level values; they ride in
-        the slot carry, so mixed-request sampling params cost nothing."""
+        temperature/top_p/seed default to the pool-level values; they ride
+        in the slot carry, so mixed-request sampling params cost nothing —
+        and a (prompt, seed) pair reproduces exactly regardless of what
+        else shares the pool."""
         rid = self._next_id
         self._next_id += 1
         self._queue.append((
             rid, prompt_batch, max_new_tokens,
             self.temperature if temperature is None else float(temperature),
             self.top_p if top_p is None else float(top_p),
+            self.seed if seed is None else int(seed),
         ))
         return rid
 
@@ -238,13 +265,13 @@ class ContinuousBatcher:
                 self._carry, hk, stk,
                 np.zeros((bucket,), np.int32), np.int32(0),
                 np.ones((bucket,), np.float32), np.ones((bucket,), np.float32),
+                np.zeros((bucket,), np.int32),
             )
             if bucket >= self.n_slots:
                 break
             bucket *= 2
         self._carry, _, _ = _decode_chunk(
-            self.params_l, self._carry, self.key, np.int32(0), self.cfg,
-            self.chunk, self.top_k,
+            self.params_l, self._carry, self.cfg, self.chunk, self.top_k,
         )
         # reset engine state touched by the warmup chunk
         self._carry = self._fresh_carry()
@@ -281,14 +308,15 @@ class ContinuousBatcher:
         bucket = 1
         while bucket < take:
             bucket *= 2
-        pbs = [self._pad_prompt(b) for _, b, _, _, _ in reqs]
+        pbs = [self._pad_prompt(b) for _, b, _, _, _, _ in reqs]
         pbs += [pbs[-1]] * (bucket - take)
         slot_ids = [free[j] for j in range(take)]
         slot_ids += [slot_ids[-1]] * (bucket - take)
         tvec = np.ones((bucket,), np.float32)
         pvec = np.ones((bucket,), np.float32)
-        for j, (_, _, _, t, p) in enumerate(reqs):
-            tvec[j], pvec[j] = t, p
+        svec = np.zeros((bucket,), np.int32)
+        for j, (_, _, _, t, p, s) in enumerate(reqs):
+            tvec[j], pvec[j], svec[j] = t, p, s
         cap = max(p["tokens"].shape[1] for p in pbs)
         stacked = {
             k: np.concatenate(
@@ -304,22 +332,19 @@ class ContinuousBatcher:
         stk = rwkv7.pack_decode_state(stk, self.cfg.backbone)
         self._carry = _insert_many(
             self._carry, hk, stk, np.asarray(slot_ids, np.int32),
-            np.int32(take), tvec, pvec,
+            np.int32(take), tvec, pvec, svec,
         )
-        for j, (rid, _, max_new, _, _) in enumerate(reqs):
+        for j, (rid, _, max_new, _, _, _) in enumerate(reqs):
             self._slots[free[j]] = _Slot(req_id=rid, tokens=[], max_new=max_new)
 
     def step(self) -> List[Tuple[int, List[int]]]:
         """Admit waiting requests, decode one chunk, return finished
         (req_id, tokens) pairs."""
         self._admit()
-        self._counter += 1
-        self._carry, toks, done = _decode_chunk(
-            self.params_l, self._carry, self.key, np.int32(self._counter),
-            self.cfg, self.chunk, self.top_k,
+        self._carry, toks, _ = _decode_chunk(
+            self.params_l, self._carry, self.cfg, self.chunk, self.top_k,
         )
         toks = np.asarray(toks)
-        done = np.asarray(done)
         eos = self.cfg.eos_token_id
         finished = []
         capped = np.zeros(len(self._slots), bool)

@@ -302,6 +302,10 @@ def _make_handler(tts: svc.BatchedTTSService):
                 temperature=float(payload.get("temperature", 1.0)),
                 top_k=int(payload.get("top_k", 50)),
                 top_p=float(payload.get("top_p", 0.95)),
+                max_new_tokens=(
+                    int(payload["max_new_tokens"])
+                    if payload.get("max_new_tokens") else None
+                ),
             )
             if self.path == "/api/rwkv_tts_instruct":
                 req.properties = payload.get("properties", {})
@@ -374,9 +378,38 @@ def make_fastapi_app(tts: svc.BatchedTTSService):
             raise HTTPException(500, str(e))
         return {"global_tokens": tokens, "name": name}
 
+    def _base_req(payload: Dict[str, Any]) -> "svc.TTSRequest":
+        """Common request fields (sampling, seed, per-request cap) —
+        shared by every synthesis endpoint."""
+        return svc.TTSRequest(
+            text=payload["text"],
+            seed=int(payload.get("seed", 0)),
+            temperature=float(payload.get("temperature", 1.0)),
+            top_k=int(payload.get("top_k", 50)),
+            top_p=float(payload.get("top_p", 0.95)),
+            max_new_tokens=(
+                int(payload["max_new_tokens"])
+                if payload.get("max_new_tokens") else None
+            ),
+        )
+
+    def _audio_response(resp, payload: Dict[str, Any]) -> Response:
+        """wav or mp3 per audio_format (reference rwkv_tts_service.py:67-178)."""
+        if str(payload.get("audio_format", "wav")).lower() == "mp3":
+            try:
+                return Response(
+                    svc.mp3_bytes(resp.wav, resp.sample_rate),
+                    media_type="audio/mpeg",
+                )
+            except RuntimeError as e:
+                raise HTTPException(501, str(e))
+        return Response(
+            svc.wav_bytes(resp.wav, resp.sample_rate), media_type="audio/wav"
+        )
+
     @app.post("/api/rwkv_tts")
     def rwkv_tts(payload: Dict[str, Any]):
-        req = svc.TTSRequest(text=payload["text"], seed=int(payload.get("seed", 0)))
+        req = _base_req(payload)
         if payload.get("speaker"):
             req.speaker = payload["speaker"]
         elif payload.get("global_tokens"):
@@ -387,15 +420,7 @@ def make_fastapi_app(tts: svc.BatchedTTSService):
         resp = tts.synthesize(req)
         if resp.error:
             raise HTTPException(500, resp.error)
-        if str(payload.get("audio_format", "wav")).lower() == "mp3":
-            try:
-                return Response(
-                    svc.mp3_bytes(resp.wav, resp.sample_rate),
-                    media_type="audio/mpeg",
-                )
-            except RuntimeError as e:
-                raise HTTPException(501, str(e))
-        return Response(svc.wav_bytes(resp.wav, resp.sample_rate), media_type="audio/wav")
+        return _audio_response(resp, payload)
 
     @app.post("/api/rwkv_tts_stream")
     def rwkv_tts_stream(payload: Dict[str, Any]):
@@ -423,18 +448,11 @@ def make_fastapi_app(tts: svc.BatchedTTSService):
 
     @app.post("/api/rwkv_tts_instruct")
     def rwkv_tts_instruct(payload: Dict[str, Any]):
-        req = svc.TTSRequest(text=payload["text"], properties=payload.get("properties", {}))
+        req = _base_req(payload)
+        req.properties = payload.get("properties", {})
         resp = tts.synthesize(req)
         if resp.error:
             raise HTTPException(500, resp.error)
-        if str(payload.get("audio_format", "wav")).lower() == "mp3":
-            try:
-                return Response(
-                    svc.mp3_bytes(resp.wav, resp.sample_rate),
-                    media_type="audio/mpeg",
-                )
-            except RuntimeError as e:
-                raise HTTPException(501, str(e))
-        return Response(svc.wav_bytes(resp.wav, resp.sample_rate), media_type="audio/wav")
+        return _audio_response(resp, payload)
 
     return app

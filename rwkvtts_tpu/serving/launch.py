@@ -31,6 +31,9 @@ def build_pipeline(ckpt: str, codec_dir: Optional[str] = None,
     kw = rwkv7_ckpt.infer_config_kwargs(sd)
     cfg = spark.default_config(
         hidden_size=kw["hidden_size"], num_layers=kw["num_layers"],
+        # head_size from the ckpt too: a 128-wide-head model would
+        # otherwise silently mis-group (B,T,H,N) reshapes at serve time
+        head_size=kw["head_size"],
         # head-pair-packed decode state: the slot pool runs ~96 rows where
         # the in-place Pallas step beats the XLA step (PERF.md round 3:
         # 5164 vs 5017 sustained mixed, and same-voice 5629 vs 4549)
@@ -114,9 +117,14 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    packed = not args.no_packed_wkv
+    if args.dp > 1 and packed:
+        # the packed Pallas step is per-device; a dp-sharded pool must use
+        # the XLA step (ContinuousBatcher raises on the combination)
+        log.info("dp>1: disabling the packed decode state (single-device-only)")
+        packed = False
     pipeline = build_pipeline(
-        args.ckpt, args.codec_dir, packed_wkv=not args.no_packed_wkv,
-        int8=args.int8,
+        args.ckpt, args.codec_dir, packed_wkv=packed, int8=args.int8,
     )
     tts = build_service(
         pipeline, args.demo_dir, continuous=not args.grouped,

@@ -16,6 +16,7 @@ from __future__ import annotations
 import base64
 import dataclasses
 import io
+import logging
 import os
 import queue
 import threading
@@ -23,6 +24,8 @@ import time
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
+
+log = logging.getLogger("rwkvtts_tpu")
 
 from rwkvtts_tpu.utils import audio_io
 
@@ -374,7 +377,8 @@ class ContinuousTTSService(BatchedTTSService):
             cap = min(req.max_new_tokens or self.max_new_tokens,
                       self.max_new_tokens)
             rid = self.batcher.add_request(
-                pb, cap, temperature=req.temperature, top_p=req.top_p
+                pb, cap, temperature=req.temperature, top_p=req.top_p,
+                seed=req.seed,
             )
             pending[rid] = (req, done, box, globals_)
         except Exception as e:  # noqa: BLE001 — service must answer
@@ -410,7 +414,28 @@ class ContinuousTTSService(BatchedTTSService):
                     continue
                 self._admit(item, pending)
                 continue  # loop back to drain any burst before stepping
-            for rid, toks in cb.step():
+            try:
+                finished = cb.step()
+            except Exception as e:  # noqa: BLE001 — the worker must survive
+                # a failed chunk (fresh-shape compile error, transient
+                # device fault) may leave the donated carry in an unknown
+                # state: answer every in-flight request with the error and
+                # reset the pool, instead of killing the daemon thread and
+                # timing out every future request (the grouped dispatcher's
+                # _process has the same containment)
+                log.exception("decode chunk failed; resetting slot pool")
+                for rid, (req, done, box, _g) in list(pending.items()):
+                    box["resp"] = TTSResponse(
+                        np.zeros(0, np.float32), 16000, error=str(e)
+                    )
+                    done.set()
+                pending.clear()
+                cb._queue.clear()  # queued-not-yet-admitted rids were
+                # answered above too — leaving them would decode orphans
+                cb._slots = [type(cb._slots[0])() for _ in cb._slots]
+                cb._carry = cb._fresh_carry()
+                continue
+            for rid, toks in finished:
                 req, done, box, globals_ = pending.pop(rid)
                 try:
                     box["resp"] = self._finish(toks, globals_)

@@ -216,3 +216,35 @@ def test_per_request_sampling_params_ride_slots():
     out = cb.drain()
     assert out[cold] == greedy
     assert out[hot] != greedy  # same prompt, hot slot must explore
+
+
+def test_seed_determinism_across_pool_mixes():
+    """A (prompt, seed) request reproduces EXACTLY no matter what else
+    shares the pool: each row's sampling key is fold_in(PRNGKey(seed),
+    own-step-index), independent of slot position, admission timing, and
+    chunk counters. Different seeds must differ."""
+    cfg = spark.default_config(
+        hidden_size=64, num_layers=2, head_size=16, gate_lora=16,
+        dtype=jnp.float32, wkv_chunk=16, remat=False, dropout=0.0,
+    )
+    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+    tok = FakeTok()
+    max_new = 10
+    target = _prompt("the reproducible request", tok)
+
+    def run(n_slots, chunk, others, seed=123):
+        cb = ContinuousBatcher(
+            params, cfg, n_slots=n_slots, chunk=chunk, prompt_cap=32,
+            top_k=0, temperature=1.0, top_p=1.0,
+        )
+        # admit decoys first so the target lands in different slots with
+        # different admission timing across configurations
+        for i in range(others):
+            cb.add_request(_prompt(f"decoy {i}", tok), max_new, seed=7 + i)
+        rid = cb.add_request(target, max_new, seed=seed)
+        return cb.drain()[rid]
+
+    alone = run(n_slots=2, chunk=4, others=0)
+    crowded = run(n_slots=3, chunk=5, others=4)
+    assert crowded == alone, "pool cohabitation changed a seeded request"
+    assert run(n_slots=2, chunk=4, others=0, seed=124) != alone
