@@ -29,3 +29,39 @@ def test_fused_greedy_limit():
     logits = jnp.asarray([[0.1, 5.0, -2.0, 1.0]])
     tok = sampling.sample(jax.random.PRNGKey(0), logits, top_k=1, top_p=0.5)
     assert int(tok[0]) == 1
+
+
+def test_sample_rows_per_row_params_and_keys():
+    """sample_rows honors PER-ROW temperature/top_p and per-row keys:
+    a near-zero-temperature row is argmax, a tiny-top_p row keeps only the
+    top token, and identical rows with identical keys draw identically
+    while different keys can differ."""
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.standard_normal((4, 50)).astype(np.float32) * 2)
+    arg = np.asarray(jnp.argmax(logits, -1))
+
+    temp = jnp.asarray([1e-6, 1.0, 1.0, 1.0], jnp.float32)
+    topp = jnp.asarray([1.0, 1e-6, 1.0, 1.0], jnp.float32)
+    keys = jax.vmap(
+        lambda s: jax.random.key_data(jax.random.key(s, impl="threefry2x32"))
+    )(jnp.asarray([0, 0, 7, 7], jnp.uint32))
+    tok = np.asarray(
+        sampling.sample_rows(keys, logits, temperature=temp, top_k=0, top_p=topp)
+    )
+    assert tok[0] == arg[0]  # cold row: argmax
+    assert tok[1] == arg[1]  # nucleus of one: argmax
+    # rows 2 and 3 share logits? no — but same key + same logits must agree:
+    same = jnp.stack([logits[2], logits[2]])
+    t2 = np.asarray(
+        sampling.sample_rows(
+            keys[2:], same,
+            temperature=jnp.ones(2), top_k=0, top_p=jnp.ones(2),
+        )
+    )
+    assert t2[0] == t2[1]  # identical rows, identical keys
+    # single-key mode still works (batch shares one key)
+    one = sampling.sample_rows(
+        jax.random.PRNGKey(3), logits,
+        temperature=jnp.ones(4), top_k=10, top_p=jnp.full(4, 0.9),
+    )
+    assert one.shape == (4,)
