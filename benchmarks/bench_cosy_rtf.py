@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--layers", type=int, default=12)
     ap.add_argument("--int8", action="store_true",
                     help="int8 decode weights (B=1 decode is weight-bandwidth-bound)")
+    ap.add_argument("--int4", action="store_true",
+                    help="int4 group-wise decode weights (half of int8 bytes)")
     args = ap.parse_args()
 
     from rwkvtts_tpu.codecs import conformer, flow as flow_lib, hift as hift_lib
@@ -49,7 +51,8 @@ def main():
         lm_params,
     )
     lm_params = rwkv7.pack_decode_params(
-        lm_params, lm_cfg.backbone, quantize_int8=args.int8
+        lm_params, lm_cfg.backbone, quantize_int8=args.int8,
+        quantize_int4=args.int4
     )
 
     text_ids = list(range(1000, 1000 + args.tokens // 5))

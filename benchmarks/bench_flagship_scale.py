@@ -41,7 +41,7 @@ def n_params(params) -> int:
 
 
 def bench_decode(hidden, layers, batch=64, t_prompt=128, t_new=256, iters=3,
-                 int8=False, packed_wkv=False):
+                 int8=False, int4=False, packed_wkv=False):
     from rwkvtts_tpu.infer.generate import spark_generate
     from rwkvtts_tpu.models import rwkv7, spark
 
@@ -52,7 +52,9 @@ def bench_decode(hidden, layers, batch=64, t_prompt=128, t_new=256, iters=3,
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
     )
-    params = rwkv7.pack_decode_params(params, cfg.backbone, quantize_int8=int8)
+    params = rwkv7.pack_decode_params(
+        params, cfg.backbone, quantize_int8=int8, quantize_int4=int4
+    )
     np_ = n_params(params)
 
     k = jax.random.PRNGKey(1)
@@ -78,7 +80,7 @@ def bench_decode(hidden, layers, batch=64, t_prompt=128, t_new=256, iters=3,
     tps = batch * t_new / dt
     out = {
         "bench": f"decode_{hidden}x{layers}" + ("_int8" if int8 else "")
-        + ("_packed" if packed_wkv else ""),
+        + ("_int4" if int4 else "") + ("_packed" if packed_wkv else ""),
         "params": np_,
         "batch": batch,
         "tok_per_s_chip": round(tps, 1),
@@ -155,6 +157,7 @@ def main():
     ap.add_argument("--only", default=None)
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--int4", action="store_true")
     ap.add_argument("--packed-wkv", action="store_true")
     args = ap.parse_args()
     results = []
@@ -162,13 +165,13 @@ def main():
         print("== decode 0.4B (1024x24) ==", flush=True)
         results.append(
             bench_decode(1024, 24, batch=args.batch or 64, int8=args.int8,
-                         packed_wkv=args.packed_wkv)
+                         int4=args.int4, packed_wkv=args.packed_wkv)
         )
     if args.only in (None, "decode14"):
         print("== decode 1.4B (2048x24) ==", flush=True)
         results.append(
             bench_decode(2048, 24, batch=args.batch or 64, int8=args.int8,
-                         packed_wkv=args.packed_wkv)
+                         int4=args.int4, packed_wkv=args.packed_wkv)
         )
     if args.only in (None, "train04"):
         print("== train 0.4B (1024x24) ==", flush=True)

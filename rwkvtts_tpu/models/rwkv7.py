@@ -481,10 +481,50 @@ def _quantize_int8(w: jax.Array) -> Dict[str, jax.Array]:
     return {"q": q, "s": scale.astype(jnp.bfloat16)}
 
 
+def _quantize_int4(w: jax.Array, group: int = 64) -> Dict[str, jax.Array]:
+    """Group-wise symmetric int4 along the INPUT dim, two nibbles packed
+    per int8 byte (first half of the input dim in the low nibble, second
+    half in the high nibble). w: (..., in, out) with in % (2*group) == 0.
+
+    Per-GROUP scales (not per-channel): 4-bit symmetric per-channel is too
+    coarse for LM weights; a 64-row group bounds each scale's dynamic
+    range. Weight bytes = in*out/2 + bf16 scales (in/group)*out."""
+    wf = w.astype(jnp.float32)
+    I = wf.shape[-2]
+    assert I % (2 * group) == 0, (I, group)
+    g = wf.reshape(*wf.shape[:-2], I // group, group, wf.shape[-1])
+    amax = jnp.max(jnp.abs(g), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(g / scale), -7, 7).astype(jnp.int8)
+    q = q.reshape(wf.shape)
+    lo, hi = q[..., : I // 2, :], q[..., I // 2:, :]
+    packed = ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
+    return {
+        "q4": packed,
+        "s": scale.squeeze(-2).astype(jnp.bfloat16),  # (..., I/group, out)
+    }
+
+
+def _deq_int4(p: Dict[str, jax.Array], dt):
+    packed = p["q4"]
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # sign-extend nibble
+    hi = jnp.right_shift(packed, 4)
+    q = jnp.concatenate([lo, hi], axis=-2)
+    I = q.shape[-2]
+    scale = p["s"]
+    n_groups = scale.shape[-2]
+    g = q.reshape(*q.shape[:-2], n_groups, I // n_groups, q.shape[-1])
+    w = g.astype(jnp.float32) * scale[..., :, None, :].astype(jnp.float32)
+    return w.reshape(q.shape).astype(dt)
+
+
 def _qmat(att: Params, name: str, dt):
-    """Effective weight for `name`: int8 storage is dequantized on the fly
-    (XLA fuses the convert into the dot's operand load, so HBM traffic is
-    the int8 bytes)."""
+    """Effective weight for `name`: int8/int4 storage is dequantized on the
+    fly (XLA fuses the convert into the dot's operand load, so HBM traffic
+    is the quantized bytes)."""
+    q4 = f"{name}_q4"
+    if q4 in att:
+        return _deq_int4(att[q4], dt)
     qk = f"{name}_q8"
     if qk in att:
         p = att[qk]
@@ -565,7 +605,8 @@ def layer_decode_views(params: Params, cfg: RWKV7Config) -> Params:
 
 
 def pack_decode_params(
-    params: Params, cfg: RWKV7Config, quantize_int8: bool = False
+    params: Params, cfg: RWKV7Config, quantize_int8: bool = False,
+    quantize_int4: bool = False, int4_group: int = 64,
 ) -> Params:
     """Precompute fused decode projections (done once, host/amortized).
 
@@ -601,7 +642,21 @@ def pack_decode_params(
     out["blocks"] = dict(params["blocks"])
     new_att = dict(att)
     new_ffn = dict(params["blocks"]["ffn"])
-    if quantize_int8:
+    if quantize_int4:
+        # int4 group-wise storage (two nibbles per byte, per-64-row-group
+        # scales): ~4x fewer weight bytes than bf16 where decode is
+        # weight-bandwidth-bound (B=1 Cosy, 1.4B batch decode). Coarser
+        # than int8 — opt-in and quality-measured separately.
+        new_att["fused_a_q4"] = _quantize_int4(fused_a, int4_group)
+        new_att["fused_b_q4"] = _quantize_int4(fused_b, int4_group)
+        new_att["output_q4"] = _quantize_int4(att["output"], int4_group)
+        new_ffn["key_q4"] = _quantize_int4(
+            params["blocks"]["ffn"]["key"], int4_group
+        )
+        new_ffn["value_q4"] = _quantize_int4(
+            params["blocks"]["ffn"]["value"], int4_group
+        )
+    elif quantize_int8:
         # int8 storage for the bandwidth-dominant decode weights (fused
         # projections, output, FFN); per-output-channel scales, dequantized
         # in the matmul operand load. ~2x fewer weight bytes per step.

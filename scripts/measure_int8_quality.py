@@ -27,6 +27,13 @@ jit_cache.enable()
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--int4", action="store_true",
+                    help="measure the int4 group-wise path instead of int8")
+    args = ap.parse_args()
+
     from rwkvtts_tpu.models import rwkv7, spark
 
     cfg = spark.default_config(hidden_size=1024, num_layers=24)
@@ -51,7 +58,10 @@ def main():
         return np.asarray(toks)
 
     p_fp = rwkv7.pack_decode_params(params, cfg.backbone)
-    p_q8 = rwkv7.pack_decode_params(params, cfg.backbone, quantize_int8=True)
+    p_q8 = rwkv7.pack_decode_params(
+        params, cfg.backbone,
+        quantize_int8=not args.int4, quantize_int4=args.int4,
+    )
 
     ref = rollout(p_fp)
     q8_roll = rollout(p_q8)
@@ -100,6 +110,7 @@ def main():
         "teacher_forced_top1_agreement": round(agree, 4),
         "free_running_token_agreement": round(roll_agree, 4),
         "median_first_divergence_step": int(np.median(div)),
+        "quant": "int4-g64" if args.int4 else "int8",
         "config": "0.4B random-init, B=8, greedy, 256 steps",
         "wall_s": round(time.perf_counter() - t0, 1),
     }))

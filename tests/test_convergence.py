@@ -125,3 +125,59 @@ def test_memorized_decode_survives_int8(
     assert outs["int8"] == outs["fp"], (
         f"int8 decode diverged from fp on a memorized sequence: {outs}"
     )
+
+
+def test_memorized_decode_survives_int4():
+    """Quality probe for the opt-in int4 group-wise decode weights: on a
+    memorized model (huge logit margins) greedy decode must still
+    reproduce the trained sequence exactly. The flagship-scale
+    decision-flip rate is measured separately on the chip
+    (scripts/measure_int8_quality.py --int4)."""
+    cfg = spark.default_config(
+        hidden_size=64, num_layers=2, head_size=16, gate_lora=16,
+        dtype=jnp.float32, wkv_chunk=16, remat=False, dropout=0.0,
+    )
+    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(6)
+    row = {
+        "text": "int4 quality bound",
+        "global_tokens": rng.integers(0, 4096, 4).tolist(),
+        "semantic_tokens": rng.integers(0, 100, 16).tolist(),
+    }
+    tok = FakeTok()
+    collate = functools.partial(
+        spark_collator.collate_plain, tokenizer=tok, eos_id=cfg.eos_token_id,
+        pad_to=48,
+    )
+    batch = {k: jnp.asarray(v) for k, v in collate([row, row]).items()}
+    tx = opt_lib.build_optimizer(
+        params, total_steps=300, peak_lr=3e-3, final_lr=3e-4, warmup_steps=10
+    )
+    state = ts.init_train_state(params, tx)
+    step = ts.make_train_step(cfg, tx)
+    key = jax.random.PRNGKey(1)
+    for _ in range(300):
+        key, sub = jax.random.split(key)
+        state, _ = step(state, batch, sub)
+
+    from rwkvtts_tpu.models import rwkv7
+
+    prompt = spark_collator.build_prompt(tok.encode(row["text"]), row["global_tokens"])
+    pb = spark_collator.pad_prompts_left([prompt])
+    args = (
+        jnp.asarray(pb["tokens"]), jnp.asarray(pb["modality"]),
+        jnp.asarray(pb["attention_mask"]), jax.random.PRNGKey(2),
+    )
+    kw = dict(max_new_tokens=20, top_k=1, top_p=1.0, temperature=1.0)
+    outs = {}
+    for name, q4 in (("fp", False), ("int4", True)):
+        p = rwkv7.pack_decode_params(
+            state.params, cfg.backbone, quantize_int4=q4, int4_group=16,
+        )
+        toks, lengths = gen.spark_generate(p, cfg, *args, **kw)
+        n = int(np.asarray(lengths)[0])
+        outs[name] = np.asarray(toks)[0, :n].tolist()
+    assert outs["fp"] == row["semantic_tokens"]
+    assert outs["int4"] == outs["fp"], (
+        f"int4 decode diverged from fp on a memorized sequence: {outs}"
+    )

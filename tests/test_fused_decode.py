@@ -108,3 +108,25 @@ def test_spark_early_exit_matches_fixed_scan():
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_int4_quantize_roundtrip_error_bound():
+    """Group-wise int4: dequant error per element <= scale/2 where scale is
+    that 64-row group's amax/7 — i.e. bounded RELATIVE to the group max."""
+    import numpy as np
+
+    from rwkvtts_tpu.models import rwkv7 as M
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((2, 128, 48)).astype(np.float32))
+    p = M._quantize_int4(w, group=32)
+    assert p["q4"].shape == (2, 64, 48) and p["q4"].dtype == jnp.int8
+    assert p["s"].shape == (2, 4, 48)
+    deq = np.asarray(M._deq_int4(p, jnp.float32))
+    g = np.asarray(w).reshape(2, 4, 32, 48)
+    amax = np.abs(g).max(axis=2, keepdims=True)
+    # half-step + bf16 scale rounding (scale is bf16: ~0.4% rel, times
+    # |q|<=7 -> up to ~3% of scale on top of the half-step)
+    bound = (amax / 7.0) / 2.0 + 0.01 * amax
+    err = np.abs(np.asarray(w).reshape(2, 4, 32, 48) - deq.reshape(2, 4, 32, 48))
+    assert (err <= bound + 1e-6).all(), float((err - bound).max())
