@@ -47,6 +47,7 @@ class SparkPipeline:
         sample_rate: int = 16000,
         prompt_pad_multiple: int = 64,
         quantize_int8: bool = False,
+        quantize_int4: bool = False,
     ):
         from rwkvtts_tpu.models import rwkv7
 
@@ -55,7 +56,8 @@ class SparkPipeline:
         # opt-in int8 decode weights (quality bound: zero greedy flips at
         # 0.4B, scripts/measure_int8_quality.py + PERF.md round 3)
         self.params = rwkv7.pack_decode_params(
-            lm_params, lm_cfg.backbone, quantize_int8=quantize_int8
+            lm_params, lm_cfg.backbone, quantize_int8=quantize_int8,
+            quantize_int4=quantize_int4,
         )
         self.tok = text_tokenizer
         self.codec = audio_tokenizer

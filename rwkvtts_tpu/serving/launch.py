@@ -19,7 +19,8 @@ log = logging.getLogger("rwkvtts_tpu")
 
 
 def build_pipeline(ckpt: str, codec_dir: Optional[str] = None,
-                   packed_wkv: bool = True, int8: bool = False):
+                   packed_wkv: bool = True, int8: bool = False,
+                   int4: bool = False):
     import jax.numpy as jnp
 
     from rwkvtts_tpu.convert import rwkv7_ckpt, speech_init
@@ -54,7 +55,8 @@ def build_pipeline(ckpt: str, codec_dir: Optional[str] = None,
         codec = SparkAudioTokenizer.from_pretrained(codec_dir)
     tok = get_world_tokenizer(n_spct=48)
     return SparkPipeline(
-        cfg, params, tok, audio_tokenizer=codec, quantize_int8=int8
+        cfg, params, tok, audio_tokenizer=codec, quantize_int8=int8,
+        quantize_int4=int4,
     )
 
 
@@ -104,6 +106,9 @@ def main(argv=None):
     ap.add_argument("--int8", action="store_true",
                     help="int8 decode weights (zero measured greedy flips; "
                          "PERF.md round 3)")
+    ap.add_argument("--int4", action="store_true",
+                    help="int4 group-wise decode weights (quality probe: "
+                         "scripts/measure_int8_quality.py --int4)")
     ap.add_argument("--max-new-tokens", type=int, default=1024)
     ap.add_argument("--top-k", type=int, default=50)
     ap.add_argument("--top-p", type=float, default=0.95)
@@ -125,6 +130,7 @@ def main(argv=None):
         packed = False
     pipeline = build_pipeline(
         args.ckpt, args.codec_dir, packed_wkv=packed, int8=args.int8,
+        int4=args.int4,
     )
     tts = build_service(
         pipeline, args.demo_dir, continuous=not args.grouped,
