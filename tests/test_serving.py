@@ -157,12 +157,14 @@ def test_voice_design_endpoints():
     # synthesize with raw designed tokens (unsaved voice)
     with _post(base, "/api/rwkv_tts", {
         "text": "hi", "global_tokens": d["global_tokens"], "temperature": 0.8,
-        "top_k": 40, "top_p": 0.9,
+        "top_k": 40, "top_p": 0.9, "max_new_tokens": 100,
     }) as r:
         assert r.read()[:4] == b"RIFF"
     kw = pipe.calls[-1][1]
     assert kw["global_tokens"] == d["global_tokens"]
     assert (kw["temperature"], kw["top_k"], kw["top_p"]) == (0.8, 40, 0.9)
+    # per-request cap reaches the pipeline (64-bucketed by the dispatcher)
+    assert kw["max_new_tokens"] == 128
 
     # error: design without properties
     try:
