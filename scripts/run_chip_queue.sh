@@ -1,0 +1,43 @@
+#!/bin/bash
+# Round-3 second-half chip measurement queue — run as ONE background chain
+# (never two TPU processes; CLAUDE.md). Each step is individually
+# timeout-bounded and appends to /tmp/chipq.log.
+set -u
+cd /root/repo
+L=/tmp/chipq.log
+: > "$L"
+run() {
+  echo "=== $(date +%H:%M:%S) $*" >> "$L"
+  timeout 3000 "$@" >> "$L" 2>&1
+  echo "--- rc=$?" >> "$L"
+}
+
+# 1. sanity: driver bench unchanged after per-slot sampling work
+run python bench.py
+# 2. 1.4B train at B=3 (B=2: 472.8 ms / MFU 37.5; B=4 OOMs)
+run python benchmarks/bench_flagship_scale.py --only train14 --batch 3
+# 3. int4 decode perf at 0.4B and 1.4B (vs int8 14.2->15.5k / 5.5->6.6k)
+run python benchmarks/bench_flagship_scale.py --only decode04 --int4
+run python benchmarks/bench_flagship_scale.py --only decode14 --int4
+# 4. int4 quality: greedy decision flips at 0.4B (int8 measured 1.0000)
+run python scripts/measure_int8_quality.py --int4
+# 5. Cosy e2e RTF at deployed 1.5B with int4 (int8 cleared 0.089)
+run python benchmarks/bench_cosy_rtf.py --hidden 2048 --layers 24 --int4
+# 6. serving A/B at the 96-slot production default after per-slot sampling
+#    (re-measure the 5.2k number) and +int8
+run python benchmarks/bench_serving_continuous.py --requests 192 --slots 96 \
+    --chunk 32 --packed-wkv --skip-grouped
+run python benchmarks/bench_serving_continuous.py --requests 192 --slots 96 \
+    --chunk 32 --packed-wkv --skip-grouped --int8
+# 7. streaming TTFA/RTF at the deployed 1.5B pairing, int8
+run python benchmarks/bench_streaming_latency.py --hidden 2048 --layers 24 --int8
+# 8. decode ladder: 0.19B-class (768x24) completes the deployed-size set
+run python - <<'EOF'
+import sys, os
+sys.path.insert(0, "benchmarks")
+sys.path.insert(0, ".")
+from bench_flagship_scale import bench_decode
+print("== decode 0.19B-class (768x24) ==", flush=True)
+bench_decode(768, 24, batch=64)
+EOF
+echo "QUEUE DONE $(date)" >> "$L"
