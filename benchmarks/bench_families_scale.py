@@ -145,6 +145,69 @@ def bench_spark_sweep(hidden=1024, layers=24):
         }), flush=True)
 
 
+def bench_s2s(hidden=1024, layers=24, batch=32, t_new=256):
+    """S2S single-FFN (C11): audio-head decode at the 0.4B class —
+    shared backbone, head-switched sampling (models/s2s.py)."""
+    from rwkvtts_tpu.models import s2s
+
+    cfg = s2s.default_config(hidden_size=hidden, num_layers=layers)
+    params = s2s.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if hasattr(x, "ndim") and x.ndim >= 2 else x,
+        params,
+    )
+    B, Tp = batch, 64
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, Tp), 100, 60000)
+
+    run = jax.jit(lambda key: s2s.generate(
+        params, cfg, ids, key, is_text=False,
+        max_new_tokens=t_new, top_k=50, top_p=0.95, eos_id=-1,
+    )[0])
+
+    np.asarray(run(jax.random.PRNGKey(2)))
+    t0 = time.perf_counter()
+    for i in range(3):
+        out = run(jax.random.PRNGKey(3 + i))
+    np.asarray(out)
+    dt = (time.perf_counter() - t0) / 3
+    print(json.dumps({
+        "bench": f"s2s_{hidden}x{layers}", "batch": B,
+        "tok_per_s_chip": round(B * t_new / dt, 1),
+    }), flush=True)
+
+
+def bench_two_tower(hidden=1024, layers=24, batch=16, t_new=256):
+    """Two-tower text->audio (C10) at the 0.4B class per tower: text-tower
+    prefill + projector + audio-tower AR decode (models/tts_two_tower.py)."""
+    from rwkvtts_tpu.models import tts_two_tower as tt
+
+    cfg = tt.default_config(
+        text_hidden=hidden, text_layers=layers,
+        audio_hidden=hidden, audio_layers=layers,
+    )
+    params = tt.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if hasattr(x, "ndim") and x.ndim >= 2 else x,
+        params,
+    )
+    B, Tp = batch, 64
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, Tp), 100, 60000)
+    mask = jnp.ones((B, Tp), jnp.int32)
+    run = jax.jit(lambda key: tt.generate(
+        params, cfg, ids, mask, key, max_new_tokens=t_new,
+    )[0])
+    np.asarray(run(jax.random.PRNGKey(2)))
+    t0 = time.perf_counter()
+    for i in range(3):
+        out = run(jax.random.PRNGKey(3 + i))
+    np.asarray(out)
+    dt = (time.perf_counter() - t0) / 3
+    print(json.dumps({
+        "bench": f"two_tower_{hidden}x{layers}", "batch": B,
+        "tok_per_s_chip": round(B * t_new / dt, 1),
+    }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
@@ -155,6 +218,10 @@ def main():
         bench_xy()
     if args.only in (None, "sweep"):
         bench_spark_sweep()
+    if args.only in (None, "s2s"):
+        bench_s2s()
+    if args.only in (None, "two_tower"):
+        bench_two_tower()
 
 
 if __name__ == "__main__":

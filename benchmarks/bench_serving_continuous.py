@@ -94,6 +94,8 @@ def main():
                          "slot rows, PERF.md round 3)")
     ap.add_argument("--int8", action="store_true",
                     help="int8 decode weights in the pipeline")
+    ap.add_argument("--int4", action="store_true",
+                    help="int4 group-wise decode weights in the pipeline")
     ap.add_argument("--cpu", action="store_true", help="smoke-test on CPU")
     args = ap.parse_args()
     if args.cpu:
@@ -111,7 +113,8 @@ def main():
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
     )
-    pipe = SparkPipeline(cfg, params, BenchTok(), quantize_int8=args.int8)
+    pipe = SparkPipeline(cfg, params, BenchTok(), quantize_int8=args.int8,
+                         quantize_int4=args.int4)
 
     reqs = make_requests(args.requests)
     same_voice = make_requests(args.requests, seed=1, n_voices=1)

@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="int8 LM decode weights (quality bound: zero "
                          "greedy flips, PERF.md round 3)")
+    ap.add_argument("--int4", action="store_true",
+                    help="int4 group-wise LM decode weights")
     args = ap.parse_args()
 
     from rwkvtts_tpu.codecs import flow as flow_lib, hift as hift_lib
@@ -56,6 +58,7 @@ def main():
     pipe = CosyPipeline(
         lm_cfg, lm_params, _Tok(), flow_cfg=fcfg, flow_params=fparams,
         hift_cfg=hcfg, hift_params=hparams, quantize_int8=args.int8,
+        quantize_int4=args.int4,
     )
     scfg = streaming.StreamConfig(token_hop_len=args.hop)
     text = "streaming latency benchmark " * (args.text_len // 28 + 1)

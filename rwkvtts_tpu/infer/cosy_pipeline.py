@@ -58,15 +58,18 @@ class CosyPipeline:
         campplus_params=None,
         sample_rate: int = 24000,
         quantize_int8: bool = False,
+        quantize_int4: bool = False,
     ):
         from rwkvtts_tpu.models import rwkv7
 
         self.lm_cfg = lm_cfg
-        # opt-in int8 LM decode weights — what clears RTF<=0.1 at the
+        # opt-in int8/int4 LM decode weights — what clears RTF<=0.1 at the
         # deployed 1.5B pairing (PERF.md round 3; quality bound: zero
-        # greedy decision flips measured)
+        # greedy decision flips measured for int8; int4 probe via
+        # scripts/measure_int8_quality.py --int4)
         self.lm_params = rwkv7.pack_decode_params(
-            lm_params, lm_cfg.backbone, quantize_int8=quantize_int8
+            lm_params, lm_cfg.backbone, quantize_int8=quantize_int8,
+            quantize_int4=quantize_int4,
         )
         self.tok = text_tokenizer
         self.flow_cfg = flow_cfg

@@ -491,6 +491,10 @@ def _quantize_int4(w: jax.Array, group: int = 64) -> Dict[str, jax.Array]:
     range. Weight bytes = in*out/2 + bf16 scales (in/group)*out."""
     wf = w.astype(jnp.float32)
     I = wf.shape[-2]
+    # adapt the group to small/odd input dims (finer groups only raise
+    # quality; the deployed configs use the requested 64)
+    while group > 1 and I % (2 * group) != 0:
+        group //= 2
     assert I % (2 * group) == 0, (I, group)
     g = wf.reshape(*wf.shape[:-2], I // group, group, wf.shape[-1])
     amax = jnp.max(jnp.abs(g), axis=-2, keepdims=True)

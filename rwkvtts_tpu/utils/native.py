@@ -16,7 +16,12 @@ from typing import Optional
 
 log = logging.getLogger("rwkvtts_tpu")
 
-_CSRC = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", "csrc"))
+# RWKVTTS_CSRC lets an installed (non-checkout) package point at the C++
+# sources; default is the repo-checkout layout (csrc/ beside the package).
+_CSRC = os.environ.get(
+    "RWKVTTS_CSRC",
+    os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", "csrc")),
+)
 _BUILD = os.path.join(_CSRC, "build")
 _LOCK = threading.Lock()
 

@@ -31,6 +31,16 @@ run python benchmarks/bench_serving_continuous.py --requests 192 --slots 96 \
     --chunk 32 --packed-wkv --skip-grouped --int8
 # 7. streaming TTFA/RTF at the deployed 1.5B pairing, int8
 run python benchmarks/bench_streaming_latency.py --hidden 2048 --layers 24 --int8
+# 7b. streaming at the deployed 1.5B pairing, int4
+run python benchmarks/bench_streaming_latency.py --hidden 2048 --layers 24 --int4
+# 7c. serving at the deployed 1.4B LM (XLA state: packed loses at 1.4B), int8
+run python benchmarks/bench_serving_continuous.py --requests 96 --slots 48 \
+    --chunk 32 --skip-grouped --hidden 2048 --layers 24 --int8
+# 7d. decode 1.4B at B=128 (XLA path; state traffic vs weight amortization)
+run python benchmarks/bench_flagship_scale.py --only decode14 --batch 128
+# 7e. remaining families at 0.4B-class: s2s + two-tower decode
+run python benchmarks/bench_families_scale.py --only s2s
+run python benchmarks/bench_families_scale.py --only two_tower
 # 8. decode ladder: 0.19B-class (768x24) completes the deployed-size set
 run python - <<'EOF'
 import sys, os

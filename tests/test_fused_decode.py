@@ -130,3 +130,24 @@ def test_int4_quantize_roundtrip_error_bound():
     bound = (amax / 7.0) / 2.0 + 0.01 * amax
     err = np.abs(np.asarray(w).reshape(2, 4, 32, 48) - deq.reshape(2, 4, 32, 48))
     assert (err <= bound + 1e-6).all(), float((err - bound).max())
+
+
+def test_int4_group_adapts_to_small_input_dim():
+    """A requested group larger than the input dim shrinks to the largest
+    divisor instead of asserting (tiny test configs, odd FFN sizes); the
+    round trip stays exact at the nibble grid."""
+    import numpy as np
+
+    from rwkvtts_tpu.models import rwkv7 as M
+
+    rng = np.random.default_rng(1)
+    # I=64 with requested group 64 -> adapted group 32 (needs I % 2g == 0)
+    w = jnp.asarray(rng.standard_normal((64, 24)).astype(np.float32))
+    p = M._quantize_int4(w, group=64)
+    assert p["s"].shape == (2, 24)  # two 32-row groups
+    deq = np.asarray(M._deq_int4(p, jnp.float32))
+    g = np.asarray(w).reshape(2, 32, 24)
+    amax = np.abs(g).max(axis=1, keepdims=True)
+    bound = (amax / 7.0) / 2.0 + 0.01 * amax
+    err = np.abs(g - deq.reshape(2, 32, 24))
+    assert (err <= bound + 1e-6).all()
