@@ -65,13 +65,15 @@ def run(paths, native: bool):
     nbytes = 0
     for s in wds.stream_tars(paths, native=native):
         n += 1
-        nbytes += s["audio"].nbytes
+        # count the on-disk pcm16 bytes (2/sample), not the decoded float32
+        # buffer, so MB/s states file-ingest throughput
+        nbytes += s["audio"].size * 2
     dt = time.perf_counter() - t0
     return {
         "native": native,
         "samples": n,
         "samples_per_s": round(n / dt, 1),
-        "MB_per_s": round(nbytes / dt / 1e6, 1),
+        "pcm16_MB_per_s": round(nbytes / dt / 1e6, 1),
         "wall_s": round(dt, 2),
     }
 

@@ -623,6 +623,8 @@ def pack_decode_params(
     Returns params + blocks.att.{fused_a, fused_b} of shape
     (L, C, 3C+Dw+Da+Dv+Dg), both stored in cfg.dtype.
     """
+    if quantize_int8 and quantize_int4:
+        raise ValueError("quantize_int8 and quantize_int4 are exclusive")
     att = params["blocks"]["att"]
     dt = cfg.dtype
 
@@ -703,9 +705,9 @@ def decode_step(
 
         xn = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"], cfg.norm_eps)
         xx = st["att_x"].astype(dt) - xn
-        if "fused_a" in att or "fused_a_q8" in att:
+        if "fused_a" in att or "fused_a_q8" in att or "fused_a_q4" in att:
             # two fused matmuls replace the seven per-projection ones
-            # (see pack_decode_params); weights may be int8-quantized
+            # (see pack_decode_params); weights may be int8/int4-quantized
             fused = xn @ _qmat(att, "fused_a", dt) + xx @ _qmat(att, "fused_b", dt)
             Dw, Da, Dv, Dg = (
                 cfg.decay_lora, cfg.a_lora, cfg.v_lora, cfg.gate_lora,
