@@ -130,11 +130,25 @@ def main():
     )
     # warm the in-process programs with one full pass, then measure
     drive(cont, make_requests(args.requests))  # warm: same shapes as measured
+    cont.batcher.reset_stats()
     dt_c = min(drive(cont, reqs), drive(cont, make_requests(args.requests)))
+    st = dict(cont.batcher.stats)
     out_c = {
         "mode": "continuous-mixed", "requests": args.requests,
         "wall_s": round(dt_c, 2),
         "sustained_tok_per_s": round(total_tokens / dt_c, 1),
+        # where the wall time goes + how full the pool ran (both measured
+        # passes): occupancy < 1 is padding waste, chunk_ms/step vs the
+        # raw decode bench isolates dispatch/sync overhead
+        "admit_s": round(st["admit_s"], 2),
+        "chunk_s": round(st["chunk_s"], 2),
+        "host_s": round(st["host_s"], 2),
+        "chunk_ms_per_step": round(
+            1e3 * st["chunk_s"] / max(1, st["chunks"]) / args.chunk, 3
+        ),
+        "occupancy": round(
+            st["active_rows"] / max(1, st["chunks"] * args.slots), 3
+        ),
     }
     print(json.dumps(out_c), flush=True)
     drive(cont, make_requests(args.requests, seed=1, n_voices=1))

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -194,6 +195,16 @@ class ContinuousBatcher:
         self._slots = [_Slot() for _ in range(n_slots)]
         self._prefill = jax.jit(spark.prefill, static_argnames=("cfg",))
         self._carry = self._fresh_carry()
+        # step() time/occupancy breakdown (reset_stats() to clear):
+        #   admit_s  host prep + prefill dispatch+sync for admissions
+        #   chunk_s  decode-chunk dispatch + device + token transfer (the
+        #            np.asarray sync bounds it)
+        #   host_s   python post-processing of finished rows
+        #   active_rows / (chunks * n_slots) = slot occupancy
+        self.stats = {
+            "admit_s": 0.0, "chunk_s": 0.0, "host_s": 0.0,
+            "chunks": 0, "active_rows": 0, "admitted": 0,
+        }
 
     def _fresh_carry(self):
         bb = self.cfg.backbone
@@ -337,14 +348,29 @@ class ContinuousBatcher:
         for j, (rid, _, max_new, _, _, _) in enumerate(reqs):
             self._slots[free[j]] = _Slot(req_id=rid, tokens=[], max_new=max_new)
 
+    def reset_stats(self):
+        for k in self.stats:
+            self.stats[k] = 0
+
     def step(self) -> List[Tuple[int, List[int]]]:
         """Admit waiting requests, decode one chunk, return finished
         (req_id, tokens) pairs."""
+        t0 = time.perf_counter()
+        n_q = len(self._queue)
         self._admit()
+        self.stats["admitted"] += n_q - len(self._queue)
+        t1 = time.perf_counter()
         self._carry, toks, _ = _decode_chunk(
             self.params_l, self._carry, self.cfg, self.chunk, self.top_k,
         )
         toks = np.asarray(toks)
+        t2 = time.perf_counter()
+        self.stats["admit_s"] += t1 - t0
+        self.stats["chunk_s"] += t2 - t1
+        self.stats["chunks"] += 1
+        self.stats["active_rows"] += sum(
+            1 for s in self._slots if s.req_id is not None
+        )
         eos = self.cfg.eos_token_id
         finished = []
         capped = np.zeros(len(self._slots), bool)
@@ -362,6 +388,7 @@ class ContinuousBatcher:
                     capped[i] = True  # retired by cap: device flag still False
         if capped.any():
             self._carry = _mark_done(self._carry, capped)
+        self.stats["host_s"] += time.perf_counter() - t2
         return finished
 
     def drain(self) -> Dict[int, List[int]]:

@@ -13,6 +13,9 @@ gradio/tts_gui_simple.py, and test_respark/tts_using_webrwkv_osx.py):
   GET  /api/properties         -> SPCT dropdown vocabularies
   POST /api/voice_design       {properties, name?, seed?} -> {global_tokens}
   GET  /                       -> the voice-design studio web page
+Observability (no reference equivalent):
+  GET  /api/stats              -> engine counters (slot occupancy, chunk/
+                               admit/host seconds, chunk ms/step, queue)
 Responses: audio/wav bytes (or JSON error / JSON tokens).
 """
 from __future__ import annotations
@@ -204,6 +207,8 @@ def _make_handler(tts: svc.BatchedTTSService):
                 self._json(200, svc.properties_options())
             elif self.path == "/health":
                 self._json(200, {"status": "ok"})
+            elif self.path == "/api/stats":
+                self._json(200, tts.stats())
             elif self.path in ("/", "/demo"):
                 body = DEMO_PAGE.encode()
                 self.send_response(200)
@@ -360,6 +365,10 @@ def make_fastapi_app(tts: svc.BatchedTTSService):
     @app.get("/api/properties")
     def properties():
         return svc.properties_options()
+
+    @app.get("/api/stats")
+    def stats():
+        return tts.stats()
 
     @app.post("/api/voice_design")
     def voice_design(payload: Dict[str, Any]):

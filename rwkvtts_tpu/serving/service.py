@@ -141,6 +141,11 @@ class BatchedTTSService:
         self._stop.set()
         self._worker.join(timeout=5)
 
+    def stats(self) -> Dict[str, Any]:
+        """Engine counters for observability (GET /api/stats); the grouped
+        dispatcher only reports its queue depth."""
+        return {"mode": "grouped", "queued": self._q.qsize()}
+
     # -- dispatcher -----------------------------------------------------------
 
     def _voice_key(self, req: TTSRequest):
@@ -331,6 +336,24 @@ class ContinuousTTSService(BatchedTTSService):
         super().__init__(
             pipeline, speakers, max_new_tokens=max_new_tokens, voices=voices,
         )
+
+    def stats(self) -> Dict[str, Any]:
+        st = dict(self.batcher.stats)
+        chunks = max(1, st["chunks"])
+        return {
+            "mode": "continuous",
+            "n_slots": self.batcher.n_slots,
+            "chunk": self.batcher.chunk,
+            "queued": self._q.qsize(),
+            **{k: round(v, 3) if isinstance(v, float) else v
+               for k, v in st.items()},
+            "occupancy": round(
+                st["active_rows"] / (chunks * self.batcher.n_slots), 3
+            ),
+            "chunk_ms_per_step": round(
+                1e3 * st["chunk_s"] / chunks / self.batcher.chunk, 3
+            ),
+        }
 
     # -- request -> prompt ----------------------------------------------------
 

@@ -69,6 +69,14 @@ def test_admission_reuses_freed_slots():
     assert set(out) == {a, b}
     assert all(0 < len(v) <= 6 for v in out.values())
     assert cb.idle()
+    # stats counters tracked the run: both requests admitted, pool ran
+    # non-empty, timing buckets accumulated
+    st = cb.stats
+    assert st["admitted"] == 2 and st["chunks"] >= 2
+    assert 0 < st["active_rows"] <= st["chunks"] * cb.n_slots
+    assert st["chunk_s"] > 0
+    cb.reset_stats()
+    assert cb.stats["chunks"] == 0
 
 
 def test_warmup_then_serve_unchanged():

@@ -104,6 +104,11 @@ def test_http_endpoints(tmp_path):
     except urllib.error.HTTPError as e:
         assert e.code == 400
 
+    # observability endpoint (grouped dispatcher reports its queue depth)
+    with urllib.request.urlopen(f"{base}/api/stats") as r:
+        st = json.loads(r.read())
+    assert st["mode"] == "grouped" and "queued" in st
+
     server.shutdown()
     tts.close()
 
