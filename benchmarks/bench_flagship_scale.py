@@ -41,12 +41,13 @@ def n_params(params) -> int:
 
 
 def bench_decode(hidden, layers, batch=64, t_prompt=128, t_new=256, iters=3,
-                 int8=False, int4=False, packed_wkv=False):
+                 int8=False, int4=False, packed_wkv=False, state_bf16=False):
     from rwkvtts_tpu.infer.generate import spark_generate
     from rwkvtts_tpu.models import rwkv7, spark
 
     cfg = spark.default_config(
-        hidden_size=hidden, num_layers=layers, decode_wkv_packed=packed_wkv
+        hidden_size=hidden, num_layers=layers, decode_wkv_packed=packed_wkv,
+        decode_state_bf16=state_bf16,
     )
     params = spark.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(
@@ -80,7 +81,8 @@ def bench_decode(hidden, layers, batch=64, t_prompt=128, t_new=256, iters=3,
     tps = batch * t_new / dt
     out = {
         "bench": f"decode_{hidden}x{layers}" + ("_int8" if int8 else "")
-        + ("_int4" if int4 else "") + ("_packed" if packed_wkv else ""),
+        + ("_int4" if int4 else "") + ("_packed" if packed_wkv else "")
+        + ("_sbf16" if state_bf16 else ""),
         "params": np_,
         "batch": batch,
         "tok_per_s_chip": round(tps, 1),
@@ -159,19 +161,23 @@ def main():
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--int4", action="store_true")
     ap.add_argument("--packed-wkv", action="store_true")
+    ap.add_argument("--state-bf16", action="store_true",
+                    help="bf16 decode-state carry (cfg.decode_state_bf16)")
     args = ap.parse_args()
     results = []
     if args.only in (None, "decode04"):
         print("== decode 0.4B (1024x24) ==", flush=True)
         results.append(
             bench_decode(1024, 24, batch=args.batch or 64, int8=args.int8,
-                         int4=args.int4, packed_wkv=args.packed_wkv)
+                         int4=args.int4, packed_wkv=args.packed_wkv,
+                         state_bf16=args.state_bf16)
         )
     if args.only in (None, "decode14"):
         print("== decode 1.4B (2048x24) ==", flush=True)
         results.append(
             bench_decode(2048, 24, batch=args.batch or 64, int8=args.int8,
-                         int4=args.int4, packed_wkv=args.packed_wkv)
+                         int4=args.int4, packed_wkv=args.packed_wkv,
+                         state_bf16=args.state_bf16)
         )
     if args.only in (None, "train04"):
         print("== train 0.4B (1024x24) ==", flush=True)

@@ -86,6 +86,14 @@ class RWKV7Config:
     # B~128 XLA re-materializes the carried state every step (copies grow
     # superlinearly, PERF.md round 3) and the one-pass kernel is the fix.
     decode_wkv_packed: bool = False
+    # Decode: carry the WKV state bf16 between steps (math stays fp32
+    # inside the step; the state is cast at the carry boundary). Halves
+    # the dominant HBM traffic at deployed sizes — the reference's own
+    # batched decode kernel carries fp16 state (rwkv7_state_fwd_fp16.cu).
+    # Opt-in: measured SLOWER at 103M (the casts outweigh the halved
+    # traffic, PERF.md round 2) and quality-affecting in principle
+    # (memorized-decode reproduction is CI-tested).
+    decode_state_bf16: bool = False
     # Python-unrolled layer loop for the full-sequence forward (instead of
     # lax.scan over stacked layers): per-layer buffers, no stacked
     # save/slice copies. Compile time grows with depth.
@@ -555,16 +563,29 @@ def pack_decode_state(state: Params, cfg: RWKV7Config):
     layout, which routes wkv7_step through the one-HBM-pass Pallas step
     kernel (state updated in place via input/output aliasing)."""
     pack_wkv = cfg.decode_wkv_packed and cfg.num_heads % 2 == 0
+    if pack_wkv and cfg.decode_state_bf16:
+        # the packed Pallas step kernel is already single-HBM-pass and
+        # carries f32 in place; a bf16 packed state would need a separate
+        # kernel variant — combination rejected rather than silently slow
+        raise ValueError("decode_state_bf16 is exclusive with decode_wkv_packed")
 
     def _maybe_pack(st_l):
         if pack_wkv and st_l["wkv"].ndim == 4:
             from rwkvtts_tpu.ops import wkv7_step_pallas as sp
 
-            return {**st_l, "wkv": sp.pack_state(st_l["wkv"])}
+            st_l = {**st_l, "wkv": sp.pack_state(st_l["wkv"])}
+        if cfg.decode_state_bf16 and st_l["wkv"].dtype != jnp.bfloat16:
+            # carried bf16, stepped in fp32 (wkv7_step preserves the carry
+            # dtype) — halves the decode state's HBM bytes
+            st_l = {**st_l, "wkv": st_l["wkv"].astype(jnp.bfloat16)}
         return st_l
 
     if isinstance(state, tuple):
-        if not pack_wkv or all(st["wkv"].ndim == 3 for st in state):
+        need_pack = pack_wkv and any(st["wkv"].ndim == 4 for st in state)
+        need_cast = cfg.decode_state_bf16 and any(
+            st["wkv"].dtype != jnp.bfloat16 for st in state
+        )
+        if not need_pack and not need_cast:
             return state
         return tuple(_maybe_pack(st_l) for st_l in state)
     L = state["att_x"].shape[0]

@@ -457,8 +457,14 @@ def wkv7_step(
             )
         return sp.wkv7_step_packed_ref(state, r, w_raw, k, v, z, b)
     out_dtype = v.dtype
+    # the carry dtype is preserved: a bf16 state (cfg.decode_state_bf16)
+    # is stepped in fp32 and cast back at the carry boundary — the
+    # reference's fp16-state decode kernel contract
+    # (cuda/rwkv7_state_fwd_fp16.cu)
+    state_dtype = state.dtype
     f32 = lambda x: x.astype(jnp.float32)
     r, k, v, z, b = map(f32, (r, k, v, z, b))
+    state = f32(state)
     w = decay_from_raw(w_raw)
     # NOTE (measured, PERF.md): reassociating y to read only the OLD state
     # (y = S(w*r) + sa(b.r) + v(k.r), one stacked einsum) is fewer HBM
@@ -471,7 +477,7 @@ def wkv7_step(
         + v[..., None] * k[:, :, None, :]
     )
     y = jnp.einsum("bhij,bhj->bhi", state, r)
-    return y.astype(out_dtype), state
+    return y.astype(out_dtype), state.astype(state_dtype)
 
 
 # ---------------------------------------------------------------------------

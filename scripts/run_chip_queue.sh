@@ -38,6 +38,11 @@ run python benchmarks/bench_serving_continuous.py --requests 96 --slots 48 \
     --chunk 32 --skip-grouped --hidden 2048 --layers 24 --int8
 # 7d. decode 1.4B at B=128 (XLA path; state traffic vs weight amortization)
 run python benchmarks/bench_flagship_scale.py --only decode14 --batch 128
+# 7d2. bf16 decode-state carry: state passes dominate at 1.4B (the
+#      reference's own decode kernel is fp16-state); also +int8 combo
+run python benchmarks/bench_flagship_scale.py --only decode14 --state-bf16
+run python benchmarks/bench_flagship_scale.py --only decode14 --state-bf16 --int8
+run python benchmarks/bench_flagship_scale.py --only decode04 --state-bf16
 # 7e. remaining families at 0.4B-class: s2s + two-tower decode
 run python benchmarks/bench_families_scale.py --only s2s
 run python benchmarks/bench_families_scale.py --only two_tower

@@ -181,3 +181,61 @@ def test_memorized_decode_survives_int4():
     assert outs["int4"] == outs["fp"], (
         f"int4 decode diverged from fp on a memorized sequence: {outs}"
     )
+
+
+def test_memorized_decode_survives_bf16_state():
+    """Quality probe for the opt-in bf16 decode-state carry
+    (cfg.decode_state_bf16, ≙ the reference's fp16-state decode kernel
+    rwkv7_state_fwd_fp16.cu): greedy decode on a memorized model must
+    reproduce the trained sequence exactly with the state round-tripping
+    through bf16 every step."""
+    import dataclasses
+
+    cfg = spark.default_config(
+        hidden_size=64, num_layers=2, head_size=16, gate_lora=16,
+        dtype=jnp.float32, wkv_chunk=16, remat=False, dropout=0.0,
+    )
+    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    row = {
+        "text": "bf16 state quality bound",
+        "global_tokens": rng.integers(0, 4096, 4).tolist(),
+        "semantic_tokens": rng.integers(0, 100, 16).tolist(),
+    }
+    tok = FakeTok()
+    collate = functools.partial(
+        spark_collator.collate_plain, tokenizer=tok, eos_id=cfg.eos_token_id,
+        pad_to=48,
+    )
+    batch = {k: jnp.asarray(v) for k, v in collate([row, row]).items()}
+    tx = opt_lib.build_optimizer(
+        params, total_steps=300, peak_lr=3e-3, final_lr=3e-4, warmup_steps=10
+    )
+    state = ts.init_train_state(params, tx)
+    step = ts.make_train_step(cfg, tx)
+    key = jax.random.PRNGKey(1)
+    for _ in range(300):
+        key, sub = jax.random.split(key)
+        state, _ = step(state, batch, sub)
+
+    prompt = spark_collator.build_prompt(tok.encode(row["text"]), row["global_tokens"])
+    pb = spark_collator.pad_prompts_left([prompt])
+    args = (
+        jnp.asarray(pb["tokens"]), jnp.asarray(pb["modality"]),
+        jnp.asarray(pb["attention_mask"]), jax.random.PRNGKey(2),
+    )
+    kw = dict(max_new_tokens=20, top_k=1, top_p=1.0, temperature=1.0)
+    outs = {}
+    for name, bf16_state in (("fp", False), ("bf16_state", True)):
+        c = dataclasses.replace(
+            cfg, backbone=dataclasses.replace(
+                cfg.backbone, decode_state_bf16=bf16_state
+            ),
+        )
+        toks, lengths = gen.spark_generate(state.params, c, *args, **kw)
+        n = int(np.asarray(lengths)[0])
+        outs[name] = np.asarray(toks)[0, :n].tolist()
+    assert outs["fp"] == row["semantic_tokens"]
+    assert outs["bf16_state"] == outs["fp"], (
+        f"bf16-state decode diverged on a memorized sequence: {outs}"
+    )
