@@ -35,6 +35,11 @@ def main():
                     help="int8 decode weights (B=1 decode is weight-bandwidth-bound)")
     ap.add_argument("--int4", action="store_true",
                     help="int4 group-wise decode weights (half of int8 bytes)")
+    ap.add_argument("--sfm", action="store_true",
+                    help="SFM fast flow decode (ODE starts at t_h; pair "
+                         "with a smaller --flow-timesteps)")
+    ap.add_argument("--flow-timesteps", type=int, default=None,
+                    help="ODE steps for the flow stage (default: config)")
     args = ap.parse_args()
 
     from rwkvtts_tpu.codecs import conformer, flow as flow_lib, hift as hift_lib
@@ -77,16 +82,26 @@ def main():
     lm_s = (time.perf_counter() - t0) / args.iters
 
     # --- flow stage (deployed estimator shape) ---
-    fcfg = flow_lib.FlowConfig()
+    fcfg = flow_lib.FlowConfig(sfm=args.sfm)
     fparams = flow_lib.init_params(jax.random.PRNGKey(3), fcfg)
     tokens = jnp.asarray(np.asarray(toks)[:, :T_new] % fcfg.vocab_size)
     tmask = jnp.ones_like(tokens, jnp.float32)
     prompt_mel = jnp.zeros((1, 0, 80))
+    nts = args.flow_timesteps
 
-    flow_fn = jax.jit(
-        lambda p, t, m, k: flow_lib.inference(p, fcfg, k, t, m, prompt_mel, 0,
-                                              jnp.zeros((1, 192)))
-    )
+    if args.sfm:
+        # SFM fast decode: no CFG double-batch, ODE from t_h
+        # (codecs/flow.py::sfm_inference; reference model/flow)
+        flow_fn = jax.jit(
+            lambda p, t, m, k: flow_lib.sfm_inference(
+                p, fcfg, k, t, m, jnp.zeros((1, 192)), n_timesteps=nts)
+        )
+    else:
+        flow_fn = jax.jit(
+            lambda p, t, m, k: flow_lib.inference(p, fcfg, k, t, m, prompt_mel, 0,
+                                                  jnp.zeros((1, 192)),
+                                                  n_timesteps=nts)
+        )
     np.asarray(flow_fn(fparams, tokens, tmask, jax.random.PRNGKey(4)))
     t0 = time.perf_counter()
     for i in range(args.iters):

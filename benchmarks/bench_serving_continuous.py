@@ -96,6 +96,8 @@ def main():
                     help="int8 decode weights in the pipeline")
     ap.add_argument("--int4", action="store_true",
                     help="int4 group-wise decode weights in the pipeline")
+    ap.add_argument("--state-bf16", action="store_true",
+                    help="bf16 decode-state carry (exclusive with --packed-wkv)")
     ap.add_argument("--cpu", action="store_true", help="smoke-test on CPU")
     args = ap.parse_args()
     if args.cpu:
@@ -108,6 +110,7 @@ def main():
     cfg = spark.default_config(
         hidden_size=args.hidden, num_layers=args.layers,
         decode_wkv_packed=args.packed_wkv,
+        decode_state_bf16=args.state_bf16,
     )
     params = spark.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(

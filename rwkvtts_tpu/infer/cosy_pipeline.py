@@ -165,17 +165,32 @@ class CosyPipeline:
             spk_embedding = np.zeros((self.flow_cfg.spk_embed_dim,), np.float32)
         if prompt_mel is None:
             prompt_mel = np.zeros((0, self.flow_cfg.output_size), np.float32)
-        mel = flow_lib.inference(
-            self.flow_params,
-            self.flow_cfg,
-            jax.random.PRNGKey(seed),
-            jnp.asarray(all_tokens),
-            jnp.asarray(mask),
-            jnp.asarray(prompt_mel[None]),
-            prompt_mel.shape[0],
-            jnp.asarray(spk_embedding[None]),
-            n_timesteps=n_timesteps,
-        )
+        if self.flow_cfg.sfm and "sfm_head" in self.flow_params:
+            # SFM fast decode (reference model/flow/flow.py:132-180): the
+            # ODE starts at t_h from the coarse prediction; prompt rides as
+            # concatenated tokens and the prompt-mel span is sliced off
+            # (the reference's `feat[:, :, mel_len1:]`)
+            mel = flow_lib.sfm_inference(
+                self.flow_params,
+                self.flow_cfg,
+                jax.random.PRNGKey(seed),
+                jnp.asarray(all_tokens),
+                jnp.asarray(mask),
+                jnp.asarray(spk_embedding[None]),
+                n_timesteps=n_timesteps,
+            )[:, prompt_mel.shape[0]:]
+        else:
+            mel = flow_lib.inference(
+                self.flow_params,
+                self.flow_cfg,
+                jax.random.PRNGKey(seed),
+                jnp.asarray(all_tokens),
+                jnp.asarray(mask),
+                jnp.asarray(prompt_mel[None]),
+                prompt_mel.shape[0],
+                jnp.asarray(spk_embedding[None]),
+                n_timesteps=n_timesteps,
+            )
         if speed != 1.0:
             # linear time-interpolation of the mel, the reference's speed
             # control (cli/model.py:398-401: F.interpolate before HiFT)

@@ -20,7 +20,7 @@ log = logging.getLogger("rwkvtts_tpu")
 
 def build_pipeline(ckpt: str, codec_dir: Optional[str] = None,
                    packed_wkv: bool = True, int8: bool = False,
-                   int4: bool = False):
+                   int4: bool = False, state_bf16: bool = False):
     import jax.numpy as jnp
 
     from rwkvtts_tpu.convert import rwkv7_ckpt, speech_init
@@ -39,6 +39,9 @@ def build_pipeline(ckpt: str, codec_dir: Optional[str] = None,
         # the in-place Pallas step beats the XLA step (PERF.md round 3:
         # 5164 vs 5017 sustained mixed, and same-voice 5629 vs 4549)
         decode_wkv_packed=packed_wkv,
+        # bf16 decode-state carry (exclusive with the packed state):
+        # halves the pool's state HBM bytes; see PERF.md for the regime
+        decode_state_bf16=state_bf16,
     )
     params = speech_init.spark_from_pretrained_sd(sd, cfg)
     import jax
@@ -109,6 +112,9 @@ def main(argv=None):
     ap.add_argument("--int4", action="store_true",
                     help="int4 group-wise decode weights (quality probe: "
                          "scripts/measure_int8_quality.py --int4)")
+    ap.add_argument("--state-bf16", action="store_true",
+                    help="bf16 decode-state carry (requires "
+                         "--no-packed-wkv; memorized-decode CI-bounded)")
     ap.add_argument("--max-new-tokens", type=int, default=1024)
     ap.add_argument("--top-k", type=int, default=50)
     ap.add_argument("--top-p", type=float, default=0.95)
@@ -123,6 +129,9 @@ def main(argv=None):
 
     logging.basicConfig(level=logging.INFO)
     packed = not args.no_packed_wkv
+    if args.state_bf16 and packed:
+        log.info("--state-bf16: disabling the packed decode state (exclusive)")
+        packed = False
     if args.dp > 1 and packed:
         # the packed Pallas step is per-device; a dp-sharded pool must use
         # the XLA step (ContinuousBatcher raises on the combination)
@@ -130,7 +139,7 @@ def main(argv=None):
         packed = False
     pipeline = build_pipeline(
         args.ckpt, args.codec_dir, packed_wkv=packed, int8=args.int8,
-        int4=args.int4,
+        int4=args.int4, state_bf16=args.state_bf16,
     )
     tts = build_service(
         pipeline, args.demo_dir, continuous=not args.grouped,

@@ -7,6 +7,12 @@ cd /root/repo
 L=/tmp/chipq.log
 : > "$L"
 run() {
+  # stop file: touch /tmp/chipq.stop to halt the queue between steps
+  # (e.g. to free the chip for the driver bench — never two TPU procs)
+  if [ -f /tmp/chipq.stop ]; then
+    echo "=== STOPPED by /tmp/chipq.stop before: $*" >> "$L"
+    exit 0
+  fi
   echo "=== $(date +%H:%M:%S) $*" >> "$L"
   timeout 3000 "$@" >> "$L" 2>&1
   echo "--- rc=$?" >> "$L"
@@ -38,11 +44,18 @@ run python benchmarks/bench_serving_continuous.py --requests 96 --slots 48 \
     --chunk 32 --skip-grouped --hidden 2048 --layers 24 --int8
 # 7d. decode 1.4B at B=128 (XLA path; state traffic vs weight amortization)
 run python benchmarks/bench_flagship_scale.py --only decode14 --batch 128
+# 7c2. SFM fast flow decode at deployed shapes: 5 ODE steps from t_h vs
+#      the CFM 10-step CFG path (flow-stage ms is the comparand)
+run python benchmarks/bench_cosy_rtf.py --hidden 2048 --layers 24 --int8 --sfm --flow-timesteps 5
 # 7d2. bf16 decode-state carry: state passes dominate at 1.4B (the
 #      reference's own decode kernel is fp16-state); also +int8 combo
 run python benchmarks/bench_flagship_scale.py --only decode14 --state-bf16
 run python benchmarks/bench_flagship_scale.py --only decode14 --state-bf16 --int8
 run python benchmarks/bench_flagship_scale.py --only decode04 --state-bf16
+# 7d3. serving 96 slots with the bf16 state carry (XLA step; packed is
+#      exclusive) — A/B against the packed 5.2k default
+run python benchmarks/bench_serving_continuous.py --requests 192 --slots 96 \
+    --chunk 32 --skip-grouped --state-bf16
 # 7e. remaining families at 0.4B-class: s2s + two-tower decode
 run python benchmarks/bench_families_scale.py --only s2s
 run python benchmarks/bench_families_scale.py --only two_tower

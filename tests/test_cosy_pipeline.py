@@ -65,6 +65,32 @@ def test_cosy_synthesize_end_to_end(pipe):
     assert res.rtf > 0
 
 
+def test_cosy_synthesize_sfm_fast_decode(pipe):
+    """SFM flow (C22) wired into the pipeline: with cfg.sfm + an sfm_head,
+    token2wav routes through sfm_inference (ODE starts at t_h, prompt-mel
+    span sliced off — reference model/flow/flow.py:132-180) and keeps the
+    CFM path's wav-length contract. token2wav only touches the flow/hift
+    stacks, so a bare clone carrying them is enough."""
+    import dataclasses
+
+    fcfg = dataclasses.replace(pipe.flow_cfg, sfm=True)
+    fparams = flow_lib.init_params(jax.random.PRNGKey(7), fcfg)
+    clone = CosyPipeline.__new__(CosyPipeline)
+    clone.flow_cfg, clone.flow_params = fcfg, fparams
+    clone.hift_cfg, clone.hift_params = pipe.hift_cfg, pipe.hift_params
+
+    toks = np.asarray([3, 5, 7, 2, 4], np.int64)
+    prompt_toks = [1, 2]
+    prompt_mel = np.zeros((2 * len(prompt_toks), fcfg.output_size), np.float32)
+    wav = CosyPipeline.token2wav(
+        clone, toks, prompt_tokens=prompt_toks, prompt_mel=prompt_mel,
+        n_timesteps=2,
+    )
+    assert np.isfinite(wav).all()
+    # prompt mel sliced off: wav covers only the generated tokens
+    assert len(wav) == len(toks) * 2 * (4 * 3 * 4)
+
+
 def test_cosy_streaming_chunks(pipe):
     chunks = list(pipe.synthesize_streaming("hi you", hop_tokens=4, max_new_tokens=10))
     assert len(chunks) >= 1
