@@ -60,6 +60,33 @@ class CosyVoiceLibrary:
         tokens, mel, emb = pipeline.frontend_zero_shot(prompt_wav, prompt_sr)
         self.register(name, tokens, mel, emb, prompt_text)
 
+    def register_from_wavs(
+        self, pipeline, name: str, prompt_wavs,
+        prompt_text: str = "", prompt_sr: int = 16000,
+    ) -> None:
+        """Multi-clip registration: the speaker embedding is the centroid
+        of all clips' x-vectors (the reference's KMeans-with-one-cluster ==
+        the mean, data/utils/convert_embeddings_2_pt.py:24-26); the prompt
+        tokens/mel come from the first clip — only the x-vector is
+        extracted from the rest (not the full zero-shot frontend)."""
+        prompt_wavs = list(prompt_wavs)
+        if not prompt_wavs:
+            raise ValueError("register_from_wavs needs at least one clip")
+        tokens, mel, emb0 = pipeline.frontend_zero_shot(
+            np.asarray(prompt_wavs[0]), prompt_sr
+        )
+        embs = [np.asarray(emb0, np.float32)]
+        if len(prompt_wavs) > 1:
+            from rwkvtts_tpu.utils import audio_io
+
+            for w in prompt_wavs[1:]:
+                w16 = audio_io.resample(
+                    np.asarray(w, np.float32), prompt_sr, 16000
+                )
+                embs.append(np.asarray(pipeline.spk_embed_fn(w16), np.float32))
+        emb = np.mean(np.stack(embs), axis=0)
+        self.register(name, tokens, mel, emb, prompt_text)
+
     def get(self, name: str) -> Dict[str, np.ndarray]:
         if name not in self._cache:
             path = self._path(name)

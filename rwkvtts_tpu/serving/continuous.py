@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import threading
 import time
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -205,6 +206,9 @@ class ContinuousBatcher:
             "admit_s": 0.0, "chunk_s": 0.0, "host_s": 0.0,
             "chunks": 0, "active_rows": 0, "admitted": 0,
         }
+        # guards stats against a concurrent /api/stats snapshot observing
+        # a chunk whose time/rows aren't recorded yet
+        self._stats_lock = threading.Lock()
 
     def _fresh_carry(self):
         bb = self.cfg.backbone
@@ -349,8 +353,13 @@ class ContinuousBatcher:
             self._slots[free[j]] = _Slot(req_id=rid, tokens=[], max_new=max_new)
 
     def reset_stats(self):
-        for k in self.stats:
-            self.stats[k] = 0
+        with self._stats_lock:
+            for k in self.stats:
+                self.stats[k] = 0
+
+    def snapshot_stats(self) -> Dict[str, Any]:
+        with self._stats_lock:
+            return dict(self.stats)
 
     def step(self) -> List[Tuple[int, List[int]]]:
         """Admit waiting requests, decode one chunk, return finished
@@ -358,19 +367,19 @@ class ContinuousBatcher:
         t0 = time.perf_counter()
         n_q = len(self._queue)
         self._admit()
-        self.stats["admitted"] += n_q - len(self._queue)
         t1 = time.perf_counter()
         self._carry, toks, _ = _decode_chunk(
             self.params_l, self._carry, self.cfg, self.chunk, self.top_k,
         )
         toks = np.asarray(toks)
         t2 = time.perf_counter()
-        self.stats["admit_s"] += t1 - t0
-        self.stats["chunk_s"] += t2 - t1
-        self.stats["chunks"] += 1
-        self.stats["active_rows"] += sum(
-            1 for s in self._slots if s.req_id is not None
-        )
+        active = sum(1 for s in self._slots if s.req_id is not None)
+        with self._stats_lock:
+            self.stats["admitted"] += n_q - len(self._queue)
+            self.stats["admit_s"] += t1 - t0
+            self.stats["chunk_s"] += t2 - t1
+            self.stats["chunks"] += 1
+            self.stats["active_rows"] += active
         eos = self.cfg.eos_token_id
         finished = []
         capped = np.zeros(len(self._slots), bool)
@@ -388,7 +397,8 @@ class ContinuousBatcher:
                     capped[i] = True  # retired by cap: device flag still False
         if capped.any():
             self._carry = _mark_done(self._carry, capped)
-        self.stats["host_s"] += time.perf_counter() - t2
+        with self._stats_lock:
+            self.stats["host_s"] += time.perf_counter() - t2
         return finished
 
     def drain(self) -> Dict[int, List[int]]:

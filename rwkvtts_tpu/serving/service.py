@@ -338,7 +338,7 @@ class ContinuousTTSService(BatchedTTSService):
         )
 
     def stats(self) -> Dict[str, Any]:
-        st = dict(self.batcher.stats)
+        st = self.batcher.snapshot_stats()
         chunks = max(1, st["chunks"])
         return {
             "mode": "continuous",

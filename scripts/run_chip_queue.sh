@@ -6,6 +6,7 @@ set -u
 cd /root/repo
 L=/tmp/chipq.log
 : > "$L"
+rm -f /tmp/chipq.stop  # a stale stop file must not no-op a fresh launch
 run() {
   # stop file: touch /tmp/chipq.stop to halt the queue between steps
   # (e.g. to free the chip for the driver bench — never two TPU procs)

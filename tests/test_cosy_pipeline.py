@@ -218,3 +218,13 @@ def test_cosy_voice_library(pipe, tmp_path):
     assert res.wav.size > 0 and np.isfinite(res.wav).all()
     with pytest.raises(KeyError):
         lib2.get("bob")
+
+    # multi-clip registration: the embedding is the centroid of the clips'
+    # x-vectors (reference convert_embeddings_2_pt.py: KMeans n_clusters=1)
+    embs = iter([np.ones(12, np.float32), 3 * np.ones(12, np.float32)])
+    pipe.speech_tokenizer_fn = lambda w: np.arange(8)
+    pipe.spk_embed_fn = lambda w: next(embs)
+    lib2.register_from_wavs(pipe, "carol", [wav, wav], prompt_text="yo")
+    pipe.speech_tokenizer_fn = None
+    pipe.spk_embed_fn = None
+    np.testing.assert_allclose(lib2.get("carol")["emb"], 2 * np.ones(12))
