@@ -32,16 +32,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--int4", action="store_true",
                     help="measure the int4 group-wise path instead of int8")
+    ap.add_argument("--hidden", type=int, default=1024)
+    ap.add_argument("--layers", type=int, default=24)
+    ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--state-bf16", action="store_true",
+                    help="measure the bf16 decode-state carry instead of "
+                         "weight quantization (same weights, state cast "
+                         "at the carry boundary)")
     args = ap.parse_args()
 
     from rwkvtts_tpu.models import rwkv7, spark
 
-    cfg = spark.default_config(hidden_size=1024, num_layers=24)
+    cfg = spark.default_config(hidden_size=args.hidden, num_layers=args.layers)
     params = spark.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
     )
-    B, T_prompt, T_new = 8, 64, 256
+    B, T_prompt, T_new = 8, 64, args.steps
     k = jax.random.PRNGKey(1)
     tokens = jax.random.randint(k, (B, T_prompt), 0, 4000)
     modality = jnp.full((B, T_prompt), spark.MOD_TEXT, jnp.int32)
@@ -50,21 +57,33 @@ def main():
 
     from rwkvtts_tpu.infer.generate import spark_generate
 
-    def rollout(p):
+    def rollout(p, c):
         toks, _ = spark_generate(
-            p, cfg, tokens, modality, mask, jax.random.PRNGKey(2),
+            p, c, tokens, modality, mask, jax.random.PRNGKey(2),
             max_new_tokens=T_new, top_k=1, top_p=1.0, temperature=1.0,
         )
         return np.asarray(toks)
 
-    p_fp = rwkv7.pack_decode_params(params, cfg.backbone)
-    p_q8 = rwkv7.pack_decode_params(
-        params, cfg.backbone,
-        quantize_int8=not args.int4, quantize_int4=args.int4,
-    )
+    import dataclasses
 
-    ref = rollout(p_fp)
-    q8_roll = rollout(p_q8)
+    p_fp = rwkv7.pack_decode_params(params, cfg.backbone)
+    if args.state_bf16:
+        # same weights; the comparator differs only in the state carry dtype
+        p_q8 = p_fp
+        cfg_q = dataclasses.replace(
+            cfg, backbone=dataclasses.replace(
+                cfg.backbone, decode_state_bf16=True
+            ),
+        )
+    else:
+        p_q8 = rwkv7.pack_decode_params(
+            params, cfg.backbone,
+            quantize_int8=not args.int4, quantize_int4=args.int4,
+        )
+        cfg_q = cfg
+
+    ref = rollout(p_fp, cfg)
+    q8_roll = rollout(p_q8, cfg_q)
 
     # teacher-forced decision agreement: one jitted scan walks the bf16
     # greedy stream through the model and records the greedy choice at
@@ -91,14 +110,14 @@ def main():
         _, choices = jax.lax.scan(step, (hk, state), jnp.moveaxis(forced, 1, 0))
         return jnp.moveaxis(choices, 0, 1)  # (B, T_new)
 
-    def forced_decode(p):
+    def forced_decode(p, c):
         return np.asarray(
-            forced_choices(p, cfg, tokens, modality, mask, jnp.asarray(ref))
+            forced_choices(p, c, tokens, modality, mask, jnp.asarray(ref))
         )
 
     t0 = time.perf_counter()
-    fp_choices = forced_decode(p_fp)
-    q8_choices = forced_decode(p_q8)
+    fp_choices = forced_decode(p_fp, cfg)
+    q8_choices = forced_decode(p_q8, cfg_q)
     agree = float((fp_choices == q8_choices).mean())
     roll_agree = float((ref == q8_roll).mean())
     # first divergence position per sequence in free-running greedy
@@ -110,8 +129,10 @@ def main():
         "teacher_forced_top1_agreement": round(agree, 4),
         "free_running_token_agreement": round(roll_agree, 4),
         "median_first_divergence_step": int(np.median(div)),
-        "quant": "int4-g64" if args.int4 else "int8",
-        "config": "0.4B random-init, B=8, greedy, 256 steps",
+        "quant": "state-bf16" if args.state_bf16
+        else ("int4-g64" if args.int4 else "int8"),
+        "config": f"{args.hidden}x{args.layers} random-init, B=8, "
+                  f"greedy, {T_new} steps",
         "wall_s": round(time.perf_counter() - t0, 1),
     }))
 

@@ -53,6 +53,7 @@ run python benchmarks/bench_cosy_rtf.py --hidden 2048 --layers 24 --int8 --sfm -
 run python benchmarks/bench_flagship_scale.py --only decode14 --state-bf16
 run python benchmarks/bench_flagship_scale.py --only decode14 --state-bf16 --int8
 run python benchmarks/bench_flagship_scale.py --only decode04 --state-bf16
+run python scripts/measure_int8_quality.py --state-bf16
 # 7d3. serving 96 slots with the bf16 state carry (XLA step; packed is
 #      exclusive) — A/B against the packed 5.2k default
 run python benchmarks/bench_serving_continuous.py --requests 192 --slots 96 \
