@@ -165,6 +165,14 @@ def main():
                     help="bf16 decode-state carry (cfg.decode_state_bf16)")
     args = ap.parse_args()
     results = []
+    if args.only == "decode019":
+        # the reference's smallest shipped LM class (0.19B, Inference.md)
+        print("== decode 0.19B (768x24) ==", flush=True)
+        results.append(
+            bench_decode(768, 24, batch=args.batch or 64, int8=args.int8,
+                         int4=args.int4, packed_wkv=args.packed_wkv,
+                         state_bf16=args.state_bf16)
+        )
     if args.only in (None, "decode04"):
         print("== decode 0.4B (1024x24) ==", flush=True)
         results.append(

@@ -62,12 +62,5 @@ run python benchmarks/bench_serving_continuous.py --requests 192 --slots 96 \
 run python benchmarks/bench_families_scale.py --only s2s
 run python benchmarks/bench_families_scale.py --only two_tower
 # 8. decode ladder: 0.19B-class (768x24) completes the deployed-size set
-run python - <<'EOF'
-import sys, os
-sys.path.insert(0, "benchmarks")
-sys.path.insert(0, ".")
-from bench_flagship_scale import bench_decode
-print("== decode 0.19B-class (768x24) ==", flush=True)
-bench_decode(768, 24, batch=64)
-EOF
+run python benchmarks/bench_flagship_scale.py --only decode019
 echo "QUEUE DONE $(date)" >> "$L"
