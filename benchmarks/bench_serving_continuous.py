@@ -98,6 +98,8 @@ def main():
                     help="int4 group-wise decode weights in the pipeline")
     ap.add_argument("--state-bf16", action="store_true",
                     help="bf16 decode-state carry (exclusive with --packed-wkv)")
+    ap.add_argument("--overlap", action="store_true",
+                    help="double-buffered chunk pipeline (token-identical)")
     ap.add_argument("--cpu", action="store_true", help="smoke-test on CPU")
     args = ap.parse_args()
     if args.cpu:
@@ -130,6 +132,7 @@ def main():
     cont = svc.ContinuousTTSService(
         pipe, None, n_slots=args.slots, chunk=args.chunk, prompt_cap=128,
         max_new_tokens=256, top_k=50, top_p=0.95, warmup=True,
+        overlap=args.overlap,
     )
     # warm the in-process programs with one full pass, then measure;
     # stats are snapshotted PER PASS so the reported buckets decompose the

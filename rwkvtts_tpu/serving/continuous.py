@@ -146,6 +146,7 @@ class ContinuousBatcher:
         top_p: float = 1.0,
         seed: int = 0,
         mesh: Optional[jax.sharding.Mesh] = None,
+        overlap: bool = False,
     ):
         self.cfg = cfg
         bb = cfg.backbone
@@ -196,6 +197,21 @@ class ContinuousBatcher:
         self._slots = [_Slot() for _ in range(n_slots)]
         self._prefill = jax.jit(spark.prefill, static_argnames=("cfg",))
         self._carry = self._fresh_carry()
+        # overlap mode: dispatch chunk N+1 BEFORE syncing chunk N's tokens,
+        # so the host transfer + post-processing hide behind the device's
+        # next chunk (async dispatch). Outputs are IDENTICAL to the
+        # unoverlapped pool: each row's sampling key is a pure function of
+        # (its request's seed, its own on-device step index), so the
+        # one-chunk-later slot free/readmission cannot change any draw
+        # (tests/test_continuous.py::test_overlap_matches_sequential).
+        # Trade: requests finish one chunk later (latency) and a freed
+        # slot idles one extra chunk (occupancy) — a win when the host
+        # sync is expensive relative to the chunk (remote-TPU serving).
+        self.overlap = overlap
+        # pending (tokens_on_device, owners-at-dispatch); owners can go
+        # stale if a request finished meanwhile -> resolved via _active
+        self._pending: Optional[Tuple[Any, List[Optional[int]]]] = None
+        self._active: Dict[int, _Slot] = {}
         # step() time/occupancy breakdown (reset_stats() to clear):
         #   admit_s  host prep + prefill dispatch+sync for admissions
         #   chunk_s  decode-chunk dispatch + device + token transfer (the
@@ -256,7 +272,11 @@ class ContinuousBatcher:
         return rid
 
     def idle(self) -> bool:
-        return not self._queue and all(s.req_id is None for s in self._slots)
+        return (
+            not self._queue
+            and all(s.req_id is None for s in self._slots)
+            and self._pending is None
+        )
 
     def warmup(self):
         """Compile every program ahead of serving: the prefill at each
@@ -350,7 +370,9 @@ class ContinuousBatcher:
             np.int32(take), tvec, pvec, svec,
         )
         for j, (rid, _, max_new, _, _, _) in enumerate(reqs):
-            self._slots[free[j]] = _Slot(req_id=rid, tokens=[], max_new=max_new)
+            rec = _Slot(req_id=rid, tokens=[], max_new=max_new)
+            self._slots[free[j]] = rec
+            self._active[rid] = rec  # shared record: slot index may go stale
 
     def reset_stats(self):
         with self._stats_lock:
@@ -361,43 +383,78 @@ class ContinuousBatcher:
         with self._stats_lock:
             return dict(self.stats)
 
-    def step(self) -> List[Tuple[int, List[int]]]:
-        """Admit waiting requests, decode one chunk, return finished
-        (req_id, tokens) pairs."""
-        t0 = time.perf_counter()
-        n_q = len(self._queue)
-        self._admit()
-        t1 = time.perf_counter()
-        self._carry, toks, _ = _decode_chunk(
-            self.params_l, self._carry, self.cfg, self.chunk, self.top_k,
-        )
-        toks = np.asarray(toks)
-        t2 = time.perf_counter()
-        active = sum(1 for s in self._slots if s.req_id is not None)
-        with self._stats_lock:
-            self.stats["admitted"] += n_q - len(self._queue)
-            self.stats["admit_s"] += t1 - t0
-            self.stats["chunk_s"] += t2 - t1
-            self.stats["chunks"] += 1
-            self.stats["active_rows"] += active
+    def _process(
+        self, toks: np.ndarray, owners: List[Optional[int]]
+    ) -> List[Tuple[int, List[int]]]:
+        """Host post-processing of one chunk's tokens. `owners` is the
+        slot->req_id mapping AT DISPATCH TIME of that chunk — in overlap
+        mode an owner can be stale (its request finished off an earlier
+        chunk), in which case its row is discarded via the _active check."""
         eos = self.cfg.eos_token_id
         finished = []
-        capped = np.zeros(len(self._slots), bool)
-        for i, s in enumerate(self._slots):
-            if s.req_id is None:
+        capped = np.zeros(self.n_slots, bool)
+        for i, rid in enumerate(owners):
+            if rid is None:
                 continue
+            s = self._active.get(rid)
+            if s is None:
+                continue  # finished on an earlier chunk; row is EOS padding
             row = toks[i]
             hit = np.flatnonzero(row == eos)
             take = row[: hit[0]] if hit.size else row
             s.tokens.extend(int(t) for t in take)
             if hit.size or len(s.tokens) >= s.max_new:
-                finished.append((s.req_id, s.tokens[: s.max_new]))
-                self._slots[i] = _Slot()
+                finished.append((rid, s.tokens[: s.max_new]))
+                self._active.pop(rid)
+                if self._slots[i].req_id == rid:
+                    self._slots[i] = _Slot()
                 if not hit.size:
                     capped[i] = True  # retired by cap: device flag still False
         if capped.any():
             self._carry = _mark_done(self._carry, capped)
+        return finished
+
+    def step(self) -> List[Tuple[int, List[int]]]:
+        """Admit waiting requests, decode one chunk, return finished
+        (req_id, tokens) pairs. With overlap=True the returned requests are
+        the ones finished by the PREVIOUS chunk — the freshly dispatched
+        chunk is synced on the next call while the device keeps working."""
+        t0 = time.perf_counter()
+        n_q = len(self._queue)
+        self._admit()
+        t1 = time.perf_counter()
+        active = sum(1 for s in self._slots if s.req_id is not None)
+        dispatched = False
+        if self.overlap:
+            pending, self._pending = self._pending, None
+            if active:
+                self._carry, toks_dev, _ = _decode_chunk(
+                    self.params_l, self._carry, self.cfg, self.chunk,
+                    self.top_k,
+                )
+                self._pending = (toks_dev, [s.req_id for s in self._slots])
+                dispatched = True
+            t2 = time.perf_counter()
+            finished = (
+                self._process(np.asarray(pending[0]), pending[1])
+                if pending is not None else []
+            )
+        else:
+            self._carry, toks_dev, _ = _decode_chunk(
+                self.params_l, self._carry, self.cfg, self.chunk, self.top_k,
+            )
+            dispatched = True
+            toks = np.asarray(toks_dev)
+            t2 = time.perf_counter()
+            finished = self._process(toks, [s.req_id for s in self._slots])
         with self._stats_lock:
+            self.stats["admitted"] += n_q - len(self._queue)
+            self.stats["admit_s"] += t1 - t0
+            # overlap: chunk_s is dispatch-only (the sync lives in host_s)
+            self.stats["chunk_s"] += t2 - t1
+            if dispatched:
+                self.stats["chunks"] += 1
+                self.stats["active_rows"] += active
             self.stats["host_s"] += time.perf_counter() - t2
         return finished
 

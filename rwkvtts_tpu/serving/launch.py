@@ -75,6 +75,7 @@ def build_service(
     temperature: float = 1.0,
     warmup: bool = True,
     dp: int = 1,
+    overlap: bool = False,
 ):
     from rwkvtts_tpu.serving import service as svc
 
@@ -83,7 +84,7 @@ def build_service(
         return svc.ContinuousTTSService(
             pipeline, speakers, n_slots=n_slots, chunk=chunk,
             max_new_tokens=max_new_tokens, top_k=top_k, top_p=top_p,
-            temperature=temperature, warmup=warmup, dp=dp,
+            temperature=temperature, warmup=warmup, dp=dp, overlap=overlap,
         )
     return svc.BatchedTTSService(
         pipeline, speakers, max_new_tokens=max_new_tokens
@@ -124,6 +125,9 @@ def main(argv=None):
     ap.add_argument("--dp", type=int, default=1,
                     help="shard the slot pool over a dp device mesh "
                          "(multi-chip slice serving; n-slots must divide)")
+    ap.add_argument("--overlap", action="store_true",
+                    help="double-buffered chunks: dispatch N+1 before "
+                         "syncing N (token-identical; hides host sync)")
     ap.add_argument("--no-warmup", action="store_true")
     args = ap.parse_args(argv)
 
@@ -146,7 +150,7 @@ def main(argv=None):
         n_slots=args.n_slots, chunk=args.chunk,
         max_new_tokens=args.max_new_tokens, top_k=args.top_k,
         top_p=args.top_p, temperature=args.temperature,
-        warmup=not args.no_warmup, dp=args.dp,
+        warmup=not args.no_warmup, dp=args.dp, overlap=args.overlap,
     )
     from rwkvtts_tpu.serving import http_server
 

@@ -314,6 +314,7 @@ class ContinuousTTSService(BatchedTTSService):
         voices=None,
         warmup: bool = False,
         dp: int = 1,
+        overlap: bool = False,
     ):
         from rwkvtts_tpu.serving.continuous import ContinuousBatcher
 
@@ -328,7 +329,7 @@ class ContinuousTTSService(BatchedTTSService):
         self.batcher = ContinuousBatcher(
             pipeline.params, pipeline.cfg, n_slots=n_slots, chunk=chunk,
             prompt_cap=prompt_cap, temperature=temperature, top_k=top_k,
-            top_p=top_p, seed=seed, mesh=mesh,
+            top_p=top_p, seed=seed, mesh=mesh, overlap=overlap,
         )
         if warmup:
             self.batcher.warmup()
@@ -457,6 +458,8 @@ class ContinuousTTSService(BatchedTTSService):
                 # answered above too — leaving them would decode orphans
                 cb._slots = [type(cb._slots[0])() for _ in cb._slots]
                 cb._carry = cb._fresh_carry()
+                cb._active.clear()
+                cb._pending = None
                 continue
             for rid, toks in finished:
                 req, done, box, globals_ = pending.pop(rid)

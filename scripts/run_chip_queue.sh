@@ -58,6 +58,10 @@ run python scripts/measure_int8_quality.py --state-bf16
 #      exclusive) — A/B against the packed 5.2k default
 run python benchmarks/bench_serving_continuous.py --requests 192 --slots 96 \
     --chunk 32 --skip-grouped --state-bf16
+# 7d4. overlapped (double-buffered) chunks at the production default —
+#      hides the per-chunk host sync behind device compute
+run python benchmarks/bench_serving_continuous.py --requests 192 --slots 96 \
+    --chunk 32 --packed-wkv --skip-grouped --overlap
 # 7e. remaining families at 0.4B-class: s2s + two-tower decode
 run python benchmarks/bench_families_scale.py --only s2s
 run python benchmarks/bench_families_scale.py --only two_tower

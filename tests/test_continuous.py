@@ -55,6 +55,41 @@ def test_continuous_matches_isolated_greedy():
         )
 
 
+def test_overlap_matches_sequential():
+    """Overlap mode (dispatch chunk N+1 before syncing chunk N) returns
+    token-identical results: sampling keys are pure functions of each
+    request's (seed, own step index), so chunk-boundary timing and the
+    one-chunk-later slot frees cannot change any draw. Exercises slot
+    reuse (6 requests, 2 slots), sampled (not greedy) decoding, mixed
+    per-request seeds/caps, and the stale-owner path."""
+    cfg = spark.default_config(
+        hidden_size=64, num_layers=2, head_size=16, gate_lora=16,
+        dtype=jnp.float32, wkv_chunk=16, remat=False, dropout=0.0,
+    )
+    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+    tok = FakeTok()
+    texts = [f"overlap request {i}" for i in range(6)]
+
+    def run(overlap):
+        cb = ContinuousBatcher(
+            params, cfg, n_slots=2, chunk=4, prompt_cap=32,
+            top_k=8, top_p=0.9, overlap=overlap,
+        )
+        rids = {}
+        for i, t in enumerate(texts):
+            rids[cb.add_request(
+                _prompt(t, tok), max_new_tokens=6 + 2 * (i % 3),
+                temperature=1.0, seed=100 + i,
+            )] = i
+        out = cb.drain()
+        assert cb.idle()
+        return {rids[r]: toks for r, toks in out.items()}
+
+    seq = run(overlap=False)
+    ovl = run(overlap=True)
+    assert seq == ovl
+
+
 def test_admission_reuses_freed_slots():
     cfg = spark.default_config(
         hidden_size=32, num_layers=2, head_size=8, gate_lora=8,
