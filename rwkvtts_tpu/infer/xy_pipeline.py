@@ -34,10 +34,13 @@ class XYPipeline:
         lm_cfg,
         lm_params,
         text_tokenizer,
-        codec_cfg=None,   # codecs.xy_tokenizer.XYTokenizerConfig
+        codec_cfg=None,   # xy_tokenizer.XYTokenizerConfig | higgs.HiggsConfig
         codec_params=None,
         speaker_id: int = 0,
         sample_rate: int = 24000,
+        codec_kind: str = "xy",  # "xy" | "higgs" (which token family the
+        # LM was trained on — Higgs rows come from data/extract.py's
+        # extract_higgs_tokens; both are 8-channel RVQ for the XY LM)
     ):
         from rwkvtts_tpu.models import rwkv7
 
@@ -48,6 +51,9 @@ class XYPipeline:
         self.codec_params = codec_params
         self.speaker_id = speaker_id
         self.sample_rate = sample_rate
+        if codec_kind not in ("xy", "higgs"):
+            raise ValueError(f"codec_kind must be 'xy' or 'higgs': {codec_kind}")
+        self.codec_kind = codec_kind
 
     def generate_frames(
         self,
@@ -91,7 +97,18 @@ class XYPipeline:
         codes = self.generate_frames(text, **kw)
         t1 = time.perf_counter()
         wav = np.zeros(0, np.float32)
-        if self.codec_params is not None:
+        if self.codec_params is not None and self.codec_kind == "higgs":
+            from rwkvtts_tpu.codecs import higgs
+
+            # Higgs-token LM (trained on extract_higgs_tokens rows):
+            # 50 Hz DAC-style RVQ decode, 16 kHz out
+            wav = np.asarray(
+                higgs.decode(
+                    self.codec_params, self.codec_cfg,
+                    jnp.asarray(codes)[:, None, :],
+                )
+            )[0]
+        elif self.codec_params is not None:
             from rwkvtts_tpu.codecs import xy_tokenizer as xt
 
             # chunked decode past the codec's 30 s window (reference

@@ -109,3 +109,30 @@ def test_xy_pipeline_full_wav(xy_setup):
         # wav length = T * up(4) * dec(2) * vocos hop(16)
         assert res.wav.shape == (T * 4 * 2 * 16,)
         assert np.isfinite(res.wav).all()
+
+
+def test_xy_pipeline_higgs_codec(xy_setup):
+    """Higgs-token LM path (codec_kind='higgs'): the XY LM's frames decode
+    through the Higgs DAC-style RVQ codec instead of XY_Tokenizer
+    (reference: train_xy_llm_jsonl.py rows from extract_higgs_tokens)."""
+    from rwkvtts_tpu.codecs import higgs
+
+    cfg, params = xy_setup
+    hcfg = higgs.HiggsConfig(
+        d_model=8, latent_dim=16, semantic_dim=16, nq=3,
+        codebook_size=16, strides=(2, 2, 2), decoder_channels=16,
+    )
+    hparams = higgs.init_params(jax.random.PRNGKey(11), hcfg)
+    pipe = XYPipeline(
+        cfg, params, FakeTok(), codec_cfg=hcfg, codec_params=hparams,
+        codec_kind="higgs", sample_rate=16000,
+    )
+    res = pipe.synthesize("hello higgs", max_new_tokens=9, seed=0)
+    T = res.codes.shape[1]
+    if T > 0:
+        assert res.wav.shape[0] == T * hcfg.hop_length
+        assert np.isfinite(res.wav).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        XYPipeline(cfg, params, FakeTok(), codec_kind="nope")
