@@ -35,8 +35,12 @@ def top_p_mask(logits: jax.Array, p) -> jax.Array:
     sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    # number of tokens kept = first index where cum >= p, inclusive
-    keep_sorted = cum - probs < p
+    # number of tokens kept = first index where cum >= p, inclusive; the
+    # argmax always survives (torch keeps >= 1 token, so p<=0 == greedy)
+    first = jax.lax.broadcasted_iota(
+        jnp.int32, sorted_logits.shape, sorted_logits.ndim - 1
+    ) == 0
+    keep_sorted = (cum - probs < p) | first
     # threshold logit = smallest kept logit
     kth = jnp.where(keep_sorted, sorted_logits, jnp.inf).min(
         axis=-1, keepdims=True
@@ -62,7 +66,10 @@ def sample(
         vals, idx = jax.lax.top_k(x, top_k)
         probs = jax.nn.softmax(vals, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
-        vals = jnp.where(cum - probs < top_p, vals, NEG_INF)
+        # torch nucleus semantics keep >= 1 token: position 0 (the argmax)
+        # always survives, so top_p <= 0 means greedy, not uniform-over-k
+        first = jax.lax.broadcasted_iota(jnp.int32, vals.shape, vals.ndim - 1) == 0
+        vals = jnp.where((cum - probs < top_p) | first, vals, NEG_INF)
         choice = jax.random.categorical(key, vals, axis=-1)
         return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]
     if top_k:
@@ -168,8 +175,12 @@ def sample_rows(
     vals, idx = jax.lax.top_k(x, k)
     probs = jax.nn.softmax(vals, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
+    # keep >= 1 token per row (torch nucleus semantics): a request sending
+    # top_p=0 gets greedy, not uniform-over-top-k
+    first = jax.lax.broadcasted_iota(jnp.int32, vals.shape, vals.ndim - 1) == 0
     vals = jnp.where(
-        cum - probs < top_p.astype(jnp.float32)[:, None], vals, NEG_INF
+        (cum - probs < top_p.astype(jnp.float32)[:, None]) | first,
+        vals, NEG_INF,
     )
     if key.ndim == 2:  # per-row keys
         choice = jax.vmap(

@@ -164,7 +164,7 @@ class ContinuousBatcher:
                 raise ValueError(
                     f"n_slots={n_slots} not divisible by dp={mesh.shape['dp']}"
                 )
-            if getattr(cfg, "decode_wkv_packed", False):
+            if getattr(bb, "decode_wkv_packed", False):
                 # the packed path is a per-device pallas_call; under a
                 # GSPMD-sharded carry it would force a full state gather
                 # every step (see ops/wkv7.resolve_impl's same rule for
@@ -195,7 +195,16 @@ class ContinuousBatcher:
             Tuple[int, Dict[str, np.ndarray], int, float, float, int]
         ] = []
         self._slots = [_Slot() for _ in range(n_slots)]
-        self._prefill = jax.jit(spark.prefill, static_argnames=("cfg",))
+
+        # prefill + pack_decode_state as ONE jitted program: the per-layer
+        # state split (and the packed-layout conversion) would otherwise
+        # run as ~6*L eager dispatches per admission — each a host<->device
+        # round trip on the remote-TPU serving path (CLAUDE.md)
+        def _prefill_packed(p, c, tokens, modality, mask):
+            hk, st = spark.prefill(p, c, tokens, modality, mask)
+            return hk, rwkv7.pack_decode_state(st, c.backbone)
+
+        self._prefill = jax.jit(_prefill_packed, static_argnames=("c",))
         self._carry = self._fresh_carry()
         # overlap mode: dispatch chunk N+1 BEFORE syncing chunk N's tokens,
         # so the host transfer + post-processing hide behind the device's
@@ -278,36 +287,43 @@ class ContinuousBatcher:
             and self._pending is None
         )
 
-    def warmup(self):
+    def warmup(self, prompt_widths: Optional[List[int]] = None):
         """Compile every program ahead of serving: the prefill at each
-        power-of-two admission size, the insert loop, and the decode chunk.
-        One-time cost (persisted by the jit cache); call before taking
-        traffic so admissions never stall on a compile."""
-        dummy = {
-            "tokens": np.zeros((1, self.prompt_cap), np.int32),
-            "modality": np.zeros((1, self.prompt_cap), np.int32),
-            "attention_mask": np.ones((1, self.prompt_cap), np.int32),
-        }
-        bucket = 1
-        while True:
-            pb = {k: np.repeat(v, bucket, 0) for k, v in dummy.items()}
-            hk, stk = self._prefill(
-                self.params, self.cfg, pb["tokens"], pb["modality"],
-                pb["attention_mask"],
-            )
-            stk = rwkv7.pack_decode_state(stk, self.cfg.backbone)
-            self._carry = _insert_many(
-                self._carry, hk, stk,
-                np.zeros((bucket,), np.int32), np.int32(0),
-                np.ones((bucket,), np.float32), np.ones((bucket,), np.float32),
-                np.zeros((bucket,), np.int32),
-            )
-            if bucket >= self.n_slots:
-                break
-            bucket *= 2
+        power-of-two admission size (for every width in `prompt_widths`,
+        default just prompt_cap — pass the larger power-of-two widths your
+        traffic can reach so a long prompt never compiles at admission
+        time), the insert loop, the decode chunk, and the retire-by-cap
+        flag update. One-time cost (persisted by the jit cache); call
+        before taking traffic so admissions never stall on a compile."""
+        for width in prompt_widths or [self.prompt_cap]:
+            dummy = {
+                "tokens": np.zeros((1, width), np.int32),
+                "modality": np.zeros((1, width), np.int32),
+                "attention_mask": np.ones((1, width), np.int32),
+            }
+            bucket = 1
+            while True:
+                pb = {k: np.repeat(v, bucket, 0) for k, v in dummy.items()}
+                hk, stk = self._prefill(
+                    self.params, self.cfg, pb["tokens"], pb["modality"],
+                    pb["attention_mask"],
+                )
+                self._carry = _insert_many(
+                    self._carry, hk, stk,
+                    np.zeros((bucket,), np.int32), np.int32(0),
+                    np.ones((bucket,), np.float32),
+                    np.ones((bucket,), np.float32),
+                    np.zeros((bucket,), np.int32),
+                )
+                if bucket >= self.n_slots:
+                    break
+                bucket *= 2
         self._carry, _, _ = _decode_chunk(
             self.params_l, self._carry, self.cfg, self.chunk, self.top_k,
         )
+        # a request retired by its max_new cap (no EOS) fires _mark_done
+        # mid-serving — compile it now, not on the first capped request
+        self._carry = _mark_done(self._carry, np.zeros(self.n_slots, bool))
         # reset engine state touched by the warmup chunk
         self._carry = self._fresh_carry()
 
@@ -364,7 +380,6 @@ class ContinuousBatcher:
             self.params, self.cfg, stacked["tokens"], stacked["modality"],
             stacked["attention_mask"],
         )
-        stk = rwkv7.pack_decode_state(stk, self.cfg.backbone)
         self._carry = _insert_many(
             self._carry, hk, stk, np.asarray(slot_ids, np.int32),
             np.int32(take), tvec, pvec, svec,

@@ -74,6 +74,7 @@ def build_service(
     top_p: float = 0.95,
     temperature: float = 1.0,
     warmup: bool = True,
+    warmup_widths=None,
     dp: int = 1,
     overlap: bool = False,
 ):
@@ -84,7 +85,8 @@ def build_service(
         return svc.ContinuousTTSService(
             pipeline, speakers, n_slots=n_slots, chunk=chunk,
             max_new_tokens=max_new_tokens, top_k=top_k, top_p=top_p,
-            temperature=temperature, warmup=warmup, dp=dp, overlap=overlap,
+            temperature=temperature, warmup=warmup,
+            warmup_widths=warmup_widths, dp=dp, overlap=overlap,
         )
     return svc.BatchedTTSService(
         pipeline, speakers, max_new_tokens=max_new_tokens
@@ -129,6 +131,10 @@ def main(argv=None):
                     help="double-buffered chunks: dispatch N+1 before "
                          "syncing N (token-identical; hides host sync)")
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--warmup-widths", default=None,
+                    help="comma-separated prompt widths to precompile at "
+                         "boot (e.g. 128,256) so a long prompt never "
+                         "compiles at admission time; default: prompt cap")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -150,7 +156,12 @@ def main(argv=None):
         n_slots=args.n_slots, chunk=args.chunk,
         max_new_tokens=args.max_new_tokens, top_k=args.top_k,
         top_p=args.top_p, temperature=args.temperature,
-        warmup=not args.no_warmup, dp=args.dp, overlap=args.overlap,
+        warmup=not args.no_warmup,
+        warmup_widths=(
+            [int(w) for w in args.warmup_widths.split(",")]
+            if args.warmup_widths else None
+        ),
+        dp=args.dp, overlap=args.overlap,
     )
     from rwkvtts_tpu.serving import http_server
 

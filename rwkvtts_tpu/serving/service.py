@@ -313,6 +313,7 @@ class ContinuousTTSService(BatchedTTSService):
         seed: int = 0,
         voices=None,
         warmup: bool = False,
+        warmup_widths=None,  # prompt widths to precompile (default: prompt_cap)
         dp: int = 1,
         overlap: bool = False,
     ):
@@ -332,7 +333,7 @@ class ContinuousTTSService(BatchedTTSService):
             top_p=top_p, seed=seed, mesh=mesh, overlap=overlap,
         )
         if warmup:
-            self.batcher.warmup()
+            self.batcher.warmup(warmup_widths)
         # super() starts the worker thread -> batcher must exist first
         super().__init__(
             pipeline, speakers, max_new_tokens=max_new_tokens, voices=voices,

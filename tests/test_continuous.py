@@ -127,8 +127,18 @@ def test_warmup_then_serve_unchanged():
     def run(warm):
         cb = ContinuousBatcher(params, cfg, n_slots=2, chunk=4, prompt_cap=32, top_k=1)
         if warm:
-            cb.warmup()
+            # multiple prompt widths: precompiles the 64-wide prefill the
+            # long prompt below would otherwise compile at admission time
+            cb.warmup(prompt_widths=[32, 64])
         rids = [cb.add_request(_prompt(t, tok), 8) for t in ("aa", "bb", "cc")]
+        # a prompt past prompt_cap (40 text tokens; FakeTok caps at 12, so
+        # build the row directly) exercises the doubled pad bucket
+        long_row = spark_collator.build_prompt(
+            [i % 150 + 1 for i in range(40)], [1, 2, 3, 4]
+        )
+        rids.append(
+            cb.add_request(spark_collator.pad_prompts_left([long_row]), 8)
+        )
         out = cb.drain()
         return [out[r] for r in rids]
 

@@ -31,6 +31,40 @@ def test_fused_greedy_limit():
     assert int(tok[0]) == 1
 
 
+def test_top_p_zero_is_greedy_not_uniform():
+    """torch nucleus semantics keep >= 1 token: top_p <= 0 must be GREEDY
+    (the argmax always survives), never uniform-over-top-k. Covers all
+    three paths: top_p_mask, the fused sample() branch, and sample_rows."""
+    rng = np.random.default_rng(2)
+    logits = jnp.asarray(rng.standard_normal((4, 50)).astype(np.float32) * 2)
+    arg = np.asarray(jnp.argmax(logits, -1))
+
+    # sequential mask: only the argmax survives p=0
+    masked = np.asarray(sampling.top_p_mask(logits, 0.0))
+    surv = (masked > sampling.NEG_INF / 2).sum(-1)
+    assert (surv == 1).all()
+    assert (np.argmax(masked, -1) == arg).all()
+
+    # fused sample(): many keys, always the argmax
+    keys = jax.random.split(jax.random.PRNGKey(0), 64)
+    draws = np.asarray(
+        jax.vmap(lambda k: sampling.sample(k, logits, top_k=20, top_p=0.0))(keys)
+    )
+    assert (draws == arg[None, :]).all()
+
+    # per-row path: a row sending top_p=0 is greedy, others unaffected
+    rkeys = jax.vmap(
+        lambda s: jax.random.key_data(jax.random.key(s, impl="threefry2x32"))
+    )(jnp.asarray([0, 1, 2, 3], jnp.uint32))
+    tok = np.asarray(
+        sampling.sample_rows(
+            rkeys, logits, temperature=jnp.ones(4), top_k=20,
+            top_p=jnp.asarray([0.0, 0.0, 0.0, 0.0], jnp.float32),
+        )
+    )
+    assert (tok == arg).all()
+
+
 def test_sample_rows_per_row_params_and_keys():
     """sample_rows honors PER-ROW temperature/top_p and per-row keys:
     a near-zero-temperature row is argmax, a tiny-top_p row keeps only the
