@@ -94,18 +94,22 @@ def bench_decode(hidden, layers, batch=64, t_prompt=128, t_new=256, iters=3,
 
 
 def bench_train(hidden, layers, batch=8, seqlen=2048, iters=5,
-                low_memory=None):
+                low_memory=None, wkv_spans=1):
     from rwkvtts_tpu.models import spark
     from rwkvtts_tpu.parallel import train_step as ts
     from rwkvtts_tpu.train import optimizer as opt_lib
 
     # the production single-chip train defaults (train/cli.py, PERF.md):
     # fused-prep Pallas kernel, 'wkv' remat policy, unrolled layers, bf16
-    # kernel matmuls — so this bench measures what training actually runs
+    # kernel matmuls — so this bench measures what training actually runs.
+    # wkv_spans>1 = the two-level hierarchical XLA path (forces the
+    # composed/non-pallas branch; the spans question is whether the
+    # shortened serial chunk scan can rival the fused kernel pair)
     cfg = spark.default_config(
         hidden_size=hidden, num_layers=layers,
         wkv_fuse_prep=True, remat_policy="wkv", layer_unroll=True,
         wkv_mm="bf16", wkv_group=16, wkv_group_bwd=16,
+        wkv_spans=wkv_spans,
     )
     params = spark.init_params(jax.random.PRNGKey(0), cfg)
     np_ = n_params(params)
@@ -142,7 +146,8 @@ def bench_train(hidden, layers, batch=8, seqlen=2048, iters=5,
     mfu = 6 * np_ * B * T / dt / PEAK_FLOPS
     out = {
         "bench": f"train_{hidden}x{layers}"
-        + (f"_{low_memory}" if low_memory else ""),
+        + (f"_{low_memory}" if low_memory else "")
+        + (f"_spans{wkv_spans}" if wkv_spans > 1 else ""),
         "params": np_,
         "batch": B,
         "seqlen": T,
@@ -163,6 +168,9 @@ def main():
     ap.add_argument("--packed-wkv", action="store_true")
     ap.add_argument("--state-bf16", action="store_true",
                     help="bf16 decode-state carry (cfg.decode_state_bf16)")
+    ap.add_argument("--wkv-spans", type=int, default=1,
+                    help="two-level hierarchical WKV chunking on the train "
+                         "benches (XLA path; 1 = production pallas)")
     args = ap.parse_args()
     results = []
     if args.only == "decode019":
@@ -189,7 +197,8 @@ def main():
         )
     if args.only in (None, "train04"):
         print("== train 0.4B (1024x24) ==", flush=True)
-        results.append(bench_train(1024, 24, batch=args.batch or 8))
+        results.append(bench_train(1024, 24, batch=args.batch or 8,
+                                   wkv_spans=args.wkv_spans))
     if args.only == "train14":
         # 1.4B fp32 Adam state (5.7+11.4 GB) exceeds one 16 GB chip — the
         # reference needed ZeRO-3 CPU-offload for the same model

@@ -98,6 +98,15 @@ class RWKV7Config:
     # lax.scan over stacked layers): per-layer buffers, no stacked
     # save/slice copies. Compile time grows with depth.
     layer_unroll: bool = False
+    # Two-level hierarchical WKV chunking (ops/wkv7.wkv7_chunked_sp):
+    # spans run in parallel (the serial chunk scan shrinks by this factor)
+    # and compose via exact per-span affine transfer operators. >1 forces
+    # the XLA path. Doubles as the SEQUENCE-PARALLEL unit: shard T over a
+    # mesh 'sp' axis in wkv_spans pieces (parallel/mesh.make_mesh(sp=...))
+    # and only the tiny (B,H,N,N) compose scan crosses devices — context
+    # parallelism for long-audio training, which the reference's
+    # single-GPU-per-sequence CUDA kernel cannot express.
+    wkv_spans: int = 1
     # When True the lm head is present in params (core-only submodels skip it)
     with_head: bool = True
     with_embedding: bool = True
@@ -325,7 +334,11 @@ def block_forward(
 
     v = masked(v)
     shp = lambda u: u.reshape(B, T, H, N)
-    if cfg.wkv_fuse_prep and wkv7_ops.resolve_impl(cfg.wkv_impl) == "pallas":
+    if (
+        cfg.wkv_spans == 1
+        and cfg.wkv_fuse_prep
+        and wkv7_ops.resolve_impl(cfg.wkv_impl) == "pallas"
+    ):
         from rwkvtts_tpu.ops import wkv7_pallas
 
         hn = lambda p: p.astype(jnp.float32).reshape(H, N)
@@ -358,6 +371,7 @@ def block_forward(
             group_bwd=cfg.wkv_group_bwd,
             mm_dtype=cfg.wkv_mm,
             solve=cfg.wkv_solve,
+            spans=cfg.wkv_spans,
         )
         y = y.reshape(B, T, C)
         y = group_norm(

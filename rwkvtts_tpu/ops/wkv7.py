@@ -419,6 +419,145 @@ def wkv7_chunked_v2(
 
 
 # ---------------------------------------------------------------------------
+# Hierarchical / sequence-parallel chunking (two-level state pass)
+# ---------------------------------------------------------------------------
+#
+# The per-chunk state update is AFFINE in the entry state (see _chunk_step:
+# s_out = s_pre + s0·live0·wlast + (z0 s0ᵀ)-contraction), so every chunk has
+# an exact (N,N) transfer operator
+#     Mx = diag(live0 · wlast) + Z0ᵀ C            (S_out = S0 @ Mx + const)
+# and an exact output-correction operator
+#     Cy[l] = q0[l] + (M @ z0)[l]                 (Δy_l  = S0 @ Cy[l])
+# both computable from tensors _chunk_prep already builds. Composing the
+# affine maps turns the O(T/chunk) serial state scan into
+#     per-span local scans (parallel over spans)  +  an O(spans) compose.
+# Two uses, one code path:
+#   * wkv_spans>1 on ONE device: the serial critical path of the chunk scan
+#     shrinks by `spans` (the "two-level chunk hierarchy" lever, PERF.md);
+#   * T sharded over a mesh axis: each device computes its local span's
+#     (y0, Cyp, Q, P) independently; only the tiny (B,H,N,N) compose scan
+#     crosses devices (GSPMD inserts the collective-permutes) — the
+#     linear-RNN analogue of ring-attention context parallelism, which the
+#     reference cannot express at all (its CUDA kernel is single-GPU over
+#     the full T, wkv7_cuda.cu grid=(H,B)).
+# Resets compose exactly: z0/q0/live0/b_fin masking inside _chunk_prep
+# makes each chunk's affine map already reset-aware, and products of
+# reset-aware maps stay exact (a reset zeroes the linear part downstream).
+
+
+def _chunk_prep_affine(r, logw, k, v, z, b, resets, *, chunk: int):
+    """_chunk_prep plus the chunk's affine operators (Mx, Cy)."""
+    p = _chunk_prep(r, logw, k, v, z, b, resets, chunk=chunk)
+    N = r.shape[-1]
+    live0 = (p["c_last"] == 0).astype(jnp.float32)[:, None, None, None]
+    # S0 pass-through: columns decay by wlast; killed if the chunk reset
+    diag = jnp.eye(N, dtype=jnp.float32) * p["wlast"][:, :, None, :] * live0
+    # rank-L correction: S0 @ (Σ_m z0_m ⊗ C[m,:])
+    mx = diag + jnp.einsum("bmhk,bhmn->bhkn", p["z0"], p["C"])
+    cy = p["q0"] + jnp.einsum("bhlm,bmhn->blhn", p["M"], p["z0"])
+    return p, mx, cy
+
+
+def _span_affine(r, logw, k, v, z, b, resets, *, chunk: int):
+    """One span's local pass, entry state unknown. Inputs (B, Ts, H, N).
+
+    Returns (y0, cyp, q, pmat):
+      y0   (B,Ts,H,N)  outputs as if the span entered with S0 = 0
+      cyp  (B,Ts,H,N)  correction rows: y_t = y0_t + S_span_in @ cyp_t
+      q    (B,H,N,N)   span exit state for S0 = 0
+      pmat (B,H,N,N)   span transfer: S_out = S_span_in @ pmat + q
+    """
+    B, Ts, H, N = r.shape
+    n_chunks = Ts // chunk
+
+    def to_chunks(x):
+        return jnp.moveaxis(x.reshape((B, n_chunks, chunk) + x.shape[2:]), 1, 0)
+
+    xs = tuple(to_chunks(x) for x in (r, logw, k, v, z, b, resets))
+
+    def body(carry, chunk_inputs):
+        s, pmat = carry
+        p, mx, cy = _chunk_prep_affine(*chunk_inputs, chunk=chunk)
+        s_out, _, y = _chunk_step(s, jnp.zeros((B,), jnp.int32), p)
+        # lift the chunk-relative correction to span-relative:
+        # Δy_l = S_chunk_in @ cy_l = S_span_in @ (pmat @ cy_l)
+        cyp = jnp.einsum("bhmn,blhn->blhm", pmat, cy)
+        return (s_out, pmat @ mx), (y, cyp)
+
+    fn = jax.checkpoint(body)
+    s0 = jnp.zeros((B, H, N, N), jnp.float32)
+    p0 = jnp.broadcast_to(jnp.eye(N, dtype=jnp.float32), (B, H, N, N))
+    (q, pmat), (ys, cyps) = jax.lax.scan(fn, (s0, p0), xs)
+    reshape = lambda t: jnp.moveaxis(t, 0, 1).reshape(B, Ts, H, N)
+    return reshape(ys), reshape(cyps), q, pmat
+
+
+def wkv7_chunked_sp(
+    r: jax.Array,
+    w_raw: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    z: jax.Array,
+    b: jax.Array,
+    state: Optional[jax.Array] = None,
+    resets: Optional[jax.Array] = None,
+    *,
+    chunk: int = DEFAULT_CHUNK,
+    spans: int = 4,
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-level chunked WKV7: spans in parallel, chunks within each span.
+
+    Same contract (and same fp32 numerics contract) as ``wkv7_chunked``;
+    exact for any spans/chunk, resets and entry state included. When the
+    caller shards T over a mesh axis in `spans` equal pieces, the span dim
+    of every heavy tensor inherits that sharding through the reshape and
+    the only cross-device dataflow is the (B,H,N,N) compose scan — context
+    parallelism for the linear-state recurrence (see block comment above).
+    """
+    B, T, H, N = r.shape
+    out_dtype = v.dtype
+    if state is None:
+        state = init_state(B, H, N)
+    pad = (-T) % (chunk * spans)
+    logw = log_decay_from_raw(w_raw)
+    f32 = lambda x: x.astype(jnp.float32)
+    if pad:
+        zpad = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        r, k, v, z, b = (zpad(f32(x)) for x in (r, k, v, z, b))
+        logw = jnp.pad(logw, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    else:
+        r, k, v, z, b = (f32(x) for x in (r, k, v, z, b))
+    Tp = T + pad
+    Ts = Tp // spans
+    if resets is None:
+        resets_i = jnp.zeros((B, Tp), dtype=jnp.int32)
+    else:
+        resets_i = resets.astype(jnp.int32)
+        if pad:
+            resets_i = jnp.pad(resets_i, ((0, 0), (0, pad)))
+
+    def to_spans(x):
+        return x.reshape((B, spans, Ts) + x.shape[2:])
+
+    y0, cyp, q, pmat = jax.vmap(
+        functools.partial(_span_affine, chunk=chunk),
+        in_axes=1, out_axes=(1, 1, 0, 0),
+    )(*(to_spans(x) for x in (r, logw, k, v, z, b, resets_i)))
+
+    # compose the spans' affine maps: tiny (B,H,N,N) scan, `spans` steps —
+    # the ONLY sequential/cross-device dataflow in the whole op
+    def comp(s, qp):
+        q_j, p_j = qp
+        return jnp.einsum("bhim,bhmn->bhin", s, p_j) + q_j, s
+
+    s_fin, s_in = jax.lax.scan(comp, state, (q, pmat))
+
+    y = y0 + jnp.einsum("sbhim,bslhm->bslhi", s_in, cyp)
+    y = y.reshape(B, Tp, H, N)[:, :T]
+    return y.astype(out_dtype), s_fin
+
+
+# ---------------------------------------------------------------------------
 # Decode step
 # ---------------------------------------------------------------------------
 
@@ -512,12 +651,17 @@ def wkv7(
     group_bwd=None,
     mm_dtype: str = "f32",
     solve: str = "saved",
+    spans: int = 1,
 ):
     """Dispatching entry point used by the models.
 
     impl: 'chunked' (training/prefill), 'scan' (reference), 'pallas'
     (fused Pallas fwd+bwd kernels, see ops/wkv7_pallas.py; group/mm_dtype
     apply only there), or 'auto'.
+
+    spans > 1 selects the two-level hierarchical path (wkv7_chunked_sp)
+    regardless of impl — the XLA formulation is the multi-device rule, and
+    spans is also the sequence-parallel sharding unit when T is sharded.
 
     'auto' resolves to the fused Pallas kernels on a single TPU chip
     (measured: 435 -> 352 ms train step on the 103M flagship, PERF.md r2)
@@ -526,6 +670,10 @@ def wkv7(
     its operands (wrap wkv7_pallas in shard_map for multi-chip use; see
     tests/test_wkv7_pallas.py::test_pallas_under_shard_map).
     """
+    if spans > 1:
+        return wkv7_chunked_sp(
+            r, w_raw, k, v, z, b, state, resets, chunk=chunk, spans=spans
+        )
     if impl == "auto":
         impl = resolve_impl(impl)
         if impl == "pallas":

@@ -8,6 +8,13 @@ collectives (grad psum over dp/fsdp rides ICI; tp shards the matmuls).
   fsdp  param/optimizer sharding axis (ZeRO-equivalent); batch is also
         split over it, params are sharded along one matrix dimension
   tp    tensor parallel (column/row-parallel projections, sharded vocab)
+  sp    sequence parallel (optional 4th axis, make_mesh(sp=...)): the TIME
+        axis of every batch leaf shards over it; set
+        cfg.wkv_spans = sp so the WKV recurrence composes per-span affine
+        transfer operators across devices (ops/wkv7.wkv7_chunked_sp) —
+        long-audio context parallelism the reference cannot express.
+        Everything else (projections, FFN, norms, CE, token-shift halo)
+        is per-position and GSPMD handles it from the batch sharding.
 
 At reference model sizes (0.1–1.5 B) dp×fsdp covers training; tp exists for
 serving-time latency scaling and larger models.
@@ -26,11 +33,15 @@ def make_mesh(
     dp: int = 1,
     fsdp: int = 1,
     tp: int = 1,
+    sp: int = 1,
     devices: Optional[Sequence[Any]] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
-    n = dp * fsdp * tp
+    n = dp * fsdp * tp * sp
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    if sp > 1:  # 4-axis mesh only when sequence parallelism is on
+        arr = np.array(devices[:n]).reshape(dp, fsdp, tp, sp)
+        return Mesh(arr, ("dp", "fsdp", "tp", "sp"))
     arr = np.array(devices[:n]).reshape(dp, fsdp, tp)
     return Mesh(arr, ("dp", "fsdp", "tp"))
 
@@ -116,10 +127,11 @@ def shard_params(mesh: Mesh, params):
     return jax.device_put(params, param_shardings(mesh, params))
 
 
-def batch_spec() -> P:
-    """Batches shard over (dp, fsdp) on the leading axis."""
-    return P(("dp", "fsdp"))
+def batch_spec(sp: bool = False) -> P:
+    """Batches shard over (dp, fsdp) on the leading axis; on an sp mesh
+    the time axis additionally shards over 'sp'."""
+    return P(("dp", "fsdp"), "sp") if sp else P(("dp", "fsdp"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, batch_spec())
+    return NamedSharding(mesh, batch_spec(sp="sp" in mesh.axis_names))

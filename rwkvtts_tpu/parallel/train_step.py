@@ -131,12 +131,16 @@ def make_train_step(
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
     bsh = mesh_lib.batch_sharding(mesh)
+    # rank-1 leaves can't take the (batch, time) spec of an sp mesh
+    bsh1 = jax.sharding.NamedSharding(mesh, mesh_lib.batch_spec(sp=False))
 
     # Sharding constraints are applied inside the jitted fn (params arrive
     # already sharded via shard_params; GSPMD propagates the rest).
     def sharded_step(state, batch, rng):
         batch = {
-            k: jax.lax.with_sharding_constraint(v, bsh)
+            k: jax.lax.with_sharding_constraint(
+                v, bsh if getattr(v, "ndim", 0) >= 2 else bsh1
+            )
             for k, v in batch.items()
         }
         return step(state, batch, rng)

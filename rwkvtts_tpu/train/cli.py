@@ -35,6 +35,10 @@ def build_model(task: str, args):
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         head_size=args.head_size,
     )
+    if getattr(args, "wkv_spans", None):
+        # two-level / sequence-parallel WKV (forces the XLA formulation;
+        # the --mesh sp=N path sets this to match the sharding)
+        kw["wkv_spans"] = args.wkv_spans
     if jax.default_backend() == "tpu" and jax.device_count() == 1:
         # measured train defaults at 0.4B (PERF.md round 3): replay skips
         # the fwd WKV kernel, unrolled layers kill the scan-stacking
@@ -210,6 +214,14 @@ def main(argv=None):
     p.add_argument("--wkv-mm", default=None, choices=["f32", "bf16"],
                    help="kernel matmul operand dtype (single-chip TPU "
                         "default: bf16, the reference CUDA contract)")
+    p.add_argument("--mesh", default=None,
+                   help="device-mesh shape, e.g. dp=2,fsdp=2 or dp=2,sp=4 "
+                        "(default: all devices on dp). sp shards the TIME "
+                        "axis — long-audio sequence parallelism; it also "
+                        "sets wkv_spans to match")
+    p.add_argument("--wkv-spans", type=int, default=None,
+                   help="two-level hierarchical WKV chunking factor "
+                        "(default 1; set automatically by --mesh sp=N)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--warm-start", default=None, help="ckpt file to init params from")
     p.add_argument("--drop-prompt-audio-rate", type=float, default=0.5)
@@ -230,6 +242,18 @@ def main(argv=None):
     metrics_lib.setup_logging()
     if args.multihost:
         jax.distributed.initialize()
+    mesh_shape = None
+    if args.mesh:
+        mesh_shape = {
+            k: int(v)
+            for k, v in (kv.split("=") for kv in args.mesh.split(","))
+        }
+        bad = set(mesh_shape) - {"dp", "fsdp", "tp", "sp"}
+        if bad:
+            p.error(f"--mesh: unknown axes {sorted(bad)}")
+        if mesh_shape.get("sp", 1) > 1 and args.wkv_spans is None:
+            # the time axis shards over sp in wkv_spans pieces
+            args.wkv_spans = mesh_shape["sp"]
     cfg, params = build_model(args.task, args)
 
     if args.warm_start:
@@ -278,7 +302,7 @@ def main(argv=None):
         log_every=args.log_every, peak_lr=args.lr, final_lr=args.lr_final,
         warmup_steps=args.warmup_steps, total_steps=args.total_steps,
         weight_decay=args.weight_decay, grad_clip=args.grad_clip,
-        low_memory_opt=args.low_memory_opt,
+        low_memory_opt=args.low_memory_opt, mesh_shape=mesh_shape,
         seed=args.seed, wandb_project=args.wandb_project, run_name=args.run_name,
     )
     tr = trainer_lib.Trainer(cfg, params, trainer_lib.LOSS_FNS[args.task], tcfg)

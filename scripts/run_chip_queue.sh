@@ -67,4 +67,8 @@ run python benchmarks/bench_families_scale.py --only s2s
 run python benchmarks/bench_families_scale.py --only two_tower
 # 8. decode ladder: 0.19B-class (768x24) completes the deployed-size set
 run python benchmarks/bench_flagship_scale.py --only decode019
+# 9. two-level hierarchical WKV (wkv_spans, XLA path) at 0.4B train —
+#    does the spans-shortened serial chunk scan rival the pallas pair?
+run python benchmarks/bench_flagship_scale.py --only train04 --wkv-spans 8
+run python benchmarks/bench_flagship_scale.py --only train04 --wkv-spans 16
 echo "QUEUE DONE $(date)" >> "$L"

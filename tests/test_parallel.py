@@ -79,6 +79,70 @@ def test_sharded_train_step_runs_and_matches_single():
         )
 
 
+def test_sequence_parallel_train_step_matches_single():
+    """sp mesh: the time axis shards over 'sp' and the WKV recurrence
+    composes per-span transfer operators across devices (cfg.wkv_spans).
+    The sharded loss/grads must match the same model on one device, and
+    the spans formulation itself must match the plain chunked one."""
+    base = spark.default_config(
+        hidden_size=64, num_layers=2, head_size=16, gate_lora=32,
+        dtype=jnp.float32, remat=False, wkv_chunk=8, dropout=0.0,
+    )
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        base, backbone=dataclasses.replace(base.backbone, wkv_spans=4)
+    )
+    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+    tx = opt_lib.build_optimizer(params, total_steps=10, grad_clip=None)
+
+    B, T = 4, 64
+    k = jax.random.PRNGKey(1)
+    batch = {
+        "tokens": jax.random.randint(k, (B, T), 0, 1000),
+        "modality": jnp.full((B, T), spark.MOD_SEMANTIC, jnp.int32),
+        "labels": jnp.where(
+            jnp.arange(T)[None, :] > 2,
+            jax.random.randint(k, (B, T), 0, 8000), -100,
+        ),
+        "attention_mask": jnp.ones((B, T), jnp.int32),
+        # packed-segment reset inside a span and at a span boundary
+        "resets": (jnp.arange(T)[None, :] % 32 == 16).astype(jnp.int32)
+        * jnp.ones((B, 1), jnp.int32),
+    }
+
+    # hierarchical spans == plain chunked numerics (single device)
+    state0 = ts.init_train_state(params, tx)
+    _, m_spans = ts.make_train_step(cfg, tx, donate=False)(
+        state0, batch, jax.random.PRNGKey(9)
+    )
+    _, m_base = ts.make_train_step(base, tx, donate=False)(
+        state0, batch, jax.random.PRNGKey(9)
+    )
+    np.testing.assert_allclose(
+        float(m_spans["loss"]), float(m_base["loss"]), rtol=1e-5
+    )
+
+    # dp x sp mesh matches the single-device spans run
+    mesh = mesh_lib.make_mesh(dp=2, sp=4)
+    assert mesh.axis_names == ("dp", "fsdp", "tp", "sp")
+    with mesh:
+        p_sh = mesh_lib.shard_params(mesh, params)
+        state = ts.init_train_state(p_sh, tx)
+        step = ts.make_train_step(cfg, tx, mesh=mesh, donate=False)
+        b_sh = jax.device_put(batch, mesh_lib.batch_sharding(mesh))
+        assert b_sh["tokens"].sharding.spec == jax.sharding.PartitionSpec(
+            ("dp", "fsdp"), "sp"
+        )
+        _, m = step(state, b_sh, jax.random.PRNGKey(9))
+    np.testing.assert_allclose(
+        float(m["loss"]), float(m_spans["loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(m["grad_norm"]), float(m_spans["grad_norm"]), rtol=1e-3
+    )
+
+
 def test_graft_entry_dryrun():
     """Run the driver dryrun in a FRESH subprocess (as the driver does).
 
