@@ -103,11 +103,49 @@ def ras_sample(
     vals, idx = jax.lax.top_k(x, min(top_k, x.shape[-1]))
     probs = jax.nn.softmax(vals, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    vals = jnp.where(cum - probs < top_p, vals, NEG_INF)
+    # >= 1 token survives (torch nucleus semantics): p <= 0 means greedy
+    first = jax.lax.broadcasted_iota(jnp.int32, vals.shape, vals.ndim - 1) == 0
+    vals = jnp.where((cum - probs < top_p) | first, vals, NEG_INF)
     choice = jax.random.categorical(k1, vals, axis=-1)
     tok = jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]
     rep = (recent == tok[:, None]).sum(axis=-1)
     fallback = jax.random.categorical(k2, x, axis=-1)
+    return jnp.where(rep >= win_size * tau_r, fallback, tok)
+
+
+def ras_sample_rows(
+    keys: jax.Array,
+    logits: jax.Array,
+    recent: jax.Array,
+    *,
+    top_p: float = 0.8,
+    top_k: int = 25,
+    win_size: int = 10,
+    tau_r: float = 0.1,
+) -> jax.Array:
+    """ras_sample with PER-ROW keys ((B,2) uint32 key data): each row's
+    draw is a pure function of its own key, independent of what shares the
+    batch — the slot-pool requirement (see sample_rows). Sampling params
+    are pool-level statics."""
+    x = logits.astype(jnp.float32)
+    vals, idx = jax.lax.top_k(x, min(top_k, x.shape[-1]))
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # >= 1 token survives (torch nucleus semantics): p <= 0 means greedy
+    first = jax.lax.broadcasted_iota(jnp.int32, vals.shape, vals.ndim - 1) == 0
+    vals = jnp.where((cum - probs < top_p) | first, vals, NEG_INF)
+
+    def one(kd, v, xr):
+        kk = jax.random.wrap_key_data(kd, impl="threefry2x32")
+        k1, k2 = jax.random.split(kk)
+        return (
+            jax.random.categorical(k1, v),
+            jax.random.categorical(k2, xr),
+        )
+
+    choice, fallback = jax.vmap(one)(keys, vals, x)
+    tok = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+    rep = (recent == tok[:, None]).sum(axis=-1)
     return jnp.where(rep >= win_size * tau_r, fallback, tok)
 
 

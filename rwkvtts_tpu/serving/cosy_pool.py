@@ -1,0 +1,447 @@
+"""Slot-pool decoding + concurrent streaming for the Cosy LM.
+
+The reference streams one utterance per engine thread (cli/model.py:406-446
+llm_job/flow hop pair; service/tts_service.py one request per worker). Here
+N concurrent STREAMS share ONE compiled chunk loop over a slot pool — the
+continuous-batching engine of serving/continuous.py applied to the
+CosyVoice LM (RAS sampling, per-row min-length EOS suppression) — and each
+stream's tokens feed its own incremental-state vocoder session
+(infer/streaming.CosyStreamSession, O(1) per hop). Decode cost per step is
+nearly flat in occupied slots, so concurrent streams ride almost free until
+the state saturates HBM (PERF.md batch scaling).
+
+Row purity: each row's sampling key is fold_in(PRNGKey(its seed), its own
+step index), so a (prompt, seed) stream reproduces exactly no matter what
+else shares the pool (tested: tests/test_cosy_pool.py).
+
+v1 scope: single-device, no overlap mode (the Spark batcher carries both;
+lift them here the same way if pooled streaming becomes the bottleneck).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import queue
+import threading
+import time
+from typing import Any, Dict, Generator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rwkvtts_tpu.models import cosy, rwkv7
+from rwkvtts_tpu.ops import sampling
+
+
+@dataclasses.dataclass
+class _Slot:
+    req_id: Optional[int] = None
+    tokens: Optional[List[int]] = None
+    max_new: int = 0
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _insert_many(carry, hk, stk, recent0, slots, take, minvec, svec):
+    """Swap the first `take` prefilled rows into slot positions (see
+    serving/continuous._insert_many — same traced-count fori_loop, Cosy
+    carry layout: h, st, done, recent, n, minlen, seed)."""
+
+    def body(j, c):
+        h, st, done, recent, n, minlen, seed = c
+        slot = slots[j]
+
+        def ins(cl, s):
+            f = s.shape[0] // hk.shape[0]
+            row = jax.lax.dynamic_slice_in_dim(s, j * f, f, axis=0)
+            idx = (slot * f,) + (jnp.int32(0),) * (cl.ndim - 1)
+            return jax.lax.dynamic_update_slice(cl, row.astype(cl.dtype), idx)
+
+        h = ins(h, hk)
+        st = jax.tree.map(ins, st, stk)
+        recent = ins(recent, recent0)
+        done = done.at[slot].set(False)
+        n = n.at[slot].set(0)
+        minlen = minlen.at[slot].set(minvec[j])
+        seed = seed.at[slot].set(svec[j])
+        return (h, st, done, recent, n, minlen, seed)
+
+    return jax.lax.fori_loop(0, take, body, carry)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _mark_done(carry, slot_mask):
+    """Flip device-side done for slots retired host-side by the max cap."""
+    h, st, done, n_rest = carry[0], carry[1], carry[2], carry[3:]
+    return (h, st, done | slot_mask) + n_rest
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "chunk", "top_k", "top_p", "win_size", "tau_r"),
+    donate_argnums=(1,),
+)
+def _decode_chunk(params, carry, cfg, chunk, top_k, top_p, win_size, tau_r):
+    """One compiled chunk for the whole pool: RAS sampling with per-row
+    keys, per-row min-length EOS suppression (reference cosy_llm.py:169-211
+    semantics, batched)."""
+    bb = cfg.backbone
+    eos_id = cfg.eos_token_id
+
+    def step(c, _):
+        h, st, done, recent, n, minlen, seed = c
+        logits = (h @ params["head"].astype(bb.dtype)).astype(jnp.float32)
+        if "head_bias" in params:
+            logits = logits + params["head_bias"].astype(jnp.float32)
+        logits = jnp.where(
+            (n < minlen)[:, None]
+            & (jnp.arange(logits.shape[-1]) == eos_id)[None, :],
+            sampling.NEG_INF,
+            logits,
+        )
+        keys = jax.vmap(
+            lambda s, i: jax.random.key_data(
+                jax.random.fold_in(jax.random.key(s, impl="threefry2x32"), i)
+            )
+        )(seed, n)
+        tok = sampling.ras_sample_rows(
+            keys, logits, recent,
+            top_p=top_p, top_k=top_k, win_size=win_size, tau_r=tau_r,
+        )
+        tok = jnp.where(done, eos_id, tok)
+        done = done | (tok == eos_id)
+        recent = jnp.concatenate([recent[:, 1:], tok[:, None]], axis=1)
+        x = cosy.decode_embed(params, cfg, tok)
+        h, st = rwkv7.decode_step(params, bb, x, st)
+        return (h, st, done, recent, n + 1, minlen, seed), tok
+
+    carry, toks = jax.lax.scan(step, carry, None, length=chunk)
+    return carry, jnp.moveaxis(toks, 0, 1), carry[2]
+
+
+class CosyPoolBatcher:
+    """Slot-pool decoder for the Cosy LM with INCREMENTAL token delivery.
+
+    step() returns events (req_id, new_tokens, done) — partial tokens every
+    chunk, which is what streaming consumers need (the Spark batcher's
+    step() only reports finished requests).
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg,
+        n_slots: int = 8,
+        chunk: int = 16,
+        prompt_cap: int = 128,
+        top_k: int = 25,
+        top_p: float = 0.8,
+        win_size: int = 10,
+        tau_r: float = 0.1,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        bb = cfg.backbone
+        self.params = params
+        self.params_l = rwkv7.layer_decode_views(params, bb)
+        self.n_slots = n_slots
+        self.chunk = chunk
+        self.prompt_cap = prompt_cap
+        self.top_k, self.top_p = top_k, top_p
+        self.win_size, self.tau_r = win_size, tau_r
+        self.seed = seed
+        self._next_id = 0
+        # (rid, prompt_batch, max_new, min_new, seed)
+        self._queue: List[
+            Tuple[int, Dict[str, np.ndarray], int, int, int]
+        ] = []
+        self._slots = [_Slot() for _ in range(n_slots)]
+
+        def _prefill_packed(p, c, tokens, modality, mask):
+            hk, st = cosy.prefill(p, c, tokens, modality, mask)
+            return hk, rwkv7.pack_decode_state(st, c.backbone)
+
+        self._prefill = jax.jit(_prefill_packed, static_argnames=("c",))
+        self._carry = self._fresh_carry()
+
+    def _fresh_carry(self):
+        bb = self.cfg.backbone
+        st = rwkv7.init_model_state(bb, self.n_slots)
+        st = rwkv7.pack_decode_state(st, bb)
+        return (
+            jnp.zeros((self.n_slots, bb.hidden_size), bb.dtype),
+            st,
+            jnp.ones((self.n_slots,), bool),
+            jnp.full((self.n_slots, self.win_size), -1, jnp.int32),
+            jnp.zeros((self.n_slots,), jnp.int32),
+            jnp.zeros((self.n_slots,), jnp.int32),
+            jnp.full((self.n_slots,), self.seed, jnp.int32),
+        )
+
+    # -- client API -------------------------------------------------------
+
+    def add_request(
+        self,
+        prompt_batch: Dict[str, np.ndarray],
+        max_new_tokens: int,
+        min_new_tokens: int = 0,
+        seed: Optional[int] = None,
+    ) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        self._queue.append((
+            rid, prompt_batch, max_new_tokens, min_new_tokens,
+            self.seed if seed is None else int(seed),
+        ))
+        return rid
+
+    def idle(self) -> bool:
+        return not self._queue and all(s.req_id is None for s in self._slots)
+
+    def warmup(self, prompt_widths: Optional[List[int]] = None):
+        """Precompile every program (see continuous.ContinuousBatcher)."""
+        for width in prompt_widths or [self.prompt_cap]:
+            dummy = {
+                "tokens": np.zeros((1, width), np.int32),
+                "modality": np.zeros((1, width), np.int32),
+                "attention_mask": np.ones((1, width), np.int32),
+            }
+            bucket = 1
+            while True:
+                pb = {k: np.repeat(v, bucket, 0) for k, v in dummy.items()}
+                hk, stk = self._prefill(
+                    self.params, self.cfg, pb["tokens"], pb["modality"],
+                    pb["attention_mask"],
+                )
+                self._carry = _insert_many(
+                    self._carry, hk, stk,
+                    np.full((bucket, self.win_size), -1, np.int32),
+                    np.zeros((bucket,), np.int32), np.int32(0),
+                    np.zeros((bucket,), np.int32), np.zeros((bucket,), np.int32),
+                )
+                if bucket >= self.n_slots:
+                    break
+                bucket *= 2
+        self._carry, _, _ = _decode_chunk(
+            self.params_l, self._carry, self.cfg, self.chunk,
+            self.top_k, self.top_p, self.win_size, self.tau_r,
+        )
+        self._carry = _mark_done(self._carry, np.zeros(self.n_slots, bool))
+        self._carry = self._fresh_carry()
+
+    # -- engine -----------------------------------------------------------
+
+    def _pad_prompt(self, batch):
+        T = batch["tokens"].shape[1]
+        cap = self.prompt_cap
+        while cap < T:
+            cap *= 2
+        pad = cap - T
+        return {
+            k: np.pad(np.asarray(v, np.int32), ((0, 0), (pad, 0)))
+            for k, v in batch.items()
+        }
+
+    def _admit(self):
+        free = [i for i, s in enumerate(self._slots) if s.req_id is None]
+        if not free or not self._queue:
+            return
+        take = min(len(free), len(self._queue))
+        reqs = [self._queue.pop(0) for _ in range(take)]
+        bucket = 1
+        while bucket < take:
+            bucket *= 2
+        pbs = [self._pad_prompt(b) for _, b, _, _, _ in reqs]
+        pbs += [pbs[-1]] * (bucket - take)
+        slot_ids = [free[j] for j in range(take)]
+        slot_ids += [slot_ids[-1]] * (bucket - take)
+        minvec = np.zeros((bucket,), np.int32)
+        svec = np.zeros((bucket,), np.int32)
+        for j, (_, _, _, mn, s) in enumerate(reqs):
+            minvec[j], svec[j] = mn, s
+        cap = max(p["tokens"].shape[1] for p in pbs)
+        stacked = {
+            k: np.concatenate(
+                [np.pad(p[k], ((0, 0), (cap - p[k].shape[1], 0))) for p in pbs],
+                axis=0,
+            )
+            for k in pbs[0]
+        }
+        hk, stk = self._prefill(
+            self.params, self.cfg, stacked["tokens"], stacked["modality"],
+            stacked["attention_mask"],
+        )
+        self._carry = _insert_many(
+            self._carry, hk, stk,
+            np.full((bucket, self.win_size), -1, np.int32),
+            np.asarray(slot_ids, np.int32), np.int32(take), minvec, svec,
+        )
+        for j, (rid, _, max_new, _, _) in enumerate(reqs):
+            self._slots[free[j]] = _Slot(req_id=rid, tokens=[], max_new=max_new)
+
+    def step(self) -> List[Tuple[int, np.ndarray, bool]]:
+        """Admit, decode one chunk, return (req_id, NEW tokens, done) per
+        active request — done requests' slots are freed."""
+        self._admit()
+        if all(s.req_id is None for s in self._slots):
+            return []
+        self._carry, toks_dev, _ = _decode_chunk(
+            self.params_l, self._carry, self.cfg, self.chunk,
+            self.top_k, self.top_p, self.win_size, self.tau_r,
+        )
+        toks = np.asarray(toks_dev)
+        eos = self.cfg.eos_token_id
+        events: List[Tuple[int, np.ndarray, bool]] = []
+        capped = np.zeros(self.n_slots, bool)
+        for i, s in enumerate(self._slots):
+            if s.req_id is None:
+                continue
+            row = toks[i]
+            hit = np.flatnonzero(row == eos)
+            new = row[: hit[0]] if hit.size else row
+            room = s.max_new - len(s.tokens)
+            new = new[:room]
+            s.tokens.extend(int(t) for t in new)
+            done = bool(hit.size) or len(s.tokens) >= s.max_new
+            events.append((s.req_id, new.astype(np.int64), done))
+            if done:
+                self._slots[i] = _Slot()
+                if not hit.size:
+                    capped[i] = True
+        if capped.any():
+            self._carry = _mark_done(self._carry, capped)
+        return events
+
+    def cancel(self, rid: int) -> None:
+        """Stop decoding a request (client went away): free its slot and
+        flip the device done flag so it stops burning chunk work."""
+        self._queue = [q for q in self._queue if q[0] != rid]
+        capped = np.zeros(self.n_slots, bool)
+        for i, s in enumerate(self._slots):
+            if s.req_id == rid:
+                self._slots[i] = _Slot()
+                capped[i] = True
+        if capped.any():
+            self._carry = _mark_done(self._carry, capped)
+
+    def drain(self) -> Dict[int, List[int]]:
+        out: Dict[int, List[int]] = {}
+        acc: Dict[int, List[int]] = {}
+        while not self.idle():
+            for rid, new, done in self.step():
+                acc.setdefault(rid, []).extend(new.tolist())
+                if done:
+                    out[rid] = acc.pop(rid)
+        return out
+
+
+class CosyStreamHub:
+    """N concurrent streaming utterances over ONE slot pool.
+
+    Each stream: admit the LM prompt into the shared pool, feed the growing
+    token array into a per-stream CosyStreamSession (incremental flow/HiFT,
+    O(1) per hop), yield wav chunks. A single pump thread advances the pool;
+    vocoder hops run on the consumer threads so slow readers don't stall
+    the LM chunk loop.
+    """
+
+    def __init__(self, pipeline, n_slots: int = 8, chunk: int = 16,
+                 prompt_cap: int = 128, top_k: int = 25, top_p: float = 0.8,
+                 warmup: bool = False):
+        self.pipe = pipeline
+        self.batcher = CosyPoolBatcher(
+            pipeline.lm_params, pipeline.lm_cfg, n_slots=n_slots,
+            chunk=chunk, prompt_cap=prompt_cap, top_k=top_k, top_p=top_p,
+        )
+        if warmup:
+            self.batcher.warmup()
+        self._sinks: Dict[int, "queue.Queue"] = {}
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._wake = threading.Event()
+        self._pump = threading.Thread(target=self._run, daemon=True)
+        self._pump.start()
+
+    def close(self):
+        self._stop.set()
+        self._wake.set()
+        self._pump.join(timeout=5)
+        # unblock any consumer still waiting on its queue
+        with self._lock:
+            for q in self._sinks.values():
+                q.put((np.zeros((0,), np.int64), True))
+
+    def _run(self):
+        while not self._stop.is_set():
+            with self._lock:
+                idle = self.batcher.idle()
+            if idle:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            with self._lock:
+                events = self.batcher.step()
+            for rid, new, done in events:
+                q = self._sinks.get(rid)
+                if q is not None:
+                    q.put((new, done))
+
+    def stream(
+        self,
+        text: str,
+        prompt_text: str = "",
+        prompt_wav: Optional[np.ndarray] = None,
+        prompt_speech_tokens: Sequence[int] = (),
+        prompt_mel: Optional[np.ndarray] = None,
+        spk_embedding: Optional[np.ndarray] = None,
+        hop_tokens: int = 25,
+        seed: int = 0,
+        max_new_tokens: int = 2048,
+    ) -> Generator[np.ndarray, None, None]:
+        """One streaming utterance; safe to call from many threads at once.
+        Mirrors infer/streaming.stream_synthesize, LM stage pooled."""
+        from rwkvtts_tpu.data import cosy_collator
+        from rwkvtts_tpu.data.spark_collator import pad_prompts_left
+        from rwkvtts_tpu.infer import streaming
+
+        if prompt_wav is not None:
+            prompt_speech_tokens, prompt_mel, spk_embedding = (
+                self.pipe.frontend_zero_shot(prompt_wav)
+            )
+        scfg = streaming.StreamConfig(token_hop_len=hop_tokens)
+        sess = streaming.CosyStreamSession(
+            self.pipe, scfg, prompt_speech_tokens, prompt_mel, spk_embedding,
+            seed=seed,
+        )
+        text_ids = self.pipe.tok.encode(prompt_text) + self.pipe.tok.encode(text)
+        sample = cosy_collator.build_prompt(
+            text_ids, list(prompt_speech_tokens)
+        )
+        batch = pad_prompts_left([sample])
+        content_len = cosy_collator.content_length(text_ids)
+        min_len = int(content_len * 2)
+        max_len = min(int(content_len * 20), max_new_tokens)
+
+        q: "queue.Queue" = queue.Queue()
+        with self._lock:
+            rid = self.batcher.add_request(
+                batch, max_len, min_new_tokens=min_len, seed=seed
+            )
+            self._sinks[rid] = q
+        self._wake.set()
+        tokens = np.zeros((0,), np.int64)
+        done = False
+        try:
+            while True:
+                new, done = q.get()
+                if len(new):
+                    tokens = np.concatenate([tokens, new])
+                yield from sess.emit_ready(tokens, lm_done=done)
+                if done:
+                    return
+        finally:
+            self._sinks.pop(rid, None)
+            if not done:
+                # consumer abandoned mid-stream: stop burning the slot
+                with self._lock:
+                    self.batcher.cancel(rid)

@@ -71,4 +71,10 @@ run python benchmarks/bench_flagship_scale.py --only decode019
 #    does the spans-shortened serial chunk scan rival the pallas pair?
 run python benchmarks/bench_flagship_scale.py --only train04 --wkv-spans 8
 run python benchmarks/bench_flagship_scale.py --only train04 --wkv-spans 16
+# 10. concurrent streaming from the Cosy slot pool at the deployed 1.5B
+#     pairing (vs bench_streaming_latency's single stream, TTFA 344 ms-class)
+run python benchmarks/bench_pooled_streaming.py --hidden 2048 --layers 24 \
+    --int8 --streams 8 --slots 8 --chunk 16
+run python benchmarks/bench_pooled_streaming.py --hidden 2048 --layers 24 \
+    --int8 --streams 16 --slots 16 --chunk 16
 echo "QUEUE DONE $(date)" >> "$L"

@@ -1,0 +1,195 @@
+"""Pooled Cosy decoding + concurrent streaming (serving/cosy_pool.py):
+slot cohabitation must not change any stream's tokens or audio."""
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rwkvtts_tpu.data import cosy_collator
+from rwkvtts_tpu.data.spark_collator import pad_prompts_left
+from rwkvtts_tpu.models import cosy
+from rwkvtts_tpu.serving.cosy_pool import CosyPoolBatcher, CosyStreamHub
+
+
+class FakeTok:
+    def encode(self, text):
+        return [ord(c) % 200 + 1 for c in text][:8]
+
+
+@pytest.fixture(scope="module")
+def lm():
+    cfg = cosy.default_config(
+        hidden_size=32, num_layers=2, head_size=8, gate_lora=8,
+        dtype=jnp.float32, wkv_chunk=16, remat=False,
+    )
+    params = cosy.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _prompt(text):
+    sample = cosy_collator.build_prompt(FakeTok().encode(text), [])
+    return pad_prompts_left([sample])
+
+
+def test_pool_request_purity(lm):
+    """The same (prompt, seed) request produces identical tokens whether it
+    runs alone or alongside other requests (per-row fold_in keys)."""
+    cfg, params = lm
+
+    def run(texts_seeds):
+        cb = CosyPoolBatcher(params, cfg, n_slots=2, chunk=4, prompt_cap=32)
+        rids = {
+            cb.add_request(_prompt(t), 12, min_new_tokens=2, seed=s): (t, s)
+            for t, s in texts_seeds
+        }
+        out = cb.drain()
+        return {rids[r]: v for r, v in out.items()}
+
+    alone = run([("hello", 7)])
+    crowd = run([("hello", 7), ("wxyz", 1), ("abc", 2)])
+    assert crowd[("hello", 7)] == alone[("hello", 7)]
+    assert len(crowd) == 3
+
+
+def test_pool_min_max_bounds(lm):
+    """min_new suppresses EOS below the bound; max_new caps the length."""
+    cfg, params = lm
+    cb = CosyPoolBatcher(params, cfg, n_slots=2, chunk=4, prompt_cap=32)
+    ra = cb.add_request(_prompt("aaaa"), 10, min_new_tokens=6, seed=0)
+    rb = cb.add_request(_prompt("bbbb"), 3, min_new_tokens=0, seed=1)
+    out = cb.drain()
+    assert 6 <= len(out[ra]) <= 10
+    assert len(out[rb]) <= 3
+    eos = cfg.eos_token_id
+    assert all(t != eos for t in out[ra])
+    assert cb.idle()
+
+
+def test_pool_incremental_events(lm):
+    """step() delivers partial tokens: concatenated events equal drain()'s
+    final sequence, with done flagged exactly once per request."""
+    cfg, params = lm
+    cb = CosyPoolBatcher(params, cfg, n_slots=1, chunk=4, prompt_cap=32)
+    rid = cb.add_request(_prompt("hello"), 10, min_new_tokens=2, seed=7)
+    acc, dones = [], 0
+    while not cb.idle():
+        for r, new, done in cb.step():
+            assert r == rid
+            acc.extend(new.tolist())
+            dones += int(done)
+    assert dones == 1
+    cb2 = CosyPoolBatcher(params, cfg, n_slots=1, chunk=4, prompt_cap=32)
+    rid2 = cb2.add_request(_prompt("hello"), 10, min_new_tokens=2, seed=7)
+    assert acc == cb2.drain()[rid2]
+
+
+def test_pool_warmup_unchanged(lm):
+    cfg, params = lm
+    cfg_eos = cfg  # silence linters
+
+    def run(warm):
+        cb = CosyPoolBatcher(params, cfg, n_slots=2, chunk=4, prompt_cap=32)
+        if warm:
+            cb.warmup(prompt_widths=[32, 64])
+        rids = [
+            cb.add_request(_prompt(t), 8, seed=i)
+            for i, t in enumerate(("aa", "bb", "cc"))
+        ]
+        out = cb.drain()
+        return [out[r] for r in rids]
+
+    assert run(True) == run(False)
+
+
+def test_pool_cancel_frees_slot(lm):
+    """cancel() frees the slot (and the queue) so an abandoned client
+    stops burning decode work."""
+    cfg, params = lm
+    cb = CosyPoolBatcher(params, cfg, n_slots=1, chunk=4, prompt_cap=32)
+    ra = cb.add_request(_prompt("aaaa"), 1000, min_new_tokens=900, seed=0)
+    rb = cb.add_request(_prompt("bbbb"), 8, seed=1)  # waits in the queue
+    cb.step()  # ra occupies the slot
+    cb.cancel(ra)
+    out = cb.drain()  # rb admits into the freed slot and finishes
+    assert ra not in out and rb in out
+    assert cb.idle()
+
+
+def test_hub_concurrent_streams_match_solo(lm):
+    """Two streams running CONCURRENTLY through the hub produce exactly the
+    wav each produces when streamed alone (pool cohabitation is inaudible).
+    Reuses the tiny flow/HiFT stack from tests/test_streaming.py."""
+    from rwkvtts_tpu.codecs import conformer, flow as flow_lib, hift as hift_lib
+    from rwkvtts_tpu.infer.cosy_pipeline import CosyPipeline
+
+    cfg, params = lm
+    fcfg = flow_lib.FlowConfig(
+        input_size=24, output_size=16, spk_embed_dim=12, vocab_size=6562,
+        encoder=conformer.UpsampleConformerConfig(
+            input_size=24, output_size=24, attention_heads=2,
+            linear_units=48, num_blocks=1, num_up_blocks=1,
+        ),
+        estimator=flow_lib.EstimatorConfig(
+            in_channels=16 * 4, out_channels=16, channels=(16,),
+            n_blocks=1, num_mid_blocks=1, num_heads=2, attention_head_dim=8,
+            causal=True, static_chunk_size=2,
+        ),
+        n_timesteps=2,
+    )
+    fparams = flow_lib.init_params(jax.random.PRNGKey(1), fcfg)
+    hcfg = hift_lib.HiFTConfig(
+        in_channels=16, base_channels=32, nb_harmonics=2,
+        upsample_rates=(4, 3), upsample_kernel_sizes=(8, 7),
+        istft_n_fft=16, istft_hop_len=4,
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 2),),
+        source_resblock_kernel_sizes=(7, 7),
+        source_resblock_dilation_sizes=((1, 2), (1, 2)),
+        f0_cond_channels=16,
+    )
+    hparams = hift_lib.init_params(jax.random.PRNGKey(2), hcfg)
+    pipe = CosyPipeline(
+        cfg, params, FakeTok(),
+        flow_cfg=fcfg, flow_params=fparams,
+        hift_cfg=hcfg, hift_params=hparams,
+    )
+
+    def collect_solo(text, seed):
+        hub = CosyStreamHub(pipe, n_slots=2, chunk=4, prompt_cap=32)
+        try:
+            chunks = list(
+                hub.stream(text, hop_tokens=4, seed=seed, max_new_tokens=12)
+            )
+        finally:
+            hub.close()
+        return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+
+    solo_a = collect_solo("hello", 7)
+    solo_b = collect_solo("wxyz", 3)
+
+    hub = CosyStreamHub(pipe, n_slots=2, chunk=4, prompt_cap=32)
+    results = {}
+
+    def worker(name, text, seed):
+        chunks = list(
+            hub.stream(text, hop_tokens=4, seed=seed, max_new_tokens=12)
+        )
+        results[name] = (
+            np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+        )
+
+    try:
+        ts = [
+            threading.Thread(target=worker, args=("a", "hello", 7)),
+            threading.Thread(target=worker, args=("b", "wxyz", 3)),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+    finally:
+        hub.close()
+
+    np.testing.assert_allclose(results["a"], solo_a, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(results["b"], solo_b, rtol=1e-5, atol=1e-6)
