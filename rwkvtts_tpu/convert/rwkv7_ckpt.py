@@ -60,8 +60,11 @@ def _flat(x):
 def infer_config_kwargs(sd: SD) -> Dict[str, Any]:
     """Derive (vocab, hidden, layers, head_size) from a ckpt
     (utils/rwkv_utilities.py parity). Works for both namings."""
-    if "model.embeddings.weight" in sd:
-        emb = sd["model.embeddings.weight"]
+    if "model.embeddings.weight" in sd or "text_embedding.weight" in sd:
+        # RWKV7CosyLM exports carry text_embedding.weight instead of
+        # model.embeddings.weight (cosy_llm.py layout) — hidden/layers/head
+        # derive the same way from the fla-named blocks
+        emb = sd.get("model.embeddings.weight", sd.get("text_embedding.weight"))
         n_layer = 1 + max(
             int(k.split(".")[2]) for k in sd if k.startswith("model.layers.")
         )

@@ -93,9 +93,81 @@ def build_service(
     )
 
 
+def build_cosy_pipeline(ckpt: str, cosy_dir: Optional[str] = None,
+                        int8: bool = False, int4: bool = False):
+    """RWKV7CosyLM weights + a CosyVoice2 model dir (flow.pt / hift.pt /
+    speech_tokenizer_v2.onnx / campplus.onnx — the reference's
+    pretrained_models layout) -> CosyPipeline. Missing codec files degrade
+    gracefully: the LM still serves, zero-shot-from-wav needs the onnx
+    pair, wav output needs flow+hift."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from rwkvtts_tpu.codecs import campplus as cp
+    from rwkvtts_tpu.codecs import cosy_import
+    from rwkvtts_tpu.codecs import flow as flow_lib, hift as hift_lib
+    from rwkvtts_tpu.codecs import s3_tokenizer as s3
+    from rwkvtts_tpu.convert import rwkv7_ckpt, speech_init
+    from rwkvtts_tpu.infer.cosy_pipeline import CosyPipeline
+    from rwkvtts_tpu.models import cosy
+    from rwkvtts_tpu.utils.tokenizer import get_world_tokenizer
+
+    sd = rwkv7_ckpt.load_torch_or_safetensors(ckpt)
+    kw = rwkv7_ckpt.infer_config_kwargs(sd)
+    cfg = cosy.default_config(
+        hidden_size=kw["hidden_size"], num_layers=kw["num_layers"],
+        head_size=kw["head_size"],
+    )
+    params = speech_init.cosy_from_pretrained_sd(sd, cfg)
+    params = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.bfloat16)
+        if getattr(x, "ndim", 0) >= 2 else jnp.asarray(x),
+        params,
+    )
+    pk = {}
+    if cosy_dir:
+        p = lambda n: os.path.join(cosy_dir, n)
+        if os.path.exists(p("flow.pt")):
+            fcfg = flow_lib.FlowConfig()
+            pk.update(flow_cfg=fcfg, flow_params=cosy_import.flow_from_state_dict(
+                rwkv7_ckpt.load_torch_or_safetensors(p("flow.pt")), fcfg))
+        if os.path.exists(p("hift.pt")):
+            hcfg = hift_lib.HiFTConfig()
+            pk.update(hift_cfg=hcfg, hift_params=cosy_import.hift_from_state_dict(
+                rwkv7_ckpt.load_torch_or_safetensors(p("hift.pt")), hcfg))
+        if os.path.exists(p("speech_tokenizer_v2.onnx")):
+            s3_cfg = s3.S3TokenizerConfig()
+            pk.update(s3_cfg=s3_cfg,
+                      s3_params=s3.s3_from_onnx(p("speech_tokenizer_v2.onnx"), s3_cfg))
+        if os.path.exists(p("campplus.onnx")):
+            cam_cfg = cp.CampplusConfig()
+            pk.update(campplus_cfg=cam_cfg,
+                      campplus_params=cp.load_campplus_onnx(p("campplus.onnx"), cam_cfg))
+        missing = [n for n in ("flow.pt", "hift.pt", "speech_tokenizer_v2.onnx",
+                               "campplus.onnx") if not os.path.exists(p(n))]
+        if missing:
+            log.warning("cosy dir %s missing %s — serving degrades "
+                        "accordingly", cosy_dir, missing)
+    return CosyPipeline(
+        cfg, params, get_world_tokenizer(), quantize_int8=int8,
+        quantize_int4=int4, **pk,
+    )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ckpt", required=True, help="RWKV7ForSpeech weights")
+    ap.add_argument("--family", default="spark", choices=["spark", "cosy"],
+                    help="spark: BiCodec voice-in-prompt serving (default); "
+                         "cosy: CosyVoice2 zero-shot serving, every request "
+                         "through the shared streaming slot pool")
+    ap.add_argument("--cosy-dir", default=None,
+                    help="CosyVoice2 model dir (flow.pt/hift.pt/"
+                         "speech_tokenizer_v2.onnx/campplus.onnx)")
+    ap.add_argument("--voices-dir", default=None,
+                    help="stored zero-shot voice library dir (cosy family)")
     ap.add_argument("--codec-dir", default=None, help="Spark-TTS model dir (BiCodec)")
     ap.add_argument("--demo-dir", default=None, help="demos/<speaker>/*.wav library")
     ap.add_argument("--host", default="0.0.0.0")
@@ -119,8 +191,10 @@ def main(argv=None):
                     help="bf16 decode-state carry (requires "
                          "--no-packed-wkv; memorized-decode CI-bounded)")
     ap.add_argument("--max-new-tokens", type=int, default=1024)
-    ap.add_argument("--top-k", type=int, default=50)
-    ap.add_argument("--top-p", type=float, default=0.95)
+    # family-resolved defaults: spark 50/0.95 (simple_generate.py:46-56),
+    # cosy RAS 25/0.8 (cosy_llm.py:169-177)
+    ap.add_argument("--top-k", type=int, default=None)
+    ap.add_argument("--top-p", type=float, default=None)
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--grouped", action="store_true",
                     help="legacy same-voice grouping dispatcher")
@@ -147,6 +221,26 @@ def main(argv=None):
         # the XLA step (ContinuousBatcher raises on the combination)
         log.info("dp>1: disabling the packed decode state (single-device-only)")
         packed = False
+    if args.family == "cosy":
+        from rwkvtts_tpu.serving import http_server, service as svc
+
+        pipeline = build_cosy_pipeline(
+            args.ckpt, args.cosy_dir, int8=args.int8, int4=args.int4
+        )
+        voices = None
+        if args.voices_dir:
+            from rwkvtts_tpu.infer.voices import CosyVoiceLibrary
+
+            voices = CosyVoiceLibrary(args.voices_dir)
+        tts = svc.CosyTTSService(
+            pipeline, voices=voices, n_slots=args.n_slots, chunk=args.chunk,
+            max_new_tokens=args.max_new_tokens,
+            top_k=args.top_k if args.top_k is not None else 25,
+            top_p=args.top_p if args.top_p is not None else 0.8,
+            warmup=not args.no_warmup,
+        )
+        http_server.serve(tts, args.host, args.port)
+        return
     pipeline = build_pipeline(
         args.ckpt, args.codec_dir, packed_wkv=packed, int8=args.int8,
         int4=args.int4, state_bf16=args.state_bf16,
@@ -154,8 +248,10 @@ def main(argv=None):
     tts = build_service(
         pipeline, args.demo_dir, continuous=not args.grouped,
         n_slots=args.n_slots, chunk=args.chunk,
-        max_new_tokens=args.max_new_tokens, top_k=args.top_k,
-        top_p=args.top_p, temperature=args.temperature,
+        max_new_tokens=args.max_new_tokens,
+        top_k=args.top_k if args.top_k is not None else 50,
+        top_p=args.top_p if args.top_p is not None else 0.95,
+        temperature=args.temperature,
         warmup=not args.no_warmup,
         warmup_widths=(
             [int(w) for w in args.warmup_widths.split(",")]

@@ -473,6 +473,119 @@ class ContinuousTTSService(BatchedTTSService):
                 done.set()
 
 
+class _CosyVoiceNames:
+    """SpeakerLibrary-shaped adapter over a CosyVoiceLibrary so the HTTP
+    layer's GET /api/speakers lists the stored zero-shot voices."""
+
+    def __init__(self, voices):
+        self._voices = voices
+
+    def speakers(self) -> List[str]:
+        return self._voices.speakers() if self._voices is not None else []
+
+    def register(self, name, tokens):  # Spark global-token registration
+        raise NotImplementedError(
+            "Cosy voices register from wav: CosyVoiceLibrary.register_from_wav"
+        )
+
+
+class CosyTTSService:
+    """HTTP-layer service for the CosyVoice2 pipeline over a SHARED slot
+    pool (serving/cosy_pool.CosyStreamHub): every request — streaming and
+    non-streaming alike — decodes through one compiled LM chunk loop, so N
+    concurrent requests cost ~one batched decode instead of the
+    reference's one-engine-per-thread serialization (tts_service.py:14-120).
+
+    Duck-compatible with BatchedTTSService for http_server.serve():
+    synthesize(req) / stream(req, hop_tokens) / speakers / stats / pipeline.
+    Sampling (RAS top_k/top_p) is pool-level (set at launch); per-request
+    temperature/top_p fields are ignored — the Cosy reference samples with
+    fixed RAS params too (cosy_llm.py:169-177).
+    """
+
+    def __init__(
+        self,
+        pipeline,  # infer.cosy_pipeline.CosyPipeline
+        voices=None,  # infer.voices.CosyVoiceLibrary
+        n_slots: int = 8,
+        chunk: int = 16,
+        prompt_cap: int = 128,
+        max_new_tokens: int = 2048,
+        top_k: int = 25,
+        top_p: float = 0.8,
+        warmup: bool = False,
+    ):
+        from rwkvtts_tpu.serving.cosy_pool import CosyStreamHub
+
+        self.pipeline = pipeline
+        self.voices = voices
+        self.speakers = _CosyVoiceNames(voices)
+        self.max_new_tokens = max_new_tokens
+        self.hub = CosyStreamHub(
+            pipeline, n_slots=n_slots, chunk=chunk, prompt_cap=prompt_cap,
+            top_k=top_k, top_p=top_p, warmup=warmup,
+        )
+
+    def close(self):
+        self.hub.close()
+
+    def stats(self) -> Dict[str, Any]:
+        b = self.hub.batcher
+        return {
+            "mode": "cosy_pool",
+            "n_slots": b.n_slots,
+            "chunk": b.chunk,
+            "active": sum(1 for s in b._slots if s.req_id is not None),
+            "queued": len(b._queue),
+        }
+
+    def _voice_kw(self, req: TTSRequest) -> Dict[str, Any]:
+        if req.prompt_wav is not None:
+            return {"prompt_wav": req.prompt_wav,
+                    "prompt_text": req.prompt_text or ""}
+        if req.speaker:
+            if self.voices is None:
+                raise ValueError("named speakers need a voice library")
+            try:
+                v = self.voices.get(req.speaker)
+            except KeyError:
+                raise ValueError(f"unknown speaker: {req.speaker!r}") from None
+            return {
+                "prompt_speech_tokens": v["tokens"], "prompt_mel": v["mel"],
+                "spk_embedding": v["emb"],
+                "prompt_text": req.prompt_text or v.get("text", ""),
+            }
+        if req.global_tokens or req.properties:
+            raise ValueError(
+                "the Cosy service takes prompt_wav or a stored speaker "
+                "voice (global_tokens/properties are Spark-voice concepts)"
+            )
+        return {"prompt_text": req.prompt_text or ""}
+
+    def stream(self, req: TTSRequest, hop_tokens: int = 50):
+        if self.pipeline.flow_cfg is None or self.pipeline.hift_cfg is None:
+            raise RuntimeError(
+                "cosy serving needs flow.pt + hift.pt for wav output "
+                "(pass --cosy-dir with the CosyVoice2 model files)"
+            )
+        cap = min(req.max_new_tokens or self.max_new_tokens,
+                  self.max_new_tokens)
+        yield from self.hub.stream(
+            req.text, hop_tokens=hop_tokens, seed=req.seed,
+            max_new_tokens=cap, **self._voice_kw(req),
+        )
+
+    def synthesize(self, req: TTSRequest, timeout: float = 300.0) -> TTSResponse:
+        sr = getattr(self.pipeline, "sample_rate", 24000)
+        try:
+            chunks = list(self.stream(req))
+            wav = (np.concatenate(chunks) if chunks
+                   else np.zeros(0, np.float32))
+            return TTSResponse(wav, sr)
+        except Exception as e:  # noqa: BLE001 — service must answer
+            return TTSResponse(np.zeros(0, np.float32), sr, error=str(e))
+
+
 def stream_wav_header(sample_rate: int, channels: int = 1) -> bytes:
     """WAV header with an unknown (maximal) data length — the standard
     streaming-WAV trick: players start decoding immediately and read until
