@@ -104,6 +104,27 @@ def xy_to_fla(params: Params, cfg) -> Dict[str, np.ndarray]:
     return sd
 
 
+def asr_to_fla(params: Params, cfg) -> Dict[str, np.ndarray]:
+    """ASR model -> one state_dict: `audio_lm.`-prefixed adapter (with its
+    discrete-variant embedding), `llm.`-prefixed backbone, and the
+    projector(s) in torch Linear convention. The whisper tower is NOT
+    exported — the reference reloads it from HF at import time too
+    (utils/export_rwkv_asr_audio_lm.py:26-44 saves audio_lm +
+    projector1/projector2.pt only)."""
+    sd: Dict[str, np.ndarray] = {}
+    T = lambda x: np.ascontiguousarray(np.asarray(x, np.float32).T)
+    for k, v in rwkv7_to_fla(params["adapter"], cfg.adapter).items():
+        sd[f"audio_lm.{k}"] = v
+    for k, v in rwkv7_to_fla(params["llm"], cfg.llm).items():
+        sd[f"llm.{k}"] = v
+    sd["projector.weight"] = T(params["projector"]["w"])
+    sd["projector.bias"] = np.asarray(params["projector"]["b"], np.float32)
+    if "projector1" in params:
+        sd["projector1.weight"] = T(params["projector1"]["w"])
+        sd["projector1.bias"] = np.asarray(params["projector1"]["b"], np.float32)
+    return sd
+
+
 def save_safetensors(sd: Mapping[str, np.ndarray], path: str, metadata=None):
     from safetensors.numpy import save_file
 
@@ -146,6 +167,17 @@ def save_pretrained(params: Params, cfg, out_dir: str, kind: str = "spark") -> s
             "num_channels": cfg.num_channels,
             "speech_vocab_size": cfg.speech_vocab_size,
             "text_shift_size": cfg.text_shift_size,
+        }
+    elif kind == "asr":
+        sd = asr_to_fla(params, cfg)
+        config = {
+            "model_type": "rwkv7",
+            "architectures": ["RWKV7ASRModel"],
+            "hidden_size": cfg.llm.hidden_size,
+            "num_hidden_layers": cfg.llm.num_layers,
+            "adapter_hidden_size": cfg.adapter.hidden_size,
+            "adapter_num_layers": cfg.adapter.num_layers,
+            "variant": cfg.variant,
         }
     else:
         sd = rwkv7_to_fla(params, cfg)

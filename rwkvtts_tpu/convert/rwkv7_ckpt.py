@@ -173,10 +173,17 @@ def _fill_layer0_vlora(blocks, cfg: rwkv7.RWKV7Config):
     (ignored) placeholders there for uniformity."""
     b0 = blocks[0]["att"]
     if "v0" not in b0:
-        ref = next(b for b in blocks if "v0" in b["att"])["att"]
-        b0["v0"] = np.zeros_like(ref["v0"])
-        b0["v1"] = np.zeros_like(ref["v1"])
-        b0["v2"] = np.zeros_like(ref["v2"])
+        ref = next((b for b in blocks if "v0" in b["att"]), None)
+        if ref is not None:
+            ref = ref["att"]
+            b0["v0"] = np.zeros_like(ref["v0"])
+            b0["v1"] = np.zeros_like(ref["v1"])
+            b0["v2"] = np.zeros_like(ref["v2"])
+        else:  # single-layer model: no layer carries a v-lora at all
+            C = cfg.hidden_size
+            b0["v0"] = np.zeros((C,), np.float32)
+            b0["v1"] = np.zeros((C, cfg.v_lora), np.float32)
+            b0["v2"] = np.zeros((cfg.v_lora, C), np.float32)
     return blocks
 
 

@@ -71,6 +71,26 @@ def xy_from_pretrained_sd(sd: SD, cfg) -> Params:
     return p
 
 
+def asr_from_pretrained_sd(sd: SD, cfg) -> Params:
+    """ASR export (convert/export_hf.asr_to_fla layout) -> asr params.
+    The whisper tower is loaded separately from HF, the reference's own
+    deployment contract (utils/export_rwkv_asr_audio_lm.py:26-44)."""
+    p: Params = {
+        "adapter": rwkv7_ckpt.fla_to_rwkv7(sd, cfg.adapter, prefix="audio_lm."),
+        "llm": rwkv7_ckpt.fla_to_rwkv7(sd, cfg.llm, prefix="llm."),
+        "projector": {
+            "w": np.ascontiguousarray(np.asarray(sd["projector.weight"]).T),
+            "b": np.asarray(sd["projector.bias"]),
+        },
+    }
+    if "projector1.weight" in sd:
+        p["projector1"] = {
+            "w": np.ascontiguousarray(np.asarray(sd["projector1.weight"]).T),
+            "b": np.asarray(sd["projector1.bias"]),
+        }
+    return p
+
+
 # ---------------------------------------------------------------------------
 # Init-from-text surgery
 

@@ -513,6 +513,11 @@ def wkv7_chunked_sp(
     of every heavy tensor inherits that sharding through the reshape and
     the only cross-device dataflow is the (B,H,N,N) compose scan — context
     parallelism for the linear-state recurrence (see block comment above).
+
+    Sharded-T caveat: keep T a multiple of chunk*spans. Values stay exact
+    regardless (padding is handled), but a padded tail shifts the
+    span-reshape off the shard boundaries, so GSPMD reshards the heavy
+    tensors instead of keeping spans device-local (train/cli.py warns).
     """
     B, T, H, N = r.shape
     out_dtype = v.dtype

@@ -29,6 +29,7 @@ import numpy as np
 
 from rwkvtts_tpu.models import rwkv7, spark
 from rwkvtts_tpu.ops import sampling
+from rwkvtts_tpu.serving import pool_common
 
 
 @dataclasses.dataclass
@@ -276,7 +277,9 @@ class ContinuousBatcher:
             rid, prompt_batch, max_new_tokens,
             self.temperature if temperature is None else float(temperature),
             self.top_p if top_p is None else float(top_p),
-            self.seed if seed is None else int(seed),
+            # int32-safe: an oversized client seed must not OverflowError
+            # on the dispatcher thread (pool_common.clamp_seed)
+            pool_common.clamp_seed(self.seed if seed is None else seed),
         ))
         return rid
 
@@ -294,8 +297,10 @@ class ContinuousBatcher:
         traffic can reach so a long prompt never compiles at admission
         time), the insert loop, the decode chunk, and the retire-by-cap
         flag update. One-time cost (persisted by the jit cache); call
-        before taking traffic so admissions never stall on a compile."""
-        for width in prompt_widths or [self.prompt_cap]:
+        before taking traffic so admissions never stall on a compile.
+        Widths round up to the admission buckets (prompt_cap doubled), so
+        --warmup-widths 200 warms the width-256 program real prompts use."""
+        for width in pool_common.warmup_widths(prompt_widths, self.prompt_cap):
             dummy = {
                 "tokens": np.zeros((1, width), np.int32),
                 "modality": np.zeros((1, width), np.int32),
@@ -330,19 +335,7 @@ class ContinuousBatcher:
     # -- engine -----------------------------------------------------------
 
     def _pad_prompt(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-        # numpy-only: eager device ops here would cost one host<->device
-        # round trip EACH (the dominant serving overhead on remote TPU)
-        T = batch["tokens"].shape[1]
-        cap = self.prompt_cap
-        while cap < T:
-            cap *= 2
-        pad = cap - T
-        return {
-            # int32-normalized: a stray int64 batch would silently compile
-            # a SECOND prefill program per bucket size (~1 min each here)
-            k: np.pad(np.asarray(v, np.int32), ((0, 0), (pad, 0)))
-            for k, v in batch.items()
-        }
+        return pool_common.pad_prompt(batch, self.prompt_cap)
 
     def _admit(self):
         """Admit as many queued requests as there are free slots with ONE
@@ -368,14 +361,7 @@ class ContinuousBatcher:
         svec = np.zeros((bucket,), np.int32)
         for j, (_, _, _, t, p, s) in enumerate(reqs):
             tvec[j], pvec[j], svec[j] = t, p, s
-        cap = max(p["tokens"].shape[1] for p in pbs)
-        stacked = {
-            k: np.concatenate(
-                [np.pad(p[k], ((0, 0), (cap - p[k].shape[1], 0))) for p in pbs],
-                axis=0,
-            )
-            for k in pbs[0]
-        }
+        stacked = pool_common.stack_admission(pbs)
         hk, stk = self._prefill(
             self.params, self.cfg, stacked["tokens"], stacked["modality"],
             stacked["attention_mask"],

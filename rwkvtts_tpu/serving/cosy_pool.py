@@ -32,6 +32,7 @@ import numpy as np
 
 from rwkvtts_tpu.models import cosy, rwkv7
 from rwkvtts_tpu.ops import sampling
+from rwkvtts_tpu.serving import pool_common
 
 
 @dataclasses.dataclass
@@ -190,8 +191,11 @@ class CosyPoolBatcher:
         rid = self._next_id
         self._next_id += 1
         self._queue.append((
-            rid, prompt_batch, max_new_tokens, min_new_tokens,
-            self.seed if seed is None else int(seed),
+            rid, prompt_batch, max_new_tokens,
+            # int32-safe: oversized client values must not OverflowError
+            # on the pool thread at admission (pool_common)
+            pool_common.clamp_i32(min_new_tokens),
+            pool_common.clamp_seed(self.seed if seed is None else seed),
         ))
         return rid
 
@@ -199,8 +203,9 @@ class CosyPoolBatcher:
         return not self._queue and all(s.req_id is None for s in self._slots)
 
     def warmup(self, prompt_widths: Optional[List[int]] = None):
-        """Precompile every program (see continuous.ContinuousBatcher)."""
-        for width in prompt_widths or [self.prompt_cap]:
+        """Precompile every program (see continuous.ContinuousBatcher);
+        widths round up to the admission buckets."""
+        for width in pool_common.warmup_widths(prompt_widths, self.prompt_cap):
             dummy = {
                 "tokens": np.zeros((1, width), np.int32),
                 "modality": np.zeros((1, width), np.int32),
@@ -232,15 +237,7 @@ class CosyPoolBatcher:
     # -- engine -----------------------------------------------------------
 
     def _pad_prompt(self, batch):
-        T = batch["tokens"].shape[1]
-        cap = self.prompt_cap
-        while cap < T:
-            cap *= 2
-        pad = cap - T
-        return {
-            k: np.pad(np.asarray(v, np.int32), ((0, 0), (pad, 0)))
-            for k, v in batch.items()
-        }
+        return pool_common.pad_prompt(batch, self.prompt_cap)
 
     def _admit(self):
         free = [i for i, s in enumerate(self._slots) if s.req_id is None]
@@ -259,14 +256,7 @@ class CosyPoolBatcher:
         svec = np.zeros((bucket,), np.int32)
         for j, (_, _, _, mn, s) in enumerate(reqs):
             minvec[j], svec[j] = mn, s
-        cap = max(p["tokens"].shape[1] for p in pbs)
-        stacked = {
-            k: np.concatenate(
-                [np.pad(p[k], ((0, 0), (cap - p[k].shape[1], 0))) for p in pbs],
-                axis=0,
-            )
-            for k in pbs[0]
-        }
+        stacked = pool_common.stack_admission(pbs)
         hk, stk = self._prefill(
             self.params, self.cfg, stacked["tokens"], stacked["modality"],
             stacked["attention_mask"],
@@ -347,14 +337,14 @@ class CosyStreamHub:
 
     def __init__(self, pipeline, n_slots: int = 8, chunk: int = 16,
                  prompt_cap: int = 128, top_k: int = 25, top_p: float = 0.8,
-                 warmup: bool = False):
+                 warmup: bool = False, warmup_widths=None):
         self.pipe = pipeline
         self.batcher = CosyPoolBatcher(
             pipeline.lm_params, pipeline.lm_cfg, n_slots=n_slots,
             chunk=chunk, prompt_cap=prompt_cap, top_k=top_k, top_p=top_p,
         )
         if warmup:
-            self.batcher.warmup()
+            self.batcher.warmup(warmup_widths)
         self._sinks: Dict[int, "queue.Queue"] = {}
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -369,7 +359,21 @@ class CosyStreamHub:
         # unblock any consumer still waiting on its queue
         with self._lock:
             for q in self._sinks.values():
-                q.put((np.zeros((0,), np.int64), True))
+                q.put((np.zeros((0,), np.int64), True, "hub closed"))
+
+    def _fail_all(self, err: str):
+        """Pool-level failure containment: answer every live stream with
+        the error and reset the engine, instead of dying silently and
+        hanging every q.get() forever (the dispatcher-thread analogue of
+        ContinuousTTSService._run's containment)."""
+        with self._lock:
+            sinks = dict(self._sinks)
+            b = self.batcher
+            b._queue.clear()
+            b._slots = [_Slot() for _ in range(b.n_slots)]
+            b._carry = b._fresh_carry()
+        for q in sinks.values():
+            q.put((np.zeros((0,), np.int64), True, err))
 
     def _run(self):
         while not self._stop.is_set():
@@ -379,12 +383,16 @@ class CosyStreamHub:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
                 continue
-            with self._lock:
-                events = self.batcher.step()
+            try:
+                with self._lock:
+                    events = self.batcher.step()
+            except Exception as e:  # noqa: BLE001 — the pump must survive
+                self._fail_all(f"pool decode failed: {e}")
+                continue
             for rid, new, done in events:
                 q = self._sinks.get(rid)
                 if q is not None:
-                    q.put((new, done))
+                    q.put((new, done, None))
 
     def stream(
         self,
@@ -397,9 +405,13 @@ class CosyStreamHub:
         hop_tokens: int = 25,
         seed: int = 0,
         max_new_tokens: int = 2048,
+        timeout: Optional[float] = None,
     ) -> Generator[np.ndarray, None, None]:
         """One streaming utterance; safe to call from many threads at once.
-        Mirrors infer/streaming.stream_synthesize, LM stage pooled."""
+        Mirrors infer/streaming.stream_synthesize, LM stage pooled.
+        `timeout` bounds the WHOLE stream (seconds); on expiry the request
+        is cancelled and a TimeoutError raised. A pool-level decode failure
+        surfaces as RuntimeError instead of a silent hang."""
         from rwkvtts_tpu.data import cosy_collator
         from rwkvtts_tpu.data.spark_collator import pad_prompts_left
         from rwkvtts_tpu.infer import streaming
@@ -431,9 +443,20 @@ class CosyStreamHub:
         self._wake.set()
         tokens = np.zeros((0,), np.int64)
         done = False
+        deadline = None if timeout is None else time.monotonic() + timeout
         try:
             while True:
-                new, done = q.get()
+                try:
+                    new, done, err = q.get(
+                        timeout=None if deadline is None
+                        else max(deadline - time.monotonic(), 0.001)
+                    )
+                except queue.Empty:
+                    raise TimeoutError(
+                        f"stream exceeded {timeout}s"
+                    ) from None
+                if err is not None:
+                    raise RuntimeError(err)
                 if len(new):
                     tokens = np.concatenate([tokens, new])
                 yield from sess.emit_ready(tokens, lm_done=done)

@@ -238,6 +238,10 @@ def main(argv=None):
             top_k=args.top_k if args.top_k is not None else 25,
             top_p=args.top_p if args.top_p is not None else 0.8,
             warmup=not args.no_warmup,
+            warmup_widths=(
+                [int(w) for w in args.warmup_widths.split(",")]
+                if args.warmup_widths else None
+            ),
         )
         http_server.serve(tts, args.host, args.port)
         return

@@ -514,6 +514,7 @@ class CosyTTSService:
         top_k: int = 25,
         top_p: float = 0.8,
         warmup: bool = False,
+        warmup_widths=None,
     ):
         from rwkvtts_tpu.serving.cosy_pool import CosyStreamHub
 
@@ -524,6 +525,7 @@ class CosyTTSService:
         self.hub = CosyStreamHub(
             pipeline, n_slots=n_slots, chunk=chunk, prompt_cap=prompt_cap,
             top_k=top_k, top_p=top_p, warmup=warmup,
+            warmup_widths=warmup_widths,
         )
 
     def close(self):
@@ -562,7 +564,8 @@ class CosyTTSService:
             )
         return {"prompt_text": req.prompt_text or ""}
 
-    def stream(self, req: TTSRequest, hop_tokens: int = 50):
+    def stream(self, req: TTSRequest, hop_tokens: int = 50,
+               timeout: Optional[float] = None):
         if self.pipeline.flow_cfg is None or self.pipeline.hift_cfg is None:
             raise RuntimeError(
                 "cosy serving needs flow.pt + hift.pt for wav output "
@@ -572,13 +575,15 @@ class CosyTTSService:
                   self.max_new_tokens)
         yield from self.hub.stream(
             req.text, hop_tokens=hop_tokens, seed=req.seed,
-            max_new_tokens=cap, **self._voice_kw(req),
+            max_new_tokens=cap, timeout=timeout, **self._voice_kw(req),
         )
 
     def synthesize(self, req: TTSRequest, timeout: float = 300.0) -> TTSResponse:
         sr = getattr(self.pipeline, "sample_rate", 24000)
         try:
-            chunks = list(self.stream(req))
+            # the timeout bounds the whole request (the BatchedTTSService
+            # contract); expiry cancels the slot and answers with an error
+            chunks = list(self.stream(req, timeout=timeout))
             wav = (np.concatenate(chunks) if chunks
                    else np.zeros(0, np.float32))
             return TTSResponse(wav, sr)

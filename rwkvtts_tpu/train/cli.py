@@ -80,10 +80,14 @@ def build_model(task: str, args):
     if task == "asr":
         from rwkvtts_tpu.models import asr
 
+        # the shared kw (head_size, wkv_spans, TPU kernel defaults) flows
+        # into BOTH towers — --mesh sp=N must reach every wkv call or the
+        # T-sharded chunk scan silently gathers cross-device (review r3)
+        akw = {k: v for k, v in kw.items()
+               if k not in ("hidden_size", "num_layers", "dtype")}
         cfg = asr.default_config(
             hidden_size=args.hidden, num_layers=args.layers,
-            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-            head_size=args.head_size,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32, **akw,
         )
         return cfg, asr.init_params(key, cfg)
     if task == "s2s":
@@ -99,11 +103,12 @@ def build_model(task: str, args):
     if task == "tts_two_tower":
         from rwkvtts_tpu.models import tts_two_tower as tt
 
+        tkw = {k: v for k, v in kw.items()
+               if k not in ("hidden_size", "num_layers", "dtype")}
         cfg = tt.default_config(
             text_hidden=args.hidden, text_layers=args.layers,
             audio_hidden=args.hidden, audio_layers=args.layers,
-            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-            head_size=args.head_size,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32, **tkw,
         )
         return cfg, tt.init_params(key, cfg)
     raise ValueError(f"unknown task {task}")
@@ -251,10 +256,29 @@ def main(argv=None):
         bad = set(mesh_shape) - {"dp", "fsdp", "tp", "sp"}
         if bad:
             p.error(f"--mesh: unknown axes {sorted(bad)}")
-        if mesh_shape.get("sp", 1) > 1 and args.wkv_spans is None:
-            # the time axis shards over sp in wkv_spans pieces
-            args.wkv_spans = mesh_shape["sp"]
+        sp = mesh_shape.get("sp", 1)
+        if sp > 1:
+            if args.wkv_spans is None:
+                # the time axis shards over sp in wkv_spans pieces
+                args.wkv_spans = sp
+            elif args.wkv_spans % sp != 0:
+                # spans that don't tile the sp shards would silently
+                # reshard every heavy tensor instead of staying local
+                p.error(
+                    f"--wkv-spans {args.wkv_spans} must be a multiple of "
+                    f"the mesh sp={sp}"
+                )
     cfg, params = build_model(args.task, args)
+    if mesh_shape and mesh_shape.get("sp", 1) > 1:
+        bb = getattr(cfg, "backbone", None) or getattr(cfg, "llm", cfg)
+        unit = bb.wkv_chunk * bb.wkv_spans
+        if args.pad_to and args.pad_to % unit != 0:
+            log.warning(
+                "--pad-to %d is not a multiple of wkv_chunk*wkv_spans=%d: "
+                "the padded tail breaks span/shard alignment and the sp "
+                "path degenerates to cross-device gathers (still correct, "
+                "just slow) — pick a multiple", args.pad_to, unit,
+            )
 
     if args.warm_start:
         from rwkvtts_tpu.convert import rwkv7_ckpt, speech_init

@@ -117,10 +117,9 @@ def test_pool_cancel_frees_slot(lm):
     assert cb.idle()
 
 
-def test_hub_concurrent_streams_match_solo(lm):
-    """Two streams running CONCURRENTLY through the hub produce exactly the
-    wav each produces when streamed alone (pool cohabitation is inaudible).
-    Reuses the tiny flow/HiFT stack from tests/test_streaming.py."""
+@pytest.fixture(scope="module")
+def tiny_pipe(lm):
+    """Tiny LM + flow/HiFT CosyPipeline for hub-level tests."""
     from rwkvtts_tpu.codecs import conformer, flow as flow_lib, hift as hift_lib
     from rwkvtts_tpu.infer.cosy_pipeline import CosyPipeline
 
@@ -149,11 +148,17 @@ def test_hub_concurrent_streams_match_solo(lm):
         f0_cond_channels=16,
     )
     hparams = hift_lib.init_params(jax.random.PRNGKey(2), hcfg)
-    pipe = CosyPipeline(
+    return CosyPipeline(
         cfg, params, FakeTok(),
         flow_cfg=fcfg, flow_params=fparams,
         hift_cfg=hcfg, hift_params=hparams,
     )
+
+
+def test_hub_concurrent_streams_match_solo(tiny_pipe):
+    """Two streams running CONCURRENTLY through the hub produce exactly the
+    wav each produces when streamed alone (pool cohabitation is inaudible)."""
+    pipe = tiny_pipe
 
     def collect_solo(text, seed):
         hub = CosyStreamHub(pipe, n_slots=2, chunk=4, prompt_cap=32)
@@ -193,3 +198,41 @@ def test_hub_concurrent_streams_match_solo(lm):
 
     np.testing.assert_allclose(results["a"], solo_a, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(results["b"], solo_b, rtol=1e-5, atol=1e-6)
+
+
+def test_hub_pump_failure_surfaces_and_recovers(tiny_pipe):
+    """A decode failure on the pump thread must NOT silently hang every
+    stream: live consumers get a RuntimeError and the pool resets so the
+    next request works."""
+    hub = CosyStreamHub(tiny_pipe, n_slots=2, chunk=4, prompt_cap=32)
+    try:
+        boom = {"armed": True}
+        orig_step = hub.batcher.step
+
+        def flaky_step():
+            if boom["armed"]:
+                boom["armed"] = False
+                raise RuntimeError("injected device fault")
+            return orig_step()
+
+        hub.batcher.step = flaky_step
+        with pytest.raises(RuntimeError, match="injected device fault"):
+            list(hub.stream("hello", hop_tokens=4, seed=7,
+                            max_new_tokens=12))
+        # the pool reset: a fresh stream completes normally
+        chunks = list(hub.stream("hello", hop_tokens=4, seed=7,
+                                 max_new_tokens=12))
+        assert all(np.isfinite(c).all() for c in chunks)
+    finally:
+        hub.close()
+
+
+def test_hub_oversized_seed_is_clamped_not_fatal(tiny_pipe):
+    """|seed| >= 2**31 must not OverflowError on the pump thread."""
+    hub = CosyStreamHub(tiny_pipe, n_slots=1, chunk=4, prompt_cap=32)
+    try:
+        chunks = list(hub.stream("hello", hop_tokens=4, seed=2**31 + 7,
+                                 max_new_tokens=8))
+        assert all(np.isfinite(c).all() for c in chunks)
+    finally:
+        hub.close()

@@ -54,3 +54,49 @@ def test_spark_save_pretrained(tmp_path):
 
     cfgj = json.load(open(os.path.join(out, "config.json")))
     assert cfgj["architectures"] == ["RWKV7ForSpeech"]
+
+
+def test_asr_save_pretrained_roundtrip(tmp_path):
+    """ASR export (audio_lm + llm + projectors, whisper tower excluded —
+    the reference's own contract, export_rwkv_asr_audio_lm.py:26-44)
+    round-trips exactly and the re-imported model transcribes identically."""
+    import pytest
+
+    pytest.importorskip("safetensors")
+    from rwkvtts_tpu.models import asr, whisper
+
+    llm = rwkv7.RWKV7Config(
+        vocab_size=65536, hidden_size=32, num_layers=2, head_size=8,
+        gate_lora=8, dtype=jnp.float32, wkv_chunk=4, remat=False,
+    )
+    adapter = rwkv7.RWKV7Config(
+        vocab_size=8193, hidden_size=16, num_layers=1, head_size=8,
+        gate_lora=8, dtype=jnp.float32, wkv_chunk=4, remat=False,
+        with_head=False, with_embedding=False,
+    )
+    wcfg = whisper.WhisperEncoderConfig(
+        n_mels=8, d_model=16, heads=2, layers=1, ffn_dim=32,
+    )
+    cfg = asr.ASRConfig(llm=llm, adapter=adapter, variant="whisper",
+                        whisper=wcfg)
+    params = asr.init_params(jax.random.PRNGKey(3), cfg)
+    out = export_hf.save_pretrained(params, cfg, str(tmp_path / "a"), kind="asr")
+
+    from rwkvtts_tpu.codecs.torch_import import load_safetensors
+
+    sd = load_safetensors(str(tmp_path / "a" / "model.safetensors"))
+    back = speech_init.asr_from_pretrained_sd(sd, cfg)
+    np.testing.assert_allclose(
+        np.asarray(params["projector"]["w"]), back["projector"]["w"], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["projector1"]["w"]), back["projector1"]["w"], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["llm"]["head"]), back["llm"]["head"], atol=1e-6
+    )
+    # adapter blocks round-trip (layer-0 v-lora rows are synthesized)
+    np.testing.assert_allclose(
+        np.asarray(params["adapter"]["blocks"]["att"]["key"]),
+        back["adapter"]["blocks"]["att"]["key"], atol=1e-6,
+    )
