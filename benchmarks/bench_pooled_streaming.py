@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--layers", type=int, default=12)
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--int4", action="store_true")
+    ap.add_argument("--overlap", action="store_true",
+                    help="double-buffered chunks (token-identical; hides "
+                         "the per-chunk host sync behind device compute)")
     ap.add_argument("--tiny", action="store_true",
                     help="toy LM/flow/HiFT dims for a CPU smoke run")
     ap.add_argument("--cpu", action="store_true",
@@ -110,7 +113,8 @@ def main():
     text = text[: args.text_len]
 
     hub = CosyStreamHub(
-        pipe, n_slots=args.slots, chunk=args.chunk, warmup=True
+        pipe, n_slots=args.slots, chunk=args.chunk, warmup=True,
+        overlap=args.overlap,
     )
 
     def drive(n_streams, record):
@@ -140,7 +144,8 @@ def main():
             out = {
                 "bench": f"pooled_streaming_{args.hidden}x{args.layers}"
                 + ("_int8" if args.int8 else "")
-                + ("_int4" if args.int4 else ""),
+                + ("_int4" if args.int4 else "")
+                + ("_overlap" if args.overlap else ""),
                 "streams": n_streams,
                 "slots": args.slots,
                 "ttfa_ms_p50": round(tt[len(tt) // 2], 0) if tt else None,

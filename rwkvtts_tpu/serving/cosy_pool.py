@@ -140,6 +140,7 @@ class CosyPoolBatcher:
         win_size: int = 10,
         tau_r: float = 0.1,
         seed: int = 0,
+        overlap: bool = False,
     ):
         self.cfg = cfg
         bb = cfg.backbone
@@ -157,6 +158,16 @@ class CosyPoolBatcher:
             Tuple[int, Dict[str, np.ndarray], int, int, int]
         ] = []
         self._slots = [_Slot() for _ in range(n_slots)]
+        # overlap mode (continuous.py's double-buffering, same proof):
+        # dispatch chunk N+1 BEFORE syncing chunk N's tokens, so the host
+        # transfer hides behind the device's next chunk. Token-identical —
+        # each row's key is a pure function of (request seed, step index).
+        # Trade: events arrive one chunk later.
+        self.overlap = overlap
+        # pending (tokens_on_device, owners-at-dispatch); stale owners are
+        # resolved via _active (request finished/cancelled meanwhile)
+        self._pending: Optional[Tuple[Any, List[Optional[int]]]] = None
+        self._active: Dict[int, _Slot] = {}
 
         def _prefill_packed(p, c, tokens, modality, mask):
             hk, st = cosy.prefill(p, c, tokens, modality, mask)
@@ -200,7 +211,11 @@ class CosyPoolBatcher:
         return rid
 
     def idle(self) -> bool:
-        return not self._queue and all(s.req_id is None for s in self._slots)
+        return (
+            not self._queue
+            and all(s.req_id is None for s in self._slots)
+            and self._pending is None
+        )
 
     def warmup(self, prompt_widths: Optional[List[int]] = None):
         """Precompile every program (see continuous.ContinuousBatcher);
@@ -267,24 +282,25 @@ class CosyPoolBatcher:
             np.asarray(slot_ids, np.int32), np.int32(take), minvec, svec,
         )
         for j, (rid, _, max_new, _, _) in enumerate(reqs):
-            self._slots[free[j]] = _Slot(req_id=rid, tokens=[], max_new=max_new)
+            rec = _Slot(req_id=rid, tokens=[], max_new=max_new)
+            self._slots[free[j]] = rec
+            self._active[rid] = rec  # shared record: slot index can go stale
 
-    def step(self) -> List[Tuple[int, np.ndarray, bool]]:
-        """Admit, decode one chunk, return (req_id, NEW tokens, done) per
-        active request — done requests' slots are freed."""
-        self._admit()
-        if all(s.req_id is None for s in self._slots):
-            return []
-        self._carry, toks_dev, _ = _decode_chunk(
-            self.params_l, self._carry, self.cfg, self.chunk,
-            self.top_k, self.top_p, self.win_size, self.tau_r,
-        )
-        toks = np.asarray(toks_dev)
+    def _process(
+        self, toks: np.ndarray, owners: List[Optional[int]]
+    ) -> List[Tuple[int, np.ndarray, bool]]:
+        """Turn one chunk's tokens into (rid, NEW tokens, done) events.
+        `owners` is the slot->rid map AT DISPATCH TIME: in overlap mode an
+        owner can be stale (finished/cancelled off an earlier chunk), in
+        which case its row is EOS padding and is discarded."""
         eos = self.cfg.eos_token_id
         events: List[Tuple[int, np.ndarray, bool]] = []
         capped = np.zeros(self.n_slots, bool)
-        for i, s in enumerate(self._slots):
-            if s.req_id is None:
+        for i, rid in enumerate(owners):
+            if rid is None:
+                continue
+            s = self._active.get(rid)
+            if s is None:
                 continue
             row = toks[i]
             hit = np.flatnonzero(row == eos)
@@ -293,19 +309,50 @@ class CosyPoolBatcher:
             new = new[:room]
             s.tokens.extend(int(t) for t in new)
             done = bool(hit.size) or len(s.tokens) >= s.max_new
-            events.append((s.req_id, new.astype(np.int64), done))
+            events.append((rid, new.astype(np.int64), done))
             if done:
-                self._slots[i] = _Slot()
+                self._active.pop(rid)
+                if self._slots[i].req_id == rid:
+                    self._slots[i] = _Slot()
                 if not hit.size:
                     capped[i] = True
         if capped.any():
             self._carry = _mark_done(self._carry, capped)
         return events
 
+    def step(self) -> List[Tuple[int, np.ndarray, bool]]:
+        """Admit, decode one chunk, return (req_id, NEW tokens, done) per
+        active request — done requests' slots are freed. With overlap=True
+        the returned events are the PREVIOUS chunk's (the fresh chunk syncs
+        on the next call while the device keeps working)."""
+        self._admit()
+        active = any(s.req_id is not None for s in self._slots)
+        if self.overlap:
+            pending, self._pending = self._pending, None
+            if active:
+                self._carry, toks_dev, _ = _decode_chunk(
+                    self.params_l, self._carry, self.cfg, self.chunk,
+                    self.top_k, self.top_p, self.win_size, self.tau_r,
+                )
+                self._pending = (toks_dev, [s.req_id for s in self._slots])
+            if pending is None:
+                return []
+            return self._process(np.asarray(pending[0]), pending[1])
+        if not active:
+            return []
+        self._carry, toks_dev, _ = _decode_chunk(
+            self.params_l, self._carry, self.cfg, self.chunk,
+            self.top_k, self.top_p, self.win_size, self.tau_r,
+        )
+        return self._process(
+            np.asarray(toks_dev), [s.req_id for s in self._slots]
+        )
+
     def cancel(self, rid: int) -> None:
         """Stop decoding a request (client went away): free its slot and
         flip the device done flag so it stops burning chunk work."""
         self._queue = [q for q in self._queue if q[0] != rid]
+        self._active.pop(rid, None)
         capped = np.zeros(self.n_slots, bool)
         for i, s in enumerate(self._slots):
             if s.req_id == rid:
@@ -337,11 +384,13 @@ class CosyStreamHub:
 
     def __init__(self, pipeline, n_slots: int = 8, chunk: int = 16,
                  prompt_cap: int = 128, top_k: int = 25, top_p: float = 0.8,
-                 warmup: bool = False, warmup_widths=None):
+                 warmup: bool = False, warmup_widths=None,
+                 overlap: bool = False):
         self.pipe = pipeline
         self.batcher = CosyPoolBatcher(
             pipeline.lm_params, pipeline.lm_cfg, n_slots=n_slots,
             chunk=chunk, prompt_cap=prompt_cap, top_k=top_k, top_p=top_p,
+            overlap=overlap,
         )
         if warmup:
             self.batcher.warmup(warmup_widths)
@@ -372,6 +421,8 @@ class CosyStreamHub:
             b._queue.clear()
             b._slots = [_Slot() for _ in range(b.n_slots)]
             b._carry = b._fresh_carry()
+            b._active.clear()
+            b._pending = None
         for q in sinks.values():
             q.put((np.zeros((0,), np.int64), True, err))
 

@@ -242,6 +242,7 @@ def main(argv=None):
                 [int(w) for w in args.warmup_widths.split(",")]
                 if args.warmup_widths else None
             ),
+            overlap=args.overlap,
         )
         http_server.serve(tts, args.host, args.port)
         return

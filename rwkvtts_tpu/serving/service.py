@@ -515,6 +515,7 @@ class CosyTTSService:
         top_p: float = 0.8,
         warmup: bool = False,
         warmup_widths=None,
+        overlap: bool = False,
     ):
         from rwkvtts_tpu.serving.cosy_pool import CosyStreamHub
 
@@ -525,7 +526,7 @@ class CosyTTSService:
         self.hub = CosyStreamHub(
             pipeline, n_slots=n_slots, chunk=chunk, prompt_cap=prompt_cap,
             top_k=top_k, top_p=top_p, warmup=warmup,
-            warmup_widths=warmup_widths,
+            warmup_widths=warmup_widths, overlap=overlap,
         )
 
     def close(self):

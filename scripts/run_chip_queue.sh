@@ -77,4 +77,6 @@ run python benchmarks/bench_pooled_streaming.py --hidden 2048 --layers 24 \
     --int8 --streams 8 --slots 8 --chunk 16
 run python benchmarks/bench_pooled_streaming.py --hidden 2048 --layers 24 \
     --int8 --streams 16 --slots 16 --chunk 16
+run python benchmarks/bench_pooled_streaming.py --hidden 2048 --layers 24 \
+    --int8 --streams 16 --slots 16 --chunk 16 --overlap
 echo "QUEUE DONE $(date)" >> "$L"

@@ -200,6 +200,27 @@ def test_hub_concurrent_streams_match_solo(tiny_pipe):
     np.testing.assert_allclose(results["b"], solo_b, rtol=1e-5, atol=1e-6)
 
 
+def test_pool_overlap_matches_sequential(lm):
+    """Overlap mode (dispatch chunk N+1 before syncing N) delivers
+    token-identical sequences: per-row keys are pure functions of each
+    request's (seed, step index), so the one-chunk-later slot free and
+    readmission cannot change any draw."""
+    cfg, params = lm
+
+    def run(overlap):
+        cb = CosyPoolBatcher(
+            params, cfg, n_slots=2, chunk=4, prompt_cap=32, overlap=overlap
+        )
+        rids = [
+            cb.add_request(_prompt(t), 10, min_new_tokens=2, seed=i)
+            for i, t in enumerate(("hello", "wxyz", "abc"))
+        ]
+        out = cb.drain()
+        return [out[r] for r in rids]
+
+    assert run(True) == run(False)
+
+
 def test_hub_pump_failure_surfaces_and_recovers(tiny_pipe):
     """A decode failure on the pump thread must NOT silently hang every
     stream: live consumers get a RuntimeError and the pool resets so the
