@@ -341,6 +341,9 @@ def main(argv=None):
         return
     if args.resume:
         tr.maybe_resume()
+    # preemptible-TPU safety: SIGTERM/SIGINT checkpoint mid-epoch position
+    # and exit cleanly; relaunch with --resume to continue
+    tr.install_preemption_handler()
     tr.fit(ds)
 
 

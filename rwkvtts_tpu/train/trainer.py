@@ -216,6 +216,23 @@ class Trainer:
         )
         log.info("saved checkpoint at step %d", step)
 
+    def install_preemption_handler(self, signals=None):
+        """Preemption-safe training: SIGTERM/SIGINT (the signals TPU pool
+        reclaims and schedulers deliver) request a checkpoint at the next
+        step boundary, then fit() returns cleanly — resume with --resume.
+        The reference has no preemption story at all (SURVEY §5: its fault
+        tolerance ends at NaN prints and dataset read retries)."""
+        import signal as _signal
+
+        self._preempted = False
+
+        def handler(signum, frame):
+            log.warning("signal %d: checkpointing at next step boundary", signum)
+            self._preempted = True
+
+        for s in signals or (_signal.SIGTERM, _signal.SIGINT):
+            _signal.signal(s, handler)
+
     def fit(self, dataset, demo_fn: Optional[Callable] = None, demo_every: int = 0):
         rng = jax.random.PRNGKey(self.tcfg.seed)
         step = int(self.state.step)
@@ -251,6 +268,13 @@ class Trainer:
                     log.info("step %d loss %.4f", step, loss)
                 if self.tcfg.save_steps and step % self.tcfg.save_steps == 0:
                     self.save(epoch, bi + 1)
+                if getattr(self, "_preempted", False):
+                    # mid-epoch position saved: --resume continues from the
+                    # NEXT batch of this epoch
+                    self.save(epoch, bi + 1)
+                    log.warning("preemption checkpoint saved; exiting fit()")
+                    self.logger.close()
+                    return self.state
                 if demo_fn is not None and demo_every and step % demo_every == 0:
                     try:
                         demo_fn(self.state.params, step)

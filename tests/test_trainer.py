@@ -192,3 +192,41 @@ def test_low_memory_optimizer_steps(setup, mode):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]  # same batch repeated: must descend
+
+
+def test_preemption_checkpoint_and_resume(tmp_path):
+    """SIGTERM-style preemption (the TPU-pool reclaim path): the trainer
+    checkpoints the mid-epoch position at the next step boundary, exits
+    fit() cleanly, and --resume continues from the NEXT batch."""
+    import os as _os
+    import signal
+    import threading
+
+    cfg = spark.default_config(
+        hidden_size=32, num_layers=2, head_size=8, gate_lora=8,
+        dtype=jnp.float32, wkv_chunk=16, remat=False, dropout=0.0,
+    )
+    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+    tcfg = trainer_lib.TrainerConfig(
+        run_dir=str(tmp_path), epochs=1, save_steps=0, log_every=100,
+        peak_lr=1e-3, final_lr=1e-4, warmup_steps=2, total_steps=20,
+        mesh_shape={"dp": 1},
+    )
+    tr = trainer_lib.Trainer(cfg, params, trainer_lib.spark_loss, tcfg)
+    tr.install_preemption_handler()
+    # deliver a real SIGTERM once the first step has run (the handler only
+    # sets a flag, so delivery timing is safe anywhere in the loop)
+    threading.Timer(
+        0.01, lambda: _os.kill(_os.getpid(), signal.SIGTERM)
+    ).start()
+    state = tr.fit(_dataset())
+    assert state is not None
+    saved_step = int(state.step)
+    assert 1 <= saved_step < 4  # stopped early, after a whole step
+
+    params2 = spark.init_params(jax.random.PRNGKey(7), cfg)
+    tr2 = trainer_lib.Trainer(cfg, params2, trainer_lib.spark_loss, tcfg)
+    assert tr2.maybe_resume()
+    assert int(tr2.state.step) == saved_step
+    final = tr2.fit(_dataset())
+    assert int(final.step) == 4  # completes the epoch from the saved batch
