@@ -286,3 +286,36 @@ def rwkv7_to_blinkdl(params: Params, cfg: rwkv7.RWKV7Config) -> Dict[str, np.nda
     if "head" in params:
         out["head.weight"] = np.ascontiguousarray(np.asarray(params["head"]).T)
     return out
+
+
+def cast_fp32_to_bf16(in_path: str, out_path: str) -> int:
+    """Rewrite a torch checkpoint with every fp32 tensor cast to bf16
+    (reference utils/convert_from_fp32_to_bf16.py — deploy-format prep for
+    the ChatRWKV/WebRWKV runtimes). Non-fp32 entries pass through. Returns
+    the number of tensors cast."""
+    import torch
+
+    sd = torch.load(in_path, map_location="cpu", weights_only=True)
+    n = 0
+    out = {}
+    for k, v in sd.items():
+        if getattr(v, "dtype", None) == torch.float32:
+            v = v.bfloat16()
+            n += 1
+        out[k] = v
+    torch.save(out, out_path)
+    return n
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser(description="checkpoint interchange utilities")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sc = sub.add_parser("cast-bf16", help="fp32 -> bf16 torch checkpoint")
+    sc.add_argument("input")
+    sc.add_argument("output")
+    args = p.parse_args()
+    if args.cmd == "cast-bf16":
+        n = cast_fp32_to_bf16(args.input, args.output)
+        print(f"cast {n} fp32 tensors -> {args.output}")

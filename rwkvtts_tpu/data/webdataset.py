@@ -33,12 +33,7 @@ def check_tar(path: str) -> bool:
 def _decode_member(name: str, data: bytes, sample: Dict[str, Any], sample_rate: int):
     ext = name.rsplit(".", 1)[-1].lower()
     if ext == "wav":
-        import tempfile
-
-        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-            f.write(data)
-            f.flush()
-            sample["audio"] = audio_io.load_wav(f.name, sample_rate)
+        sample["audio"] = audio_io.load_wav_bytes(data, sample_rate)
     elif ext == "json":
         sample.update(json.loads(data))
     elif ext in ("txt", "text"):

@@ -50,11 +50,33 @@ def load_wav(
 ) -> np.ndarray:
     """Read a (PCM) WAV file to float32 mono in [-1, 1]."""
     with wave.open(str(path), "rb") as w:
-        sr = w.getframerate()
-        n = w.getnframes()
-        width = w.getsampwidth()
-        channels = w.getnchannels()
-        raw = w.readframes(n)
+        return _decode_wave(w, sampling_rate, volume_normalize)
+
+
+def load_wav_bytes(
+    data: bytes,
+    sampling_rate: Optional[int] = None,
+    volume_normalize: bool = False,
+) -> np.ndarray:
+    """Decode in-memory WAV bytes (webdataset/parquet audio cells) to
+    float32 mono — the torch-free replacement for the reference's
+    `sf.read(io.BytesIO(...))` (data/utils/create_lm_corpus_from_raw.py:77-80)."""
+    import io
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        return _decode_wave(w, sampling_rate, volume_normalize)
+
+
+def _decode_wave(
+    w: "wave.Wave_read",
+    sampling_rate: Optional[int],
+    volume_normalize: bool,
+) -> np.ndarray:
+    sr = w.getframerate()
+    n = w.getnframes()
+    width = w.getsampwidth()
+    channels = w.getnchannels()
+    raw = w.readframes(n)
     if width == 2:
         audio = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
     elif width == 4:
