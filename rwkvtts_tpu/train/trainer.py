@@ -233,9 +233,30 @@ class Trainer:
         for s in signals or (_signal.SIGTERM, _signal.SIGINT):
             _signal.signal(s, handler)
 
+    def _drain_metrics(self, pending, all_of_them: bool = False):
+        """Materialize queued step metrics (forces a device sync on THAT
+        step). fit() keeps one step pending so the host prepares batch N+1
+        while the device still runs step N — `int(metrics[...])` every
+        step would fence the input pipeline on the step instead (JAX async
+        dispatch gives the overlap for free once the sync is deferred)."""
+        while pending and (all_of_them or len(pending) > 1):
+            pstep, metrics = pending.pop(0)
+            n_tok = int(metrics["tokens"])
+            kts = self.throughput.update(n_tok)
+            if pstep % self.tcfg.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                if kts is not None:
+                    m["kt_per_s"] = kts
+                self.logger.log(pstep, m, tokens=n_tok)
+                loss = m["loss"]
+                if not np.isfinite(loss):
+                    log.warning("non-finite loss %s at step %d", loss, pstep)
+                log.info("step %d loss %.4f", pstep, loss)
+
     def fit(self, dataset, demo_fn: Optional[Callable] = None, demo_every: int = 0):
         rng = jax.random.PRNGKey(self.tcfg.seed)
         step = int(self.state.step)
+        pending: list = []
         for epoch in range(self.start_epoch, self.tcfg.epochs):
             start_batch = self.start_batch if epoch == self.start_epoch else 0
             for bi, batch in enumerate(dataset.epoch(epoch, start_batch), start=start_batch):
@@ -255,22 +276,14 @@ class Trainer:
                 step_fn = self._step_for(static_meta)
                 self.state, metrics = step_fn(self.state, jb, sub)
                 step += 1
-                n_tok = int(metrics["tokens"])
-                kts = self.throughput.update(n_tok)
-                if step % self.tcfg.log_every == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
-                    if kts is not None:
-                        m["kt_per_s"] = kts
-                    self.logger.log(step, m, tokens=n_tok)
-                    loss = m["loss"]
-                    if not np.isfinite(loss):
-                        log.warning("non-finite loss %s at step %d", loss, step)
-                    log.info("step %d loss %.4f", step, loss)
+                pending.append((step, metrics))
+                self._drain_metrics(pending)
                 if self.tcfg.save_steps and step % self.tcfg.save_steps == 0:
                     self.save(epoch, bi + 1)
                 if getattr(self, "_preempted", False):
                     # mid-epoch position saved: --resume continues from the
                     # NEXT batch of this epoch
+                    self._drain_metrics(pending, all_of_them=True)
                     self.save(epoch, bi + 1)
                     log.warning("preemption checkpoint saved; exiting fit()")
                     self.logger.close()
@@ -280,6 +293,7 @@ class Trainer:
                         demo_fn(self.state.params, step)
                     except Exception as e:  # demos must never kill training
                         log.warning("demo generation failed: %s", e)
+            self._drain_metrics(pending, all_of_them=True)
             self.save(epoch + 1, 0)
         self.logger.close()
         return self.state
