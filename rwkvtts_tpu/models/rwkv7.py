@@ -282,12 +282,20 @@ def block_forward(
     layer_idx: jax.Array,
     v_first: jax.Array,
     st: Optional[Params] = None,
+    collect_states: bool = False,
 ):
     """One block over a full (B, T, C) sequence.
 
     st, when given, is this layer's slice of the model state:
     {'att_x': (B,C), 'wkv': (B,H,N,N), 'ffn_x': (B,C)}; the updated slice is
     returned (for prefill-then-decode).
+
+    collect_states=True (speculative-decode verification,
+    infer/spec_decode.py) returns the state AFTER EVERY position instead of
+    only the last: new_st keys gain a T axis ('att_x'/'ffn_x' (B,T,C),
+    'wkv' (B,T,H,N,N)); position j's slice is a valid decode state for
+    resuming after token j. Uses the exact per-step scan WKV (fp32 state,
+    same math as wkv7_step) — inference-only, T is small (the draft window).
     """
     B, T, C = x.shape
     H, N = cfg.num_heads, cfg.head_size
@@ -334,6 +342,40 @@ def block_forward(
 
     v = masked(v)
     shp = lambda u: u.reshape(B, T, H, N)
+    if collect_states:
+        kk = l2_normalize(
+            (k * cast(att["k_k"])).reshape(B, T, H, N)
+        ).reshape(B, T, C)
+        k = k * (1 + (a - 1) * cast(att["k_a"]))
+        y, all_wkv = wkv7_ops.wkv7_scan(
+            shp(r), shp(w_raw), shp(k), shp(v), shp(-kk), shp(kk * a),
+            state=None if st is None else st["wkv"],
+            resets=resets,
+            return_states=True,
+        )
+        y = y.reshape(B, T, C)
+        y = group_norm(
+            y, att["ln_x_scale"], att["ln_x_bias"], H, cfg.ln_x_eps
+        )
+        bonus = (
+            (r.reshape(B, T, H, N) * k.reshape(B, T, H, N) * cast(att["r_k"]))
+            .sum(-1, keepdims=True)
+            * v.reshape(B, T, H, N)
+        ).reshape(B, T, C)
+        y = y + bonus
+        att_out = (y * g) @ cast(att["output"])
+        x = x + att_out
+        ffn = bp["ffn"]
+        xn2 = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"], cfg.norm_eps)
+        xn2 = masked(xn2)
+        xx2 = _time_shift(xn2, None if st is None else st["ffn_x"]) - xn2
+        if resets is not None:
+            xx2 = jnp.where(resets[..., None], -xn2, xx2)
+        kf = xn2 + xx2 * cast(ffn["x_k"])
+        kf = jnp.square(jax.nn.relu(kf @ cast(ffn["key"])))
+        x = x + kf @ cast(ffn["value"])
+        new_st = {"att_x": xn, "wkv": all_wkv, "ffn_x": xn2}
+        return x, v_first, new_st
     if (
         cfg.wkv_spans == 1
         and cfg.wkv_fuse_prep
@@ -423,12 +465,18 @@ def forward(
     resets: Optional[jax.Array] = None,
     state: Optional[Params] = None,
     return_state: bool = False,
+    collect_states: bool = False,
 ):
     """Full-sequence forward. Returns hidden (B,T,C) [+ state].
 
     Layers run as a lax.scan over the stacked block params; the block body is
     rematerialized when cfg.remat (gradient checkpointing,
     reference train_..._properties.py:405-406 equivalent).
+
+    collect_states=True implies return_state and returns per-POSITION states:
+    every leaf of the returned state gains a T axis after the batch axis
+    (e.g. wkv (L,B,T,H,N,N)) — slice position j across the tree to resume
+    decoding after token j (speculative-decode verify, infer/spec_decode.py).
     """
     if inputs_embeds is None:
         inputs_embeds = embed(params, cfg, input_ids)
@@ -442,7 +490,8 @@ def forward(
         x, v_first = carry
         bp, lid, st = xs
         x, v_first, new_st = block_forward(
-            bp, cfg, x, attention_mask, resets, lid, v_first, st
+            bp, cfg, x, attention_mask, resets, lid, v_first, st,
+            collect_states=collect_states,
         )
         return (x, v_first), new_st
 
@@ -480,7 +529,7 @@ def forward(
             fn, (x, v0), (params["blocks"], layer_ids, state)
         )
     x = layer_norm(x, params["ln_out_scale"], params["ln_out_bias"], cfg.norm_eps)
-    if return_state:
+    if return_state or collect_states:
         return x, new_state
     return x
 

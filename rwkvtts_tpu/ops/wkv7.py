@@ -88,10 +88,14 @@ def wkv7_scan(
     b: jax.Array,
     state: Optional[jax.Array] = None,
     resets: Optional[jax.Array] = None,
+    return_states: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-step scan. Inputs (B, T, H, N); state (B, H, N, N) fp32.
 
-    Returns (y, final_state); y has the dtype of v.
+    Returns (y, final_state); y has the dtype of v. With
+    `return_states=True`, returns (y, all_states (B, T, H, N, N)) — the
+    state AFTER each position, used by speculative-decode verification
+    (infer/spec_decode.py) to roll back to the last accepted token.
     """
     B, T, H, N = r.shape
     if state is None:
@@ -114,11 +118,16 @@ def wkv7_scan(
             + vt[..., None] * kt[:, :, None, :]
         )
         y = jnp.einsum("bhij,bhj->bhi", s, rt)
-        return s, y
+        return s, (y, s) if return_states else y
 
     final_state, ys = jax.lax.scan(step, state, xs + (resets_t,))
+    if return_states:
+        ys, all_states = ys
     y = jnp.moveaxis(ys, 0, 1).reshape(B, T, H * N).astype(v.dtype)
-    return y.reshape(B, T, H, N), final_state
+    y = y.reshape(B, T, H, N)
+    if return_states:
+        return y, jnp.moveaxis(all_states, 0, 1)
+    return y, final_state
 
 
 # ---------------------------------------------------------------------------
