@@ -117,6 +117,60 @@ def test_collect_states_positions_match_incremental(setup):
             )
 
 
+def test_spec_sampling_degenerates_to_greedy(setup):
+    cfg, params = setup
+    tokens, modality, mask = _prompt(cfg)
+    n = 17
+    plain = _plain_greedy(params, cfg, tokens, modality, mask, n)
+    out, stats = spec_decode.spec_sample_generate(
+        params, cfg, tokens, modality, mask,
+        k=4, max_new_tokens=n, temperature=1e-6, top_k=1, top_p=1.0,
+        key=jax.random.PRNGKey(7),
+    )
+    np.testing.assert_array_equal(out, plain[: len(out)])
+    assert len(out) == len(plain)
+
+
+def test_spec_sampling_matches_plain_distribution(setup):
+    """The accept/residual rule must leave the sampled-token distribution
+    unchanged: the empirical distribution of the 3rd generated token over
+    many seeded runs matches plain sampling (total variation distance)."""
+    cfg, params = setup
+    tokens, modality, mask = _prompt(cfg)
+    n_trials = 300
+    kw = dict(temperature=1.0, top_k=4, top_p=0.9)
+
+    plain_counts: dict = {}
+    for i in range(n_trials):
+        toks, lengths = generate.spark_generate(
+            params, cfg, tokens, modality, mask,
+            jax.random.PRNGKey(20_000 + i), max_new_tokens=3, **kw,
+        )
+        if int(np.asarray(lengths)[0]) < 2:
+            continue  # EOS before position 2: spec runs drop these too
+        t = int(np.asarray(toks)[0, 2])
+        plain_counts[t] = plain_counts.get(t, 0) + 1
+
+    spec_counts: dict = {}
+    for i in range(n_trials):
+        out, _ = spec_decode.spec_sample_generate(
+            params, cfg, tokens, modality, mask,
+            k=2, max_new_tokens=3, key=jax.random.PRNGKey(10_000 + i), **kw,
+        )
+        if len(out) >= 3:
+            spec_counts[int(out[2])] = spec_counts.get(int(out[2]), 0) + 1
+
+    n_spec = sum(spec_counts.values())
+    n_plain = sum(plain_counts.values())
+    assert n_spec > n_trials * 0.5 and n_plain > n_trials * 0.5
+    support = set(plain_counts) | set(spec_counts)
+    tvd = 0.5 * sum(
+        abs(plain_counts.get(t, 0) / n_plain - spec_counts.get(t, 0) / n_spec)
+        for t in support
+    )
+    assert tvd < 0.15, (tvd, plain_counts, spec_counts)
+
+
 def test_select_position_gathers_per_row():
     leaf = jnp.arange(2 * 2 * 3 * 4, dtype=jnp.float32).reshape(2, 2, 3, 4)
     idx = jnp.array([0, 2])
