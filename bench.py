@@ -25,8 +25,16 @@ def main():
     from rwkvtts_tpu.models import spark
 
     # deployed-scale flagship: 0.4B-class (the reference ships 0.19B-1.5B
-    # LMs, Inference.md:19-44; round-2 VERDICT required benching >=0.4B)
-    cfg = spark.default_config(hidden_size=1024, num_layers=24)
+    # LMs, Inference.md:19-44; round-2 VERDICT required benching >=0.4B).
+    # decode_state_bf16 carries the WKV state bf16 between steps — the
+    # reference's own decode kernel carries fp16 state
+    # (cuda/rwkv7_state_fwd_fp16.cu), and the chip-level probe measured
+    # ZERO decision flips (teacher-forced AND free-running agreement
+    # 1.0000 over 256 steps, scripts/measure_int8_quality.py --state-bf16,
+    # PERF.md round 3), so this is the production decode config.
+    cfg = spark.default_config(
+        hidden_size=1024, num_layers=24, decode_state_bf16=True
+    )
     params = spark.init_params(jax.random.PRNGKey(0), cfg)
     # cast big tables to bf16 for the bandwidth-bound decode
     params = jax.tree.map(

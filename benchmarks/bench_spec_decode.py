@@ -54,6 +54,11 @@ def main():
     cfg = spark.default_config(hidden_size=args.hidden, num_layers=args.layers)
     params = spark.init_params(jax.random.PRNGKey(0), cfg)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    # bf16 weights (the decode bench convention) — the fp32 init tree at
+    # 1.4B is 5.7 GB and OOMed HBM alongside the packed/draft copies
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
+    )
     bb = cfg.backbone
 
     tokens = jax.random.randint(
@@ -65,12 +70,12 @@ def main():
     packed_fp = rwkv7.layer_decode_views(
         rwkv7.pack_decode_params(params, bb), bb
     )
-    packed_q = rwkv7.layer_decode_views(
-        rwkv7.pack_decode_params(
-            params, bb, quantize_int8=not args.int4, quantize_int4=args.int4
-        ),
-        bb,
+    # pack the draft tree ONCE and reuse it everywhere below — each pack
+    # materializes ~1.7 GB of quantized copies at 1.4B
+    draft_tree = rwkv7.pack_decode_params(
+        params, bb, quantize_int8=not args.int4, quantize_int4=args.int4
     )
+    packed_q = rwkv7.layer_decode_views(draft_tree, bb)
     qname = "int4" if args.int4 else "int8"
 
     h0, state0 = spark.prefill(params, cfg, tokens, modality, mask)
@@ -112,17 +117,13 @@ def main():
     # end-to-end at measured acceptance on these weights
     out, stats = spec_decode.spec_generate_greedy(
         params, cfg, tokens, modality, mask,
-        draft_params=rwkv7.pack_decode_params(
-            params, bb, quantize_int8=not args.int4, quantize_int4=args.int4
-        ),
+        draft_params=draft_tree,
         k=args.k, max_new_tokens=args.steps,
     )
     t0 = time.perf_counter()
     out, stats = spec_decode.spec_generate_greedy(
         params, cfg, tokens, modality, mask,
-        draft_params=rwkv7.pack_decode_params(
-            params, bb, quantize_int8=not args.int4, quantize_int4=args.int4
-        ),
+        draft_params=draft_tree,
         k=args.k, max_new_tokens=args.steps,
     )
     dt = time.perf_counter() - t0

@@ -48,6 +48,8 @@ class SparkPipeline:
         prompt_pad_multiple: int = 64,
         quantize_int8: bool = False,
         quantize_int4: bool = False,
+        spec_k: int = 0,
+        spec_draft: str = "int8",
     ):
         from rwkvtts_tpu.models import rwkv7
 
@@ -59,6 +61,28 @@ class SparkPipeline:
             lm_params, lm_cfg.backbone, quantize_int8=quantize_int8,
             quantize_int4=quantize_int4,
         )
+        # opt-in self-speculative B=1 decode (infer/spec_decode.py): a
+        # quantized DRAFT proposes spec_k tokens, one full-precision chunk
+        # forward verifies them — exact in distribution w.r.t. plain
+        # sampling. The verifier must stay full precision, so spec_k is
+        # mutually exclusive with quantize_* (those quantize the draft
+        # via spec_draft instead: "int8" | "int4" | "bf16").
+        self.spec_k = int(spec_k)
+        self.draft_params = None
+        if self.spec_k:
+            if quantize_int8 or quantize_int4:
+                raise ValueError(
+                    "spec_k verifies at full precision; quantization applies"
+                    " to the draft — use spec_draft instead of quantize_*"
+                )
+            if spec_draft not in ("int8", "int4", "bf16"):
+                raise ValueError(f"unknown spec_draft {spec_draft!r}")
+            self.draft_params = rwkv7.pack_decode_params(
+                lm_params,
+                lm_cfg.backbone,
+                quantize_int8=spec_draft == "int8",
+                quantize_int4=spec_draft == "int4",
+            )
         self.tok = text_tokenizer
         self.codec = audio_tokenizer
         self.sample_rate = sample_rate
@@ -144,22 +168,48 @@ class SparkPipeline:
         )
 
         t0 = time.perf_counter()
-        # chunked early-exit decode: a short utterance costs its own length
-        # plus at most one chunk, not max_new_tokens scan steps
-        toks, lengths = gen.spark_generate_early_exit(
-            self.params,
-            self.cfg,
-            jnp.asarray(batch["tokens"]),
-            jnp.asarray(batch["modality"]),
-            jnp.asarray(batch["attention_mask"]),
-            jax.random.PRNGKey(seed),
-            max_new_tokens=max_new_tokens,
-            temperature=temperature,
-            top_k=top_k,
-            top_p=top_p,
-        )
-        toks = np.asarray(toks)
-        lengths = np.asarray(lengths)
+        if self.spec_k and B == 1:
+            # self-speculative B=1 path: draft spec_k with the quantized
+            # tree, verify in one full-precision chunk forward
+            from rwkvtts_tpu.infer import spec_decode
+
+            out, _stats = spec_decode.spec_sample_generate(
+                self.params,
+                self.cfg,
+                jnp.asarray(batch["tokens"]),
+                jnp.asarray(batch["modality"]),
+                jnp.asarray(batch["attention_mask"]),
+                key=jax.random.PRNGKey(seed),
+                draft_params=self.draft_params,
+                k=self.spec_k,
+                max_new_tokens=max_new_tokens,
+                temperature=temperature,
+                top_k=top_k,
+                top_p=top_p,
+            )
+            n = len(out)
+            if n and int(out[-1]) == self.cfg.eos_token_id:
+                n -= 1
+            toks = np.full((1, max(n, 1)), self.cfg.eos_token_id, np.int32)
+            toks[0, :n] = out[:n]
+            lengths = np.asarray([n])
+        else:
+            # chunked early-exit decode: a short utterance costs its own
+            # length plus at most one chunk, not max_new_tokens scan steps
+            toks, lengths = gen.spark_generate_early_exit(
+                self.params,
+                self.cfg,
+                jnp.asarray(batch["tokens"]),
+                jnp.asarray(batch["modality"]),
+                jnp.asarray(batch["attention_mask"]),
+                jax.random.PRNGKey(seed),
+                max_new_tokens=max_new_tokens,
+                temperature=temperature,
+                top_k=top_k,
+                top_p=top_p,
+            )
+            toks = np.asarray(toks)
+            lengths = np.asarray(lengths)
         t1 = time.perf_counter()
 
         results: List[SparkTTSResult] = []

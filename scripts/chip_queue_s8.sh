@@ -1,0 +1,62 @@
+#!/bin/bash
+# Takes over from chip_queue_s7.sh: warm the NEW driver-bench program
+# (decode_state_bf16 flagship) into the persistent cache FIRST — the
+# driver runs bench.py at round end and must not cold-compile — then
+# finish the remaining unmeasured items. Never two TPU processes.
+set -u
+L=/tmp/chipq_s8.log
+: > "$L"
+if [ -f /tmp/chipq_s7.pid ]; then
+  while kill -0 "$(cat /tmp/chipq_s7.pid)" 2>/dev/null; do sleep 20; done
+fi
+rm -f /tmp/chipq.stop
+cd /root/repo
+run() {
+  if [ -f /tmp/chipq.stop ]; then
+    echo "=== STOPPED by /tmp/chipq.stop before: $*" >> "$L"
+    exit 0
+  fi
+  echo "=== $(date +%H:%M:%S) $*" >> "$L"
+  timeout 2400 "$@" >> "$L" 2>&1
+  echo "--- rc=$?" >> "$L"
+}
+
+# 1. the new driver-bench config (bf16 state carry) — warm + sanity
+run python bench.py
+# 1b. spec decode at 1.5B, FIXED bench (the first run kept the fp32 init
+#     tree + three packed copies alive -> HBM OOM)
+run python benchmarks/bench_spec_decode.py --hidden 2048 --layers 24 --k 8
+run python benchmarks/bench_spec_decode.py --hidden 2048 --layers 24 --k 16
+# 2. concurrent streaming from the Cosy slot pool at the 1.5B pairing
+run python benchmarks/bench_pooled_streaming.py --hidden 2048 --layers 24 \
+    --int8 --streams 8 --slots 8 --chunk 16
+run python benchmarks/bench_pooled_streaming.py --hidden 2048 --layers 24 \
+    --int8 --streams 16 --slots 16 --chunk 16
+# 3. overlapped (double-buffered) serving chunks A/B at the 96-slot default
+run python benchmarks/bench_serving_continuous.py --requests 192 --slots 96 \
+    --chunk 32 --packed-wkv --skip-grouped --overlap
+# 4. fit-loop host-collation overlap A/B at 0.4B
+run python benchmarks/bench_fit_loop.py --hidden 1024 --layers 24 --steps 30
+run python benchmarks/bench_fit_loop.py --hidden 1024 --layers 24 --steps 30 --sync-every-step
+# 5. SFM fast flow decode at deployed shapes (5 ODE steps from t_h vs CFM 10)
+run python benchmarks/bench_cosy_rtf.py --hidden 2048 --layers 24 --int8 --sfm --flow-timesteps 5
+# 6. remaining families at 0.4B-class
+run python benchmarks/bench_families_scale.py --only s2s
+run python benchmarks/bench_families_scale.py --only two_tower
+# 7. two-level hierarchical WKV at 0.4B train
+run python benchmarks/bench_flagship_scale.py --only train04 --wkv-spans 8
+# 8. serving 96 slots with the bf16 state carry (XLA step)
+run python benchmarks/bench_serving_continuous.py --requests 192 --slots 96 \
+    --chunk 32 --skip-grouped --state-bf16
+# 9. decode 1.4B at B=128 (state traffic vs weight amortization)
+run python benchmarks/bench_flagship_scale.py --only decode14 --batch 128
+# 10. pooled streaming with overlap
+run python benchmarks/bench_pooled_streaming.py --hidden 2048 --layers 24 \
+    --int8 --streams 16 --slots 16 --chunk 16 --overlap
+echo "QUEUE S8 DONE $(date)" >> "$L"
+# verify surface 1: single-chip flagship forward loss (expect ~9.0)
+run python -c "
+import __graft_entry__ as ge, jax
+fn, args = ge.entry()
+print('loss', float(jax.jit(fn)(*args)))"
+echo "QUEUE S8 TAIL DONE $(date)" >> "$L"

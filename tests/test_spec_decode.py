@@ -177,3 +177,48 @@ def test_select_position_gathers_per_row():
     out = spec_decode._select_position({"x": leaf}, idx)["x"]
     np.testing.assert_array_equal(np.asarray(out[:, 0]), np.asarray(leaf[:, 0, 0]))
     np.testing.assert_array_equal(np.asarray(out[:, 1]), np.asarray(leaf[:, 1, 2]))
+
+
+def test_pipeline_spec_wiring(setup):
+    """SparkPipeline(spec_k=...) routes B=1 synthesis through
+    spec_sample_generate with the quantized draft tree — same tokens as
+    calling the module directly on the pipeline's own prompt batch."""
+    from rwkvtts_tpu.infer.spark_pipeline import SparkPipeline
+
+    cfg, params = setup
+
+    class FakeTok:
+        def encode(self, text):
+            return [ord(c) % 200 + 1 for c in text][:16]
+
+    pipe = SparkPipeline(cfg, params, FakeTok(), audio_tokenizer=None, spec_k=4)
+    res = pipe.synthesize(
+        "hello", global_tokens=[1, 2, 3], max_new_tokens=20, seed=3,
+        temperature=1.0, top_k=8, top_p=0.9,
+    )
+    batch = pipe._prompt_batch(["hello"], [[1, 2, 3]], [[]], [None])
+    out, stats = spec_decode.spec_sample_generate(
+        pipe.params, cfg,
+        jnp.asarray(batch["tokens"]), jnp.asarray(batch["modality"]),
+        jnp.asarray(batch["attention_mask"]),
+        key=jax.random.PRNGKey(3), draft_params=pipe.draft_params,
+        k=4, max_new_tokens=20, temperature=1.0, top_k=8, top_p=0.9,
+    )
+    expect = out[:-1] if len(out) and int(out[-1]) == cfg.eos_token_id else out
+    np.testing.assert_array_equal(res.semantic_tokens, expect)
+    assert stats["rounds"] >= 1
+    # batched synthesis falls back to the chunked path (no assertion crash)
+    multi = pipe.synthesize(
+        ["a", "b"], global_tokens=[1, 2, 3], max_new_tokens=8, seed=0
+    )
+    assert len(multi) == 2
+
+
+def test_pipeline_spec_rejects_quantized_verifier(setup):
+    from rwkvtts_tpu.infer.spark_pipeline import SparkPipeline
+
+    cfg, params = setup
+    with pytest.raises(ValueError):
+        SparkPipeline(cfg, params, None, spec_k=4, quantize_int8=True)
+    with pytest.raises(ValueError):
+        SparkPipeline(cfg, params, None, spec_k=4, spec_draft="fp8")
