@@ -62,16 +62,30 @@ def main():
     # compile + warmup; sync via an explicit host transfer (block_until_ready
     # alone does not reliably fence on the tunneled axon platform)
     import numpy as np
+    import sys
 
     np.asarray(run(jax.random.PRNGKey(2)))
-    t0 = time.perf_counter()
-    iters = 3
-    for i in range(iters):
+    # Median of N single-pass timings, spread to stderr: round-3 showed the
+    # tunnel's per-pass variance can be large (the same program measured
+    # 11.3k under chip contention vs 19.0k solo) — the median of
+    # independent passes is robust to a slow outlier, and the printed
+    # spread makes a contended/degraded run self-diagnosing.
+    reps = 5
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
         np.asarray(run(jax.random.PRNGKey(3 + i)))
-    dt = (time.perf_counter() - t0) / iters
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
     toks_per_s = B * T_new / dt
     baseline = 5000.0
+    print(
+        f"bench.py passes (s): {['%.3f' % t for t in times]} "
+        f"median={dt:.3f} min={min(times):.3f} max={max(times):.3f} "
+        f"spread={(max(times) - min(times)) / dt:.1%}",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {

@@ -159,15 +159,17 @@ def bench_s2s(hidden=1024, layers=24, batch=32, t_new=256):
     B, Tp = batch, 64
     ids = jax.random.randint(jax.random.PRNGKey(1), (B, Tp), 100, 60000)
 
-    run = jax.jit(lambda key: s2s.generate(
-        params, cfg, ids, key, is_text=False,
+    # params as jit ARGUMENTS, not closure constants — closures embed the
+    # whole tree in the remote-compile payload -> HTTP 413 on the tunnel
+    run = jax.jit(lambda p, key: s2s.generate(
+        p, cfg, ids, key, is_text=False,
         max_new_tokens=t_new, top_k=50, top_p=0.95, eos_id=-1,
     )[0])
 
-    np.asarray(run(jax.random.PRNGKey(2)))
+    np.asarray(run(params, jax.random.PRNGKey(2)))
     t0 = time.perf_counter()
     for i in range(3):
-        out = run(jax.random.PRNGKey(3 + i))
+        out = run(params, jax.random.PRNGKey(3 + i))
     np.asarray(out)
     dt = (time.perf_counter() - t0) / 3
     print(json.dumps({
@@ -193,13 +195,13 @@ def bench_two_tower(hidden=1024, layers=24, batch=16, t_new=256):
     B, Tp = batch, 64
     ids = jax.random.randint(jax.random.PRNGKey(1), (B, Tp), 100, 60000)
     mask = jnp.ones((B, Tp), jnp.int32)
-    run = jax.jit(lambda key: tt.generate(
-        params, cfg, ids, mask, key, max_new_tokens=t_new,
+    run = jax.jit(lambda p, key: tt.generate(
+        p, cfg, ids, mask, key, max_new_tokens=t_new,
     )[0])
-    np.asarray(run(jax.random.PRNGKey(2)))
+    np.asarray(run(params, jax.random.PRNGKey(2)))
     t0 = time.perf_counter()
     for i in range(3):
-        out = run(jax.random.PRNGKey(3 + i))
+        out = run(params, jax.random.PRNGKey(3 + i))
     np.asarray(out)
     dt = (time.perf_counter() - t0) / 3
     print(json.dumps({

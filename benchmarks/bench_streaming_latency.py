@@ -42,6 +42,13 @@ def main():
                          "greedy flips, PERF.md round 3)")
     ap.add_argument("--int4", action="store_true",
                     help="int4 group-wise LM decode weights")
+    ap.add_argument("--sfm", action="store_true",
+                    help="SFM fast decode in the flow hop (start at t_h)")
+    ap.add_argument("--flow-timesteps", type=int, default=None,
+                    help="ODE steps per flow hop (default: StreamConfig 10;"
+                         " use ~5 with --sfm)")
+    ap.add_argument("--ctx", type=int, default=None,
+                    help="generated-token context kept in the flow window")
     args = ap.parse_args()
 
     from rwkvtts_tpu.codecs import flow as flow_lib, hift as hift_lib
@@ -51,7 +58,7 @@ def main():
 
     lm_cfg = cosy.default_config(hidden_size=args.hidden, num_layers=args.layers)
     lm_params = cosy.init_params(jax.random.PRNGKey(0), lm_cfg)
-    fcfg = flow_lib.FlowConfig()
+    fcfg = flow_lib.FlowConfig(sfm=args.sfm)
     fparams = flow_lib.init_params(jax.random.PRNGKey(1), fcfg)
     hcfg = hift_lib.HiFTConfig()
     hparams = hift_lib.init_params(jax.random.PRNGKey(2), hcfg)
@@ -60,7 +67,12 @@ def main():
         hift_cfg=hcfg, hift_params=hparams, quantize_int8=args.int8,
         quantize_int4=args.int4,
     )
-    scfg = streaming.StreamConfig(token_hop_len=args.hop)
+    skw = {"token_hop_len": args.hop, "sfm": args.sfm}
+    if args.flow_timesteps is not None:
+        skw["n_timesteps"] = args.flow_timesteps
+    if args.ctx is not None:
+        skw["ctx_tokens"] = args.ctx
+    scfg = streaming.StreamConfig(**skw)
     text = "streaming latency benchmark " * (args.text_len // 28 + 1)
     text = text[: args.text_len]
 
@@ -83,9 +95,12 @@ def main():
         ttfa, wall, audio_s = run()
         ttfas.append(ttfa)
         rtfs.append(wall / max(audio_s, 1e-9))
+    cfgs = f"hop {args.hop} tok | ctx {scfg.ctx_tokens} | flow " + (
+        f"sfm-{scfg.n_timesteps}" if args.sfm else f"cfm-{scfg.n_timesteps}"
+    )
     print(
         f"TTFA {min(ttfas)*1000:.0f} ms | steady RTF {min(rtfs):.3f} "
-        f"| audio {audio_s:.1f}s | hop {args.hop} tok"
+        f"| audio {audio_s:.1f}s | {cfgs}"
     )
 
 

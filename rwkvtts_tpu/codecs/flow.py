@@ -539,6 +539,71 @@ def inference_window(
     return feat
 
 
+def sfm_inference_window(
+    p: Params,
+    cfg: FlowConfig,
+    key,
+    tokens,
+    token_mask,
+    prompt_len: int,
+    gen_start,
+    spk_embedding,
+    n_timesteps: Optional[int] = None,
+):
+    """Bounded-window streaming hop on the SFM fast-decode path.
+
+    Same window contract as `inference_window` (fixed-capacity
+    [prompt | ctx | hop+lookahead] buffer, absolute-position noise via
+    `gen_start` so window frames reproduce the full-sequence noise), but
+    the ODE starts at t_h from the SFM head's coarse prediction
+    (model/flow/flow.py:132-180) — roughly half the estimator passes of
+    the CFM-10 hop at n_timesteps=5. Prompt conditioning rides as
+    concatenated tokens, as in the reference SFM path (no conds), so no
+    prompt_feat argument. Returns mel for the WHOLE window
+    (B, Wt*ratio, 80); the caller slices the new frames."""
+    n_timesteps = n_timesteps or cfg.n_timesteps
+    ratio = cfg.token_mel_ratio
+    alpha = cfg.sfm_strength
+    sigma_min = cfg.cfm.sigma_min
+
+    emb = spk_embedding * jax.lax.rsqrt(
+        jnp.sum(spk_embedding**2, -1, keepdims=True) + 1e-12
+    )
+    spks = nn.linear(p["spk_affine"], emb)
+
+    h = encode_tokens(p, cfg, tokens, token_mask)
+    mu = nn.linear(p["encoder_proj"], h)
+    x_h, t_h, log_sig = sfm_head_apply(p["sfm_head"], h, cfg.output_size)
+    sigma_h = jnp.exp(0.5 * log_sig)
+
+    delta = jnp.maximum(alpha * ((1 - sigma_min) * t_h + sigma_h), 1.0)
+    x_h_bar = (alpha / delta)[:, :, None] * x_h
+    t_h_bar = (alpha / delta) * t_h
+    sig_sq_bar = (alpha**2 / delta**2) * sigma_h**2
+
+    pos = jnp.arange(mu.shape[1])
+    abs_idx = jnp.where(pos < ratio * prompt_len, pos, pos + ratio * gen_start)
+    z = _positional_noise(key, mu.shape, idx=abs_idx)
+    noise_sq = jnp.maximum((1 - (1 - sigma_min) * t_h_bar) ** 2 - sig_sq_bar, 0.0)
+    x = jnp.sqrt(noise_sq)[:, :, None] * z + x_h_bar
+
+    mel_mask = jnp.repeat(token_mask, ratio, axis=1).astype(mu.dtype)
+    conds = jnp.zeros_like(mu)
+
+    t0 = t_h_bar[:, 0]
+
+    def step(x, i):
+        t = t0 + (1.0 - t0) * i / n_timesteps
+        dt = (1.0 - t0) / n_timesteps
+        v = estimator_apply(
+            p["estimator"], cfg.estimator, x, mel_mask, mu, t, spks, conds
+        )
+        return x + dt[:, None, None] * v, None
+
+    x, _ = jax.lax.scan(step, x, jnp.arange(n_timesteps))
+    return x
+
+
 def sfm_inference(
     p: Params,
     cfg: FlowConfig,
@@ -571,7 +636,10 @@ def sfm_inference(
     t_h_bar = (alpha / delta) * t_h
     sig_sq_bar = (alpha**2 / delta**2) * sigma_h**2
 
-    z = jax.random.normal(key, mu.shape)
+    # counter-based per-frame noise (same iid gaussian distribution as
+    # random.normal) so the windowed streaming variant reproduces this
+    # path bit-for-bit at matching absolute positions
+    z = _positional_noise(key, mu.shape)
     noise_sq = jnp.maximum((1 - (1 - sigma_min) * t_h_bar) ** 2 - sig_sq_bar, 0.0)
     x = jnp.sqrt(noise_sq)[:, :, None] * z + x_h_bar
 

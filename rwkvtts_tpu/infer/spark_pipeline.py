@@ -77,8 +77,17 @@ class SparkPipeline:
                 )
             if spec_draft not in ("int8", "int4", "bf16"):
                 raise ValueError(f"unknown spec_draft {spec_draft!r}")
+            draft_src = lm_params
+            if spec_draft == "bf16":
+                # actually cast the draft (pack_decode_params has no bf16
+                # mode) — packing the fp params unchanged would double
+                # fused-copy HBM for zero draft speedup
+                draft_src = jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x,
+                    lm_params,
+                )
             self.draft_params = rwkv7.pack_decode_params(
-                lm_params,
+                draft_src,
                 lm_cfg.backbone,
                 quantize_int8=spec_draft == "int8",
                 quantize_int4=spec_draft == "int4",

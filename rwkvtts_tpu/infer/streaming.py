@@ -53,10 +53,16 @@ class StreamConfig:
     mel_cache_len: int = 8  # cli/model.py:355
     n_timesteps: int = 10
     lm_chunk: int = 50  # LM decode steps between host-side EOS checks
+    # SFM fast decode in the flow hop (flow.sfm_inference_window): the ODE
+    # starts at t_h from the coarse prediction — use with n_timesteps ~5
+    # for about half the CFM-10 estimator passes per hop. Requires
+    # pipeline.flow_cfg.sfm and a trained sfm_head in flow_params.
+    sfm: bool = False
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fcfg", "prompt_len", "slice_len", "n_timesteps")
+    jax.jit,
+    static_argnames=("fcfg", "prompt_len", "slice_len", "n_timesteps", "sfm"),
 )
 def _flow_hop(
     fparams,
@@ -71,15 +77,22 @@ def _flow_hop(
     slice_len: int,
     spk,
     n_timesteps: int,
+    sfm: bool = False,
 ):
     """One windowed flow hop; returns (1, slice_len*ratio, 80) new mel.
 
     new_off: window-local index (in tokens) of the first NEW token; the
     fixed-size slice may over-read into padding — the host trims."""
-    mel = flow_lib.inference_window(
-        fparams, fcfg, key, tokens_win, token_mask, prompt_feat,
-        prompt_len, gen_start, spk, n_timesteps=n_timesteps,
-    )
+    if sfm:
+        mel = flow_lib.sfm_inference_window(
+            fparams, fcfg, key, tokens_win, token_mask,
+            prompt_len, gen_start, spk, n_timesteps=n_timesteps,
+        )
+    else:
+        mel = flow_lib.inference_window(
+            fparams, fcfg, key, tokens_win, token_mask, prompt_feat,
+            prompt_len, gen_start, spk, n_timesteps=n_timesteps,
+        )
     r = fcfg.token_mel_ratio
     start = r * (prompt_len + new_off)
     return jax.lax.dynamic_slice(
@@ -154,12 +167,13 @@ class CosyStreamSession:
         buf[0, self.P : n_valid] = gen_win
         mask = (np.arange(self.cap) < n_valid).astype(np.float32)[None]
         slice_len = scfg.token_hop_len + self.la
+        sfm = scfg.sfm and "sfm_head" in self.pipe.flow_params
         mel = _flow_hop(
             self.pipe.flow_params, fcfg,
             jax.random.PRNGKey(self.seed),
             jnp.asarray(buf), jnp.asarray(mask), self.prompt_mel,
             self.P, jnp.int32(w0), jnp.int32(off - w0), slice_len,
-            self.spk, scfg.n_timesteps,
+            self.spk, scfg.n_timesteps, sfm,
         )
         return np.asarray(mel)[:, : fcfg.token_mel_ratio * n_new]
 

@@ -4,6 +4,7 @@
 # the prior queue process to exit (it stops after its current step via
 # /tmp/chipq.stop), then takes over the chip. Never two TPU processes.
 set -u
+echo $$ > /tmp/chipq_s7.pid  # self-register (ADVICE r3 #4)
 L=/tmp/chipq_s7.log
 : > "$L"
 # Wait for the old queue (pid in /tmp/chipq.pid) to exit.

@@ -4,6 +4,7 @@
 # driver runs bench.py at round end and must not cold-compile — then
 # finish the remaining unmeasured items. Never two TPU processes.
 set -u
+echo $$ > /tmp/chipq_s8.pid  # self-register (ADVICE r3 #4)
 L=/tmp/chipq_s8.log
 : > "$L"
 if [ -f /tmp/chipq_s7.pid ]; then

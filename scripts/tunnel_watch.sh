@@ -17,7 +17,7 @@ x = jax.numpy.ones((128, 128))
 np.asarray(x @ x)
 print('up')" > /dev/null 2>&1; then
     echo "UP $(date -u) — launching chip queue" >> "$W"
-    bash scripts/run_chip_queue.sh
+    bash "${CHIP_QUEUE:-scripts/chip_queue_r4.sh}"
     echo "queue finished $(date -u)" >> "$W"
     exit 0
   fi

@@ -161,6 +161,64 @@ def test_stream_synthesize_end_to_end(pipe):
     assert n_frames % pipe.flow_cfg.token_mel_ratio == 0
 
 
+@pytest.fixture(scope="module")
+def sfm_pipe(pipe):
+    """Same tiny stack but with an SFM-headed flow (cfg.sfm=True)."""
+    import dataclasses
+
+    fcfg = dataclasses.replace(pipe.flow_cfg, sfm=True)
+    fparams = flow_lib.init_params(jax.random.PRNGKey(11), fcfg)
+    lm_params = cosy.init_params(jax.random.PRNGKey(0), pipe.lm_cfg)
+    return CosyPipeline(
+        pipe.lm_cfg, lm_params, FakeTok(),
+        flow_cfg=fcfg, flow_params=fparams,
+        hift_cfg=pipe.hift_cfg, hift_params=pipe.hift_params,
+    )
+
+
+def test_sfm_window_matches_full_prefix(sfm_pipe):
+    """With the window covering the entire prefix (gen_start=0, no pad),
+    sfm_inference_window reproduces sfm_inference bit-for-bit — both use
+    the counter-based positional noise."""
+    fcfg = sfm_pipe.flow_cfg
+    rng = np.random.default_rng(5)
+    P, G = 4, 6
+    tokens = jnp.asarray(rng.integers(0, 100, (1, P + G)))
+    mask = jnp.ones((1, P + G), jnp.float32)
+    spk = jnp.asarray(rng.standard_normal((1, 12)).astype(np.float32))
+    key = jax.random.PRNGKey(9)
+
+    full = flow_lib.sfm_inference(
+        sfm_pipe.flow_params, fcfg, key, tokens, mask, spk, n_timesteps=2
+    )
+    win = flow_lib.sfm_inference_window(
+        sfm_pipe.flow_params, fcfg, key, tokens, mask,
+        P, jnp.int32(0), spk, n_timesteps=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(win), rtol=0, atol=1e-5
+    )
+
+
+def test_stream_synthesize_sfm_end_to_end(sfm_pipe):
+    """Streaming with the SFM fast-decode hop (StreamConfig.sfm=True)."""
+    scfg = streaming.StreamConfig(
+        token_hop_len=4, ctx_tokens=4, mel_cache_len=2, n_timesteps=2,
+        lm_chunk=4, sfm=True,
+    )
+    chunks = list(
+        streaming.stream_synthesize(
+            sfm_pipe, "hello sfm streaming", stream_cfg=scfg,
+            max_new_tokens=24,
+        )
+    )
+    assert len(chunks) >= 1
+    wav = np.concatenate(chunks)
+    assert np.isfinite(wav).all()
+    up = sfm_pipe.hift_cfg.total_upsample
+    assert len(wav) % up == 0
+
+
 def test_stream_zero_or_short_token_case(pipe):
     """Utterance shorter than one hop: single finalize chunk, correct length."""
     scfg = streaming.StreamConfig(
