@@ -452,12 +452,16 @@ def inference(
     prompt_feat_len: int,
     spk_embedding,
     n_timesteps: Optional[int] = None,
+    noise=None,
 ):
     """Zero-shot mel generation (flow.py:194-241).
 
     tokens: (B, Tt) prompt+target speech tokens (already concatenated);
     token_mask: (B, Tt); prompt_feat: (B, Tp, 80) prompt mel (Tp =
     prompt_token_len * token_mel_ratio); spk_embedding: (B, 192).
+    noise: optional explicit (B, T_mel, 80) initial CFM noise — replaces
+    the positional draw (golden-fixture replay of the reference's
+    CausalConditionalCFM.rand_noise, flow_matching.py:190,212).
     Returns generated mel (B, Tt*ratio - Tp, 80).
     """
     n_timesteps = n_timesteps or cfg.n_timesteps
@@ -476,7 +480,7 @@ def inference(
         conds, prompt_feat.astype(mu.dtype), (0, 0, 0)
     )
 
-    z = _positional_noise(key, mu.shape)
+    z = _positional_noise(key, mu.shape) if noise is None else noise
     feat = cfm_solve(
         p["estimator"], cfg.estimator, cfg.cfm, z, mu, mel_mask, spks, conds,
         n_timesteps=n_timesteps,

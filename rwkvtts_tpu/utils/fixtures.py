@@ -68,3 +68,68 @@ def load_fixture(path: str):
     pf = {k[len("params/"):]: z[k] for k in z.files if k.startswith("params/")}
     io = {k[len("io/"):]: z[k] for k in z.files if k.startswith("io/")}
     return (unflatten_tree(pf) if pf else None), io
+
+
+# ---------------------------------------------------------------------------
+# Synthetic torch-layout state dicts (golden fixtures without stored weights)
+
+
+def synth_state_dict(shapes: Dict[str, tuple], seed: int) -> Dict[str, np.ndarray]:
+    """Deterministic synthetic state dict in torch key layout.
+
+    The golden-fixture protocol stores only the state-dict SHAPE TABLE and a
+    seed: the capture script loads these values into the reference torch
+    module, and the replay test feeds the identical values to our importer —
+    so fixtures stay a few KB (no random-weight megabytes to commit).
+
+    Values are chosen to keep deep stacks numerically sane: norm scales and
+    weight-norm magnitudes (1-D `.weight`, `weight_g`, snake `alpha`) sit
+    near 1; BatchNorm running_var stays positive; everything else is small
+    gaussian. Iteration is over sorted(keys) with one generator, so both
+    sides produce identical bytes for the same (shapes, seed).
+    """
+    rng = np.random.default_rng(seed)
+    out: Dict[str, np.ndarray] = {}
+    for k in sorted(shapes):
+        shp = tuple(int(x) for x in shapes[k])
+        if k.endswith("num_batches_tracked"):
+            out[k] = np.zeros(shp, np.int64)
+        elif k.endswith("running_var"):
+            out[k] = np.clip(
+                1.0 + 0.1 * rng.standard_normal(shp), 0.5, None
+            ).astype(np.float32)
+        elif k.endswith("running_mean"):
+            out[k] = (0.1 * rng.standard_normal(shp)).astype(np.float32)
+        elif (
+            k.endswith("weight_g")
+            or k.endswith("alpha")
+            or (k.endswith(".weight") and len(shp) == 1)
+        ):
+            out[k] = (1.0 + 0.1 * rng.standard_normal(shp)).astype(np.float32)
+        else:
+            out[k] = (0.1 * rng.standard_normal(shp)).astype(np.float32)
+    return out
+
+
+def save_golden(path: str, shapes: Dict[str, tuple], seed: int, **io) -> None:
+    """Golden fixture: state-dict shape table + synth seed + io arrays."""
+    flat: Dict[str, np.ndarray] = {
+        f"shape/{k}": np.asarray(v, np.int64) for k, v in shapes.items()
+    }
+    flat["meta/seed"] = np.asarray(seed, np.int64)
+    for k, v in io.items():
+        flat[f"io/{k}"] = np.asarray(v)
+    np.savez_compressed(path, **flat)
+
+
+def load_golden(path: str):
+    """Returns (synth_state_dict, {io_name: array}) for a golden fixture."""
+    z = np.load(path)
+    shapes = {
+        k[len("shape/"):]: tuple(z[k].tolist())
+        for k in z.files
+        if k.startswith("shape/")
+    }
+    seed = int(z["meta/seed"])
+    io = {k[len("io/"):]: z[k] for k in z.files if k.startswith("io/")}
+    return synth_state_dict(shapes, seed), io

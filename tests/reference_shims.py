@@ -264,10 +264,66 @@ def install() -> None:
                 freqs,
             )
 
+        import torch
+
+        def _melscale_fbanks(n_freqs, f_min, f_max, n_mels, sample_rate,
+                             norm=None, mel_scale="htk"):
+            # torchaudio.functional.melscale_fbanks semantics exactly
+            all_freqs = torch.linspace(0, sample_rate // 2, n_freqs)
+            m_min = _hz_to_mel(f_min, mel_scale)
+            m_max = _hz_to_mel(f_max, mel_scale)
+            m_pts = torch.linspace(m_min, m_max, n_mels + 2)
+            f_pts = _mel_to_hz(m_pts, mel_scale)
+            f_diff = f_pts[1:] - f_pts[:-1]
+            slopes = f_pts.unsqueeze(0) - all_freqs.unsqueeze(1)
+            down = (-slopes[:, :-2]) / f_diff[:-1]
+            up = slopes[:, 2:] / f_diff[1:]
+            fb = torch.clamp(torch.min(down, up), min=0.0)
+            if norm == "slaney":
+                fb = fb * (2.0 / (f_pts[2 : n_mels + 2] - f_pts[:n_mels]))[None]
+            return fb
+
+        class _MelSpectrogram(torch.nn.Module):
+            """torchaudio.transforms.MelSpectrogram for the args BiCodec
+            passes (bicodec.py:200-211: power=1, norm/mel_scale=slaney,
+            center=True reflect pad). fb/window kept as plain attributes so
+            the composite state_dict stays parameter-only."""
+
+            def __init__(self, sample_rate=16000, n_fft=400, win_length=None,
+                         hop_length=None, f_min=0.0, f_max=None, pad=0,
+                         n_mels=128, power=2.0, norm=None, mel_scale="htk",
+                         center=True, pad_mode="reflect", **kw):
+                super().__init__()
+                self.sample_rate = sample_rate
+                self.n_fft = n_fft
+                self.win_length = win_length or n_fft
+                self.hop_length = hop_length or self.win_length // 2
+                self.power = power
+                self.center, self.pad_mode = center, pad_mode
+                self._window = torch.hann_window(self.win_length)
+                self._fb = _melscale_fbanks(
+                    n_fft // 2 + 1, f_min, f_max or sample_rate / 2.0,
+                    n_mels, sample_rate, norm=norm, mel_scale=mel_scale,
+                )
+
+            def forward(self, wav):
+                shape = wav.shape
+                spec = torch.stft(
+                    wav.reshape(-1, shape[-1]), self.n_fft, self.hop_length,
+                    self.win_length, window=self._window, center=self.center,
+                    pad_mode=self.pad_mode, normalized=False, onesided=True,
+                    return_complex=True,
+                ).abs()
+                if self.power != 1.0:
+                    spec = spec.pow(self.power)
+                mel = torch.matmul(spec.transpose(-1, -2), self._fb)
+                mel = mel.transpose(-1, -2)
+                return mel.reshape(shape[:-1] + mel.shape[-2:])
+
         _stub("torchaudio")
         _stub("torchaudio.compliance")
         _stub("torchaudio.compliance.kaldi")
-        _stub("torchaudio.transforms")
+        _stub("torchaudio.transforms", MelSpectrogram=_MelSpectrogram)
         _stub("torchaudio.functional")
         _stub(
             "torchaudio.functional.functional",

