@@ -32,15 +32,27 @@ import gc  # noqa: E402
 import pytest  # noqa: E402
 
 
-def pytest_collection_modifyitems(config, items):
-    """Run the Pallas kernel tests FIRST.
+# Fast-lane modules (pytest -m fast, VERDICT r3 #9): data/frontend/tooling
+# tests with little or no XLA compilation — the <5-min tier a session runs
+# after every change. Everything else is implicitly the nightly tier
+# (pytest -m "not fast" or the plain full run).
+_FAST_MODULES = frozenset({
+    "test_tokenizer", "test_text_frontend", "test_zh_tn", "test_instructions",
+    "test_corpus_tools", "test_misc_tools", "test_native_tar",
+    "test_native_tokenizer", "test_webdataset_extract", "test_sfm_collator",
+    "test_mp3", "test_onnx_profiling", "test_eval",
+})
 
-    Late in the full suite, XLA:CPU's LLVM codegen segfaults while
-    compiling the Pallas custom-vjp programs (reproducible at the same
-    collection position; the same tests pass standalone and early). The
-    trigger is some earlier-loaded native library state — compiling the
-    Pallas programs before the heavyweight modules (torch parity tests
-    etc.) sidesteps it."""
+
+def pytest_collection_modifyitems(config, items):
+    """Run the Pallas kernel tests FIRST, and auto-mark the fast lane.
+
+    Pallas ordering: late in the full suite, XLA:CPU's LLVM codegen
+    segfaults while compiling the Pallas custom-vjp programs (reproducible
+    at the same collection position; the same tests pass standalone and
+    early). The trigger is some earlier-loaded native library state —
+    compiling the Pallas programs before the heavyweight modules (torch
+    parity tests etc.) sidesteps it."""
     front = ("test_wkv7_pallas", "test_wkv7_step_pallas", "test_wkv7")
 
     def rank(item):
@@ -48,6 +60,11 @@ def pytest_collection_modifyitems(config, items):
         return 0 if name in front else 1
 
     items.sort(key=rank)
+    for item in items:
+        name = item.fspath.purebasename
+        item.add_marker(
+            pytest.mark.fast if name in _FAST_MODULES else pytest.mark.nightly
+        )
 
 
 @pytest.fixture(autouse=True, scope="module")
