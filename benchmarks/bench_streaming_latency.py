@@ -49,6 +49,12 @@ def main():
                          " use ~5 with --sfm)")
     ap.add_argument("--ctx", type=int, default=None,
                     help="generated-token context kept in the flow window")
+    ap.add_argument("--profile", action="store_true",
+                    help="report per-hop stage times (lm chunk / flow / hift)")
+    ap.add_argument("--vocode-every", type=int, default=1,
+                    help="batch K hops per HiFT call after the first chunk")
+    ap.add_argument("--no-prefetch", action="store_true",
+                    help="disable speculative LM chunk dispatch")
     args = ap.parse_args()
 
     from rwkvtts_tpu.codecs import flow as flow_lib, hift as hift_lib
@@ -67,7 +73,9 @@ def main():
         hift_cfg=hcfg, hift_params=hparams, quantize_int8=args.int8,
         quantize_int4=args.int4,
     )
-    skw = {"token_hop_len": args.hop, "sfm": args.sfm}
+    skw = {"token_hop_len": args.hop, "sfm": args.sfm,
+           "vocode_every": args.vocode_every,
+           "lm_prefetch": not args.no_prefetch}
     if args.flow_timesteps is not None:
         skw["n_timesteps"] = args.flow_timesteps
     if args.ctx is not None:
@@ -89,14 +97,53 @@ def main():
         wall = time.perf_counter() - t0
         return ttfa, wall, total / pipe.sample_rate
 
+    stage = {"lm": [], "flow": [], "hift": []}
+    if args.profile:
+        # per-stage wall times: every stage already ends in a host transfer
+        # (np.asarray) so wall time == device time + dispatch
+        from rwkvtts_tpu.infer.streaming import CosyStreamSession
+        from rwkvtts_tpu.infer import generate as gen_mod
+
+        wm, vc, dc = (CosyStreamSession._window_mel,
+                      CosyStreamSession._vocode, gen_mod.cosy_decode_chunk)
+
+        def timed(name, fn):
+            def inner(*a, **k):
+                t0 = time.perf_counter()
+                out = fn(*a, **k)
+                if name == "lm":  # force the sync the caller would do
+                    np.asarray(out[1])
+                stage[name].append(time.perf_counter() - t0)
+                return out
+            return inner
+
+        CosyStreamSession._window_mel = timed("flow", wm)
+        CosyStreamSession._vocode = timed("hift", vc)
+        gen_mod.cosy_decode_chunk = timed("lm", dc)
+        streaming.gen.cosy_decode_chunk = gen_mod.cosy_decode_chunk
+
     run()  # compile
     ttfas, rtfs = [], []
     for _ in range(args.iters):
+        for v in stage.values():
+            v.clear()
         ttfa, wall, audio_s = run()
         ttfas.append(ttfa)
         rtfs.append(wall / max(audio_s, 1e-9))
+        if args.profile:
+            parts = {
+                k: (np.sum(v) * 1000, np.mean(v) * 1000, len(v))
+                for k, v in stage.items() if v
+            }
+            acc = sum(p[0] for p in parts.values())
+            print("  stages: " + " | ".join(
+                f"{k} {p[0]:.0f}ms total ({p[1]:.1f}ms x{p[2]})"
+                for k, p in parts.items()
+            ) + f" | accounted {acc:.0f}ms of {wall*1000:.0f}ms wall")
     cfgs = f"hop {args.hop} tok | ctx {scfg.ctx_tokens} | flow " + (
         f"sfm-{scfg.n_timesteps}" if args.sfm else f"cfm-{scfg.n_timesteps}"
+    ) + f" | vocode_every {scfg.vocode_every}" + (
+        " | no-prefetch" if args.no_prefetch else ""
     )
     print(
         f"TTFA {min(ttfas)*1000:.0f} ms | steady RTF {min(rtfs):.3f} "

@@ -58,6 +58,17 @@ class StreamConfig:
     # for about half the CFM-10 estimator passes per hop. Requires
     # pipeline.flow_cfg.sfm and a trained sfm_head in flow_params.
     sfm: bool = False
+    # HiFT calls are fixed-cost-bound at hop size (~88 ms whether 116 or
+    # 466 frames, PERF.md round 4): vocode_every=K batches K hops of mel
+    # into one vocoder call AFTER the first chunk (TTFA unchanged), cutting
+    # the steady-state vocoder cost ~K×. Audio differs from K=1 only in
+    # having K× fewer crossfade seams.
+    vocode_every: int = 1
+    # speculatively dispatch LM chunk N+1 before vocoding hop N: the device
+    # pipelines LM/flow/HiFT back-to-back instead of idling during host
+    # window prep. Token-identical (same key split order); costs at most
+    # one wasted LM chunk after EOS.
+    lm_prefetch: bool = True
 
 
 @functools.partial(
@@ -69,7 +80,7 @@ def _flow_hop(
     fcfg,
     key,
     tokens_win,
-    token_mask,
+    n_valid,
     prompt_feat,
     prompt_len: int,
     gen_start,
@@ -82,7 +93,13 @@ def _flow_hop(
     """One windowed flow hop; returns (1, slice_len*ratio, 80) new mel.
 
     new_off: window-local index (in tokens) of the first NEW token; the
-    fixed-size slice may over-read into padding — the host trims."""
+    fixed-size slice may over-read into padding — the host trims.
+    n_valid: traced count of valid window entries (the mask is built
+    in-jit — a host-built mask array would cost one more tunnel transfer
+    per hop)."""
+    token_mask = (
+        jnp.arange(tokens_win.shape[1])[None, :] < n_valid
+    ).astype(jnp.float32)
     if sfm:
         mel = flow_lib.sfm_inference_window(
             fparams, fcfg, key, tokens_win, token_mask,
@@ -101,7 +118,11 @@ def _flow_hop(
 
 
 @functools.partial(jax.jit, static_argnames=("hcfg",))
-def _hift_hop(hparams, hcfg, key, mel, cache_source):
+def _hift_hop(hparams, hcfg, key, mel, cache_source, hop_idx=None):
+    """hop_idx: traced counter folded into the key IN-jit (an eager
+    fold_in per hop costs tunnel round trips — PERF.md round 4)."""
+    if hop_idx is not None:
+        key = jax.random.fold_in(key, hop_idx)
     return hift_lib.inference(hparams, hcfg, key, mel, cache_source)
 
 
@@ -152,6 +173,11 @@ class CosyStreamSession:
         self.speech_cache: Optional[np.ndarray] = None  # (1, scl)
         self.token_offset = 0
         self.hop_idx = 0
+        self._mel_accum: list = []  # pending hops for batched vocoding
+        # device keys made ONCE: eager PRNGKey/fold_in inside the hop loop
+        # would cost host<->device round trips per hop on a tunneled chip
+        self._flow_key = jax.random.PRNGKey(seed)
+        self._hift_key = jax.random.PRNGKey(seed + 1)
 
     # -- flow stage -------------------------------------------------------
 
@@ -162,17 +188,16 @@ class CosyStreamSession:
         w0 = max(0, off - scfg.ctx_tokens)
         gen_win = tokens[w0:end]
         n_valid = self.P + len(gen_win)
-        buf = np.zeros((1, self.cap), np.int64)
+        buf = np.zeros((1, self.cap), np.int32)
         buf[0, : self.P] = self.prompt_tokens
         buf[0, self.P : n_valid] = gen_win
-        mask = (np.arange(self.cap) < n_valid).astype(np.float32)[None]
         slice_len = scfg.token_hop_len + self.la
         sfm = scfg.sfm and "sfm_head" in self.pipe.flow_params
         mel = _flow_hop(
             self.pipe.flow_params, fcfg,
-            jax.random.PRNGKey(self.seed),
-            jnp.asarray(buf), jnp.asarray(mask), self.prompt_mel,
-            self.P, jnp.int32(w0), jnp.int32(off - w0), slice_len,
+            self._flow_key,
+            jnp.asarray(buf), np.int32(n_valid), self.prompt_mel,
+            self.P, np.int32(w0), np.int32(off - w0), slice_len,
             self.spk, scfg.n_timesteps, sfm,
         )
         return np.asarray(mel)[:, : fcfg.token_mel_ratio * n_new]
@@ -184,35 +209,34 @@ class CosyStreamSession:
         (cli/model.py:372-404)."""
         hop_frames = self.fcfg.token_mel_ratio * self.scfg.token_hop_len
         n_real = new_mel.shape[1]
-        if finalize and n_real < hop_frames:
-            # edge-pad the final partial chunk to the fixed hop shape (one
-            # compiled HiFT program regardless of remainder length); the
-            # padded tail is trimmed from the emitted wav below. n_real == 0
-            # (utterance length an exact hop multiple) still flushes the
-            # held-back crossfade tail, like the reference's final
-            # token2wav with empty remain tokens (cli/model.py:437-446).
+        # edge-pad the final partial chunk UP to a whole number of hops (one
+        # compiled HiFT program per hop-count, not per remainder length);
+        # the padded tail is trimmed from the emitted wav below. n_real == 0
+        # (utterance length an exact hop multiple) still flushes the
+        # held-back crossfade tail, like the reference's final token2wav
+        # with empty remain tokens (cli/model.py:437-446).
+        pad_to = max(hop_frames, -(-n_real // hop_frames) * hop_frames)
+        if finalize and n_real < pad_to:
             edge = (
                 new_mel[:, -1:]
                 if n_real > 0
                 else np.asarray(self.mel_cache[:, -1:])
             )
             new_mel = np.concatenate(
-                [new_mel, np.repeat(edge, hop_frames - n_real, 1)], 1
+                [new_mel, np.repeat(edge, pad_to - n_real, 1)], 1
             )
         if self.mel_cache is not None:
             mel_in = np.concatenate([self.mel_cache, new_mel], axis=1)
         else:
             mel_in = new_mel
-        key = jax.random.fold_in(
-            jax.random.PRNGKey(self.seed + 1), self.hop_idx
-        )
         cache_src = (
             jnp.asarray(self.source_cache)
             if self.source_cache is not None
             else jnp.zeros((1, 0))
         )
         wav, source = _hift_hop(
-            self.pipe.hift_params, self.hcfg, key, jnp.asarray(mel_in), cache_src
+            self.pipe.hift_params, self.hcfg, self._hift_key,
+            jnp.asarray(mel_in), cache_src, np.int32(self.hop_idx),
         )
         wav = np.array(wav)  # copy: np.asarray(jax) is read-only
         source = np.array(source)
@@ -236,22 +260,40 @@ class CosyStreamSession:
     # -- hop driver -------------------------------------------------------
 
     def emit_ready(self, tokens: np.ndarray, lm_done: bool):
-        """Yield wav chunks for every complete hop available in `tokens`."""
+        """Yield wav chunks for every complete hop available in `tokens`.
+
+        The FIRST available hop is vocoded immediately (TTFA); afterwards
+        hops accumulate in groups of `vocode_every` per HiFT call — the
+        vocoder is fixed-cost-bound at hop size (PERF.md round 4), so
+        batching cuts its steady-state share ~K×."""
         hop = self.scfg.token_hop_len
+        K = max(1, self.scfg.vocode_every)
         while len(tokens) - self.token_offset >= hop + self.la:
             mel = self._window_mel(tokens, self.token_offset, hop)
             self.token_offset += hop
-            yield self._vocode(mel, finalize=False)
+            if self.mel_cache is None and not self._mel_accum:
+                yield self._vocode(mel, finalize=False)
+            else:
+                self._mel_accum.append(mel)
+                if len(self._mel_accum) >= K:
+                    yield self._vocode(
+                        np.concatenate(self._mel_accum, 1), finalize=False
+                    )
+                    self._mel_accum = []
         if lm_done:
             n_rem = len(tokens) - self.token_offset
+            mels = self._mel_accum
+            self._mel_accum = []
             if n_rem > 0:
-                mel = self._window_mel(tokens, self.token_offset, n_rem)
-            else:
-                if self.mel_cache is None:
-                    return  # nothing was ever synthesized
-                mel = np.zeros((1, 0, self.fcfg.output_size), np.float32)
+                mels.append(self._window_mel(tokens, self.token_offset, n_rem))
             self.token_offset = len(tokens)
-            yield self._vocode(mel, finalize=True)
+            if mels:
+                yield self._vocode(np.concatenate(mels, 1), finalize=True)
+            elif self.mel_cache is not None:
+                yield self._vocode(
+                    np.zeros((1, 0, self.fcfg.output_size), np.float32),
+                    finalize=True,
+                )
 
 
 def stream_synthesize(
@@ -309,13 +351,25 @@ def stream_synthesize(
     tokens = np.zeros((0,), np.int64)
     n_decoded = 0
     lm_done = False
-    while not lm_done:
+
+    def dispatch(carry, key):
         key, sub = jax.random.split(key)
-        carry, toks, done = gen.cosy_decode_chunk(
+        return key, gen.cosy_decode_chunk(
             pipeline.lm_params, pipeline.lm_cfg, carry, sub,
             chunk_len=stream_cfg.lm_chunk, min_new_tokens=min_len,
             top_k=top_k, top_p=top_p,
         )
+
+    key, pending = dispatch(carry, key)
+    while not lm_done:
+        carry, toks, done = pending
+        if stream_cfg.lm_prefetch:
+            # speculatively enqueue chunk N+1 BEFORE syncing chunk N: the
+            # device pipelines LM -> flow -> HiFT back-to-back instead of
+            # idling while the host prepares the flow window; token order
+            # and key splits are identical to the sequential loop, at most
+            # one post-EOS chunk of wasted device work per utterance.
+            key, pending = dispatch(carry, key)
         chunk = np.asarray(toks)[0]
         n_decoded += len(chunk)
         if bool(np.asarray(done)[0]):
@@ -324,5 +378,7 @@ def stream_synthesize(
             lm_done = True
         elif n_decoded >= max_len:
             lm_done = True
+        if not lm_done and not stream_cfg.lm_prefetch:
+            key, pending = dispatch(carry, key)
         tokens = np.concatenate([tokens, chunk.astype(np.int64)])
         yield from sess.emit_ready(tokens, lm_done)

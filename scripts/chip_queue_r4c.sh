@@ -1,0 +1,51 @@
+#!/bin/bash
+# Round-4 third chip queue: verify surfaces + the new streaming hop levers
+# (vocode_every batching, lm_prefetch, in-jit key folding — VERDICT r3 #6).
+# ONE background chain, never two TPU processes (CLAUDE.md). Self-registers
+# its pid (/tmp/chipq_r4c.pid). Halt between steps: touch /tmp/chipq.stop.
+# Log: /tmp/chipq_r4c.log.
+set -u
+echo $$ > /tmp/chipq_r4c.pid
+L=/tmp/chipq_r4c.log
+: > "$L"
+for P in /tmp/chipq_r4b.pid /tmp/chipq_r4.pid /tmp/chipq_s8.pid /tmp/chipq.pid; do
+  if [ -f "$P" ]; then
+    while kill -0 "$(cat "$P")" 2>/dev/null; do sleep 20; done
+  fi
+done
+rm -f /tmp/chipq.stop
+cd /root/repo
+run() {
+  if [ -f /tmp/chipq.stop ]; then
+    echo "=== STOPPED by /tmp/chipq.stop before: $*" >> "$L"
+    exit 0
+  fi
+  echo "=== $(date +%H:%M:%S) $*" >> "$L"
+  timeout 2400 "$@" >> "$L" 2>&1
+  echo "--- rc=$?" >> "$L"
+}
+
+# 1. verify surfaces (SKILL.md 1+3): flagship entry loss + driver bench
+run python -c "
+import __graft_entry__ as ge, jax
+fn, args = ge.entry()
+print('loss', float(jax.jit(fn)(*args)))"
+run python bench.py
+
+# 2. streaming baseline re-run WITH the new hop-loop code (in-jit mask +
+#    fold_in, prefetch default-on) — prior best 0.174 at this config
+run python benchmarks/bench_streaming_latency.py --hidden 2048 --layers 24 \
+    --int8 --sfm --flow-timesteps 5 --ctx 50 --profile
+# 3. prefetch A/B (control): same config, prefetch disabled
+run python benchmarks/bench_streaming_latency.py --hidden 2048 --layers 24 \
+    --int8 --sfm --flow-timesteps 5 --ctx 50 --no-prefetch
+# 4. vocoder batching: K hops of mel per HiFT call after the first chunk
+run python benchmarks/bench_streaming_latency.py --hidden 2048 --layers 24 \
+    --int8 --sfm --flow-timesteps 5 --ctx 50 --vocode-every 2
+run python benchmarks/bench_streaming_latency.py --hidden 2048 --layers 24 \
+    --int8 --sfm --flow-timesteps 5 --ctx 50 --vocode-every 4 --profile
+# 5. bigger hop composed with vocode batching (fewer flow calls too;
+#    TTFA grows with hop, steady RTF should drop)
+run python benchmarks/bench_streaming_latency.py --hidden 2048 --layers 24 \
+    --int8 --sfm --flow-timesteps 5 --ctx 50 --hop 75 --vocode-every 2
+echo "QUEUE R4C DONE $(date)" >> "$L"
