@@ -48,4 +48,14 @@ run python benchmarks/bench_streaming_latency.py --hidden 2048 --layers 24 \
 #    TTFA grows with hop, steady RTF should drop)
 run python benchmarks/bench_streaming_latency.py --hidden 2048 --layers 24 \
     --int8 --sfm --flow-timesteps 5 --ctx 50 --hop 75 --vocode-every 2
+# 6. VERDICT #8 probes before any megakernel: does the in-place packed
+#    Pallas step win at 1.4B B=64 (P=1024 rows, the regime the round-3
+#    0.4B numbers said it loses at small B but wins at pool scale)?
+run python benchmarks/bench_flagship_scale.py --only decode14 --packed-wkv
+run python benchmarks/bench_flagship_scale.py --only decode14 --packed-wkv --int8
+# 7. locate the 11.7ms-vs-7.3ms-roofline gap at 1.4B B=64: per-op trace
+#    for baseline / packed / state-bf16 variants
+run python scripts/profile_decode_b128.py --hidden 2048 --batches 64
+run python scripts/profile_decode_b128.py --hidden 2048 --batches 64 --packed-wkv
+run python scripts/profile_decode_b128.py --hidden 2048 --batches 64 --state-bf16 --int8
 echo "QUEUE R4C DONE $(date)" >> "$L"

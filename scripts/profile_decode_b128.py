@@ -1,7 +1,10 @@
-"""Profile the B=128 decode step at 0.4B (PERF.md open item: B=128/256
-decode REGRESSES vs B=64 at 0.4B — 14.2 vs 9.0 ms/step expected ~2x work).
+"""Profile the batched decode step: per-op self-times from a device trace.
 
-Traces a few decode steps at B=64 and B=128 and prints per-op self-times.
+Original use: the B=128-regression question at 0.4B (PERF.md round 3).
+Round 4 (VERDICT #8): --hidden/--layers/--batch/--packed-wkv/--int8/
+--state-bf16 profile the 1.4B B=64 point to locate the gap between the
+11.7 ms fused step and the ~5.5-7.3 ms HBM roofline before any megakernel
+work — state copies vs weight streaming vs elementwise band vs dispatch.
 """
 from __future__ import annotations
 
@@ -55,17 +58,33 @@ def self_times(trace_dir, top=15):
 
 
 def main():
+    import argparse
+
     from rwkvtts_tpu.infer import generate as gen
     from rwkvtts_tpu.models import rwkv7, spark
 
-    cfg = spark.default_config(hidden_size=1024, num_layers=24)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hidden", type=int, default=1024)
+    ap.add_argument("--layers", type=int, default=24)
+    ap.add_argument("--batches", default="64,128")
+    ap.add_argument("--packed-wkv", action="store_true")
+    ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--state-bf16", action="store_true")
+    args = ap.parse_args()
+
+    cfg = spark.default_config(
+        hidden_size=args.hidden, num_layers=args.layers,
+        decode_wkv_packed=args.packed_wkv, decode_state_bf16=args.state_bf16,
+    )
     params = spark.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
     )
-    params = rwkv7.pack_decode_params(params, cfg.backbone)
+    params = rwkv7.pack_decode_params(
+        params, cfg.backbone, quantize_int8=args.int8
+    )
 
-    for B in (64, 128):
+    for B in (int(b) for b in args.batches.split(",")):
         k = jax.random.PRNGKey(1)
         tokens = jax.random.randint(k, (B, 128), 0, 4000)
         modality = jnp.full((B, 128), spark.MOD_TEXT, jnp.int32)
@@ -84,7 +103,12 @@ def main():
         np.asarray(run(jax.random.PRNGKey(3)))
         dt = time.perf_counter() - t0
         print(f"B={B}: {dt*1e3/64:.2f} ms/step", flush=True)
-        out_dir = f"/tmp/dec_trace_b{B}"
+        out_dir = (
+            f"/tmp/dec_trace_h{args.hidden}_b{B}"
+            + ("_pk" if args.packed_wkv else "")
+            + ("_q8" if args.int8 else "")
+            + ("_sb" if args.state_bf16 else "")
+        )
         jax.profiler.start_trace(out_dir)
         np.asarray(run(jax.random.PRNGKey(4)))
         jax.profiler.stop_trace()
