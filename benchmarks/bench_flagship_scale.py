@@ -41,7 +41,8 @@ def n_params(params) -> int:
 
 
 def bench_decode(hidden, layers, batch=64, t_prompt=128, t_new=256, iters=3,
-                 int8=False, int4=False, packed_wkv=False, state_bf16=False):
+                 int8=False, int4=False, packed_wkv=False, state_bf16=False,
+                 proj_fuse=True):
     from rwkvtts_tpu.infer.generate import spark_generate
     from rwkvtts_tpu.models import rwkv7, spark
 
@@ -53,9 +54,14 @@ def bench_decode(hidden, layers, batch=64, t_prompt=128, t_new=256, iters=3,
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
     )
-    params = rwkv7.pack_decode_params(
-        params, cfg.backbone, quantize_int8=int8, quantize_int4=int4
-    )
+    if proj_fuse:
+        params = rwkv7.pack_decode_params(
+            params, cfg.backbone, quantize_int8=int8, quantize_int4=int4
+        )
+    elif int8 or int4:
+        # proj-fuse off + quantization on is not a combination the packer
+        # supports; the probe compares fused-vs-unfused at equal precision
+        raise SystemExit("--no-proj-fuse is bf16-only")
     np_ = n_params(params)
 
     k = jax.random.PRNGKey(1)
@@ -82,7 +88,8 @@ def bench_decode(hidden, layers, batch=64, t_prompt=128, t_new=256, iters=3,
     out = {
         "bench": f"decode_{hidden}x{layers}" + ("_int8" if int8 else "")
         + ("_int4" if int4 else "") + ("_packed" if packed_wkv else "")
-        + ("_sbf16" if state_bf16 else ""),
+        + ("_sbf16" if state_bf16 else "")
+        + ("" if proj_fuse else "_nofuse"),
         "params": np_,
         "batch": batch,
         "tok_per_s_chip": round(tps, 1),
@@ -168,6 +175,11 @@ def main():
     ap.add_argument("--packed-wkv", action="store_true")
     ap.add_argument("--state-bf16", action="store_true",
                     help="bf16 decode-state carry (cfg.decode_state_bf16)")
+    ap.add_argument("--no-proj-fuse", action="store_true",
+                    help="skip pack_decode_params: the fused a/b copies "
+                         "store projection weights twice, so at the "
+                         "weight-bandwidth-bound 1.4B point the ORIGINAL "
+                         "7-matmul path may win (bf16 only)")
     ap.add_argument("--wkv-spans", type=int, default=1,
                     help="two-level hierarchical WKV chunking on the train "
                          "benches (XLA path; 1 = production pallas)")
@@ -179,21 +191,24 @@ def main():
         results.append(
             bench_decode(768, 24, batch=args.batch or 64, int8=args.int8,
                          int4=args.int4, packed_wkv=args.packed_wkv,
-                         state_bf16=args.state_bf16)
+                         state_bf16=args.state_bf16,
+                         proj_fuse=not args.no_proj_fuse)
         )
     if args.only in (None, "decode04"):
         print("== decode 0.4B (1024x24) ==", flush=True)
         results.append(
             bench_decode(1024, 24, batch=args.batch or 64, int8=args.int8,
                          int4=args.int4, packed_wkv=args.packed_wkv,
-                         state_bf16=args.state_bf16)
+                         state_bf16=args.state_bf16,
+                         proj_fuse=not args.no_proj_fuse)
         )
     if args.only in (None, "decode14"):
         print("== decode 1.4B (2048x24) ==", flush=True)
         results.append(
             bench_decode(2048, 24, batch=args.batch or 64, int8=args.int8,
                          int4=args.int4, packed_wkv=args.packed_wkv,
-                         state_bf16=args.state_bf16)
+                         state_bf16=args.state_bf16,
+                         proj_fuse=not args.no_proj_fuse)
         )
     if args.only in (None, "train04"):
         print("== train 0.4B (1024x24) ==", flush=True)

@@ -48,6 +48,15 @@ run python benchmarks/bench_streaming_latency.py --hidden 2048 --layers 24 \
 #    TTFA grows with hop, steady RTF should drop)
 run python benchmarks/bench_streaming_latency.py --hidden 2048 --layers 24 \
     --int8 --sfm --flow-timesteps 5 --ctx 50 --hop 75 --vocode-every 2
+# 5b. bench.py candidate: int8 composed with the bf16 state carry at 0.4B
+#     (never measured together; separately +9.8% and +34%) + quality bound
+run python benchmarks/bench_flagship_scale.py --only decode04 --state-bf16 --int8
+run python scripts/measure_int8_quality.py --int8 --state-bf16
+# 5c. fused-projection double-storage question at the weight-bound 1.4B:
+#     unfused original 7-matmul path saves ~0.65 GB/step of weight reads
+run python benchmarks/bench_flagship_scale.py --only decode14 --no-proj-fuse
+run python benchmarks/bench_flagship_scale.py --only decode14 --no-proj-fuse --state-bf16
+run python benchmarks/bench_flagship_scale.py --only decode14 --state-bf16 --int8
 # 6. VERDICT #8 probes before any megakernel: does the in-place packed
 #    Pallas step win at 1.4B B=64 (P=1024 rows, the regime the round-3
 #    0.4B numbers said it loses at small B but wins at pool scale)?

@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--hidden", type=int, default=1024)
     ap.add_argument("--layers", type=int, default=24)
     ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--int8", action="store_true",
+                    help="with --state-bf16: measure the COMBINED int8 "
+                         "weights + bf16 state carry against the fp "
+                         "comparator (the bench.py production candidate)")
     ap.add_argument("--state-bf16", action="store_true",
                     help="measure the bf16 decode-state carry instead of "
                          "weight quantization (same weights, state cast "
@@ -68,13 +72,20 @@ def main():
 
     p_fp = rwkv7.pack_decode_params(params, cfg.backbone)
     if args.state_bf16:
-        # same weights; the comparator differs only in the state carry dtype
-        p_q8 = p_fp
         cfg_q = dataclasses.replace(
             cfg, backbone=dataclasses.replace(
                 cfg.backbone, decode_state_bf16=True
             ),
         )
+        if args.int8:
+            # the composed production candidate: int8 weights AND the
+            # bf16 state carry vs the full-precision comparator
+            p_q8 = rwkv7.pack_decode_params(
+                params, cfg.backbone, quantize_int8=True
+            )
+        else:
+            # same weights; only the state carry dtype differs
+            p_q8 = p_fp
     else:
         p_q8 = rwkv7.pack_decode_params(
             params, cfg.backbone,
@@ -129,8 +140,8 @@ def main():
         "teacher_forced_top1_agreement": round(agree, 4),
         "free_running_token_agreement": round(roll_agree, 4),
         "median_first_divergence_step": int(np.median(div)),
-        "quant": "state-bf16" if args.state_bf16
-        else ("int4-g64" if args.int4 else "int8"),
+        "quant": ("int8+state-bf16" if args.int8 else "state-bf16")
+        if args.state_bf16 else ("int4-g64" if args.int4 else "int8"),
         "config": f"{args.hidden}x{args.layers} random-init, B=8, "
                   f"greedy, {T_new} steps",
         "wall_s": round(time.perf_counter() - t0, 1),
