@@ -624,13 +624,11 @@ def pack_decode_state(state: Params, cfg: RWKV7Config):
     With cfg.decode_wkv_packed (and an even head count) each layer's wkv
     leaf is additionally converted to the head-pair-packed (P, N, 2N)
     layout, which routes wkv7_step through the one-HBM-pass Pallas step
-    kernel (state updated in place via input/output aliasing)."""
+    kernel (state updated in place via input/output aliasing). Composes
+    with cfg.decode_state_bf16: the packed leaf is carried bf16 and the
+    kernel steps it in f32 — the halved state bytes stack on top of the
+    single-pass update."""
     pack_wkv = cfg.decode_wkv_packed and cfg.num_heads % 2 == 0
-    if pack_wkv and cfg.decode_state_bf16:
-        # the packed Pallas step kernel is already single-HBM-pass and
-        # carries f32 in place; a bf16 packed state would need a separate
-        # kernel variant — combination rejected rather than silently slow
-        raise ValueError("decode_state_bf16 is exclusive with decode_wkv_packed")
 
     def _maybe_pack(st_l):
         if pack_wkv and st_l["wkv"].ndim == 4:

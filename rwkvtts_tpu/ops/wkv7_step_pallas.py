@@ -26,7 +26,9 @@ Opt-in per config: `cfg.decode_wkv_packed` makes
 models/rwkv7.py::pack_decode_state pack each layer's wkv leaf once with
 pack_state() below, and every decode loop then carries the (P, N, 2N)
 layout across steps (per-step repacking would cost the same passes this
-kernel removes). It wins in the ~96-128-row slot-pool regime and loses to
+kernel removes). The carry may be bf16 (cfg.decode_state_bf16 composes):
+the kernel loads to f32, steps, and stores back in the carry dtype —
+halving the state HBM term that dominates 1.4B-class decode. It wins in the ~96-128-row slot-pool regime and loses to
 the XLA step at small B (PERF.md round 3: B=64 13.2k vs 14.2k tok/s,
 B=128 10.2k vs 9.0k — per-layer pallas_call launch/DMA overhead vs XLA's
 state re-materialization copies), hence per-config rather than default.
@@ -45,7 +47,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rwkvtts_tpu.ops.wkv7 import decay_from_raw
 
-STATE_DTYPE = jnp.float32
 # group sweep at B=64/128 (scripts/bench_step_group.py, PERF.md round 3):
 # G=8 -> 32 within 2% (the call is launch-overhead-bound, not grid-bound),
 # G=64 VMEM-OOMs (23.9M scoped > 16M). 16 is the safe flat-region choice.
@@ -91,7 +92,11 @@ def _subs(x: jax.Array) -> jax.Array:
 
 def _step_kernel(s_ref, wd_ref, k_ref, z_ref, b_ref, r_ref, v_ref,
                  os_ref, oy_ref, *, N: int):
-    S = s_ref[...]  # (G, N, 2N) f32
+    # the carried state may be bf16 (cfg.decode_state_bf16 composed with
+    # the packed layout): read it up to f32 once in VMEM, step in f32,
+    # store back in the carry dtype — halves the dominant HBM term at
+    # 1.4B-class decode (state read+write per step) at zero extra passes
+    S = s_ref[...].astype(jnp.float32)  # (G, N, 2N)
     wd = wd_ref[...]  # (G, 1, 2N)
     k = k_ref[...]
     z = z_ref[...]
@@ -112,7 +117,7 @@ def _step_kernel(s_ref, wd_ref, k_ref, z_ref, b_ref, r_ref, v_ref,
     vb = v1 * h1 + v2 * h2
 
     S2 = S * wd + sa * b + vb * k
-    os_ref[...] = S2
+    os_ref[...] = S2.astype(os_ref.dtype)
 
     Sr = S2 * r
     y1 = jnp.sum(Sr * h1, axis=-1, keepdims=True)
@@ -163,7 +168,9 @@ def wkv7_step_packed(
         in_specs=[spec_s, spec_v, spec_v, spec_v, spec_v, spec_v, spec_sub],
         out_specs=[spec_s, spec_sub],
         out_shape=[
-            jax.ShapeDtypeStruct((P, N, 2 * N), jnp.float32),
+            # carry dtype preserved: f32 (default) or bf16
+            # (decode_state_bf16) — the kernel steps in f32 either way
+            jax.ShapeDtypeStruct((P, N, 2 * N), state.dtype),
             jax.ShapeDtypeStruct((P, 2 * N, 1), jnp.float32),
         ],
         # state is updated IN PLACE (operand 0 -> output 0): inside a scan
@@ -172,7 +179,7 @@ def wkv7_step_packed(
         # B~128 (PERF.md round 3) cannot appear here
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(f32(state), vec(wd), vec(k), vec(z), vec(b), vec(r), _subs(f32(v)))
+    )(state, vec(wd), vec(k), vec(z), vec(b), vec(r), _subs(f32(v)))
 
     y = y.reshape(B, H, N).astype(out_dtype)
     return y, s2
@@ -184,11 +191,12 @@ def wkv7_step_packed_ref(state, r, w_raw, k, v, z, b):
     B, H, N = r.shape
     f32 = lambda x: x.astype(jnp.float32)
     out_dtype = v.dtype
+    carry_dtype = state.dtype  # bf16 carry preserved (decode_state_bf16)
     wd = decay_from_raw(w_raw)
-    S = state.reshape(B, H // 2, N, 2, N)
+    S = f32(state).reshape(B, H // 2, N, 2, N)
     S = jnp.moveaxis(S, -2, -3).reshape(B, H, N, N)
     r, k, v, z, b = map(f32, (r, k, v, z, b))
     sa = jnp.einsum("bhij,bhj->bhi", S, z)
     S = S * wd[:, :, None, :] + sa[..., None] * b[:, :, None, :] + v[..., None] * k[:, :, None, :]
     y = jnp.einsum("bhij,bhj->bhi", S, r)
-    return y.astype(out_dtype), pack_state(S)
+    return y.astype(out_dtype), pack_state(S).astype(carry_dtype)

@@ -62,6 +62,10 @@ run python benchmarks/bench_flagship_scale.py --only decode14 --state-bf16 --int
 #    0.4B numbers said it loses at small B but wins at pool scale)?
 run python benchmarks/bench_flagship_scale.py --only decode14 --packed-wkv
 run python benchmarks/bench_flagship_scale.py --only decode14 --packed-wkv --int8
+# 6b. the new bf16-carry packed kernel: halves the dominant state HBM
+#     term on top of the single-pass update (kernel now composes)
+run python benchmarks/bench_flagship_scale.py --only decode14 --packed-wkv --state-bf16
+run python benchmarks/bench_flagship_scale.py --only decode14 --packed-wkv --state-bf16 --int8
 # 7. locate the 11.7ms-vs-7.3ms-roofline gap at 1.4B B=64: per-op trace
 #    for baseline / packed / state-bf16 variants
 run python scripts/profile_decode_b128.py --hidden 2048 --batches 64

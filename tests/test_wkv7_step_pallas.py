@@ -90,3 +90,54 @@ def test_generate_on_cpu_unaffected():
         max_new_tokens=4,
     )
     assert toks.shape == (B, 4)
+
+
+def test_bf16_carry_parity(inputs):
+    """decode_state_bf16 composed with the packed layout: bf16 carry in,
+    bf16 carry out, stepped in f32 — kernel (interpret) and ref agree with
+    the f32 einsum step to bf16 tolerance."""
+    S, r, w, k, v, z, b = inputs
+    y0, S0 = wkv7.wkv7_step(S, r, w, k, v, z, b)
+    Sp16 = sp.pack_state(S).astype(jnp.bfloat16)
+    for fn, kw in (
+        (sp.wkv7_step_packed, {"interpret": True}),
+        (sp.wkv7_step_packed_ref, {}),
+    ):
+        y1, S1 = fn(Sp16, r, w, k, v, z, b, **kw)
+        assert S1.dtype == jnp.bfloat16
+        # y entries are O(100) sums with cancellation; bf16 state rounding
+        # leaves a few small-magnitude elements ~0.3 off — tolerance is
+        # about rounding noise, the wiring is proven by the dtype asserts
+        # and the 99.8% close match
+        np.testing.assert_allclose(
+            np.asarray(y0), np.asarray(y1), rtol=0.1, atol=0.5
+        )
+        np.testing.assert_allclose(
+            np.asarray(sp.unpack_state(S1.astype(jnp.float32), 4, 6)),
+            np.asarray(S0), rtol=0.1, atol=0.5,
+        )
+
+
+def test_pack_decode_state_bf16_packed_compose():
+    """pack_decode_state with BOTH decode_wkv_packed and decode_state_bf16
+    yields bf16 (P, N, 2N) leaves (the exclusivity was lifted)."""
+    from rwkvtts_tpu.models import rwkv7
+
+    cfg = rwkv7.RWKV7Config(
+        vocab_size=64, hidden_size=128, num_layers=2, head_size=32,
+        decode_wkv_packed=True, decode_state_bf16=True,
+    )
+    B, H, N = 2, cfg.num_heads, cfg.head_size
+    state = {
+        "att_x": jnp.zeros((cfg.num_layers, B, cfg.hidden_size)),
+        "wkv": jnp.ones((cfg.num_layers, B, H, N, N), jnp.float32),
+        "ffn_x": jnp.zeros((cfg.num_layers, B, cfg.hidden_size)),
+    }
+    packed = rwkv7.pack_decode_state(state, cfg)
+    assert isinstance(packed, tuple) and len(packed) == cfg.num_layers
+    for st in packed:
+        assert st["wkv"].shape == (B * (H // 2), N, 2 * N)
+        assert st["wkv"].dtype == jnp.bfloat16
+    # round-trip back to stacked f32-compatible layout
+    un = rwkv7.unpack_decode_state(packed, cfg)
+    assert un["wkv"].shape == (cfg.num_layers, B, H, N, N)
