@@ -232,3 +232,50 @@ def test_stream_zero_or_short_token_case(pipe):
     )
     wav = np.concatenate(chunks) if chunks else np.zeros(0)
     assert np.isfinite(wav).all()
+
+
+def test_prefetch_token_parity(pipe):
+    """lm_prefetch dispatches chunk N+1 early but splits keys in the same
+    order — the emitted wav must be bit-identical to the sequential loop."""
+    kw = dict(token_hop_len=4, ctx_tokens=4, mel_cache_len=2, n_timesteps=2,
+              lm_chunk=4)
+    wavs = []
+    for prefetch in (False, True):
+        scfg = streaming.StreamConfig(lm_prefetch=prefetch, **kw)
+        wavs.append(np.concatenate(list(streaming.stream_synthesize(
+            pipe, "hello prefetch", stream_cfg=scfg, max_new_tokens=24,
+        ))))
+    assert wavs[0].shape == wavs[1].shape
+    np.testing.assert_array_equal(wavs[0], wavs[1])
+
+
+def test_vocode_every_batches_hift_calls(pipe):
+    """vocode_every=K: same LM/flow path (total samples preserved), but
+    the steady-state HiFT call count drops — first hop still vocodes
+    immediately (TTFA unchanged)."""
+    kw = dict(token_hop_len=4, ctx_tokens=4, mel_cache_len=2, n_timesteps=2,
+              lm_chunk=4)
+    calls = {}
+    wavs = {}
+    orig = streaming.CosyStreamSession._vocode
+    for K in (1, 3):
+        n = 0
+
+        def counting(self, mel, finalize=False):
+            nonlocal n
+            n += 1
+            return orig(self, mel, finalize=finalize)
+
+        streaming.CosyStreamSession._vocode = counting
+        try:
+            scfg = streaming.StreamConfig(vocode_every=K, **kw)
+            wavs[K] = np.concatenate(list(streaming.stream_synthesize(
+                pipe, "hello batching", stream_cfg=scfg, max_new_tokens=24,
+            )))
+        finally:
+            streaming.CosyStreamSession._vocode = orig
+        calls[K] = n
+    # same audio duration (crossfade seams differ, so not bit-identical)
+    assert wavs[1].shape == wavs[3].shape
+    assert calls[3] < calls[1]
+    assert np.isfinite(wavs[3]).all()
