@@ -55,6 +55,12 @@ def main():
                     help="batch K hops per HiFT call after the first chunk")
     ap.add_argument("--no-prefetch", action="store_true",
                     help="disable speculative LM chunk dispatch")
+    ap.add_argument("--hop-max", type=int, default=None,
+                    help="hop ramp cap: flow hop doubles per chunk up to "
+                         "this (TTFA keeps the base hop)")
+    ap.add_argument("--lm-chunk", type=int, default=None,
+                    help="LM decode steps per dispatch (default = hop); "
+                         "bigger chunks amortize per-dispatch tunnel cost")
     args = ap.parse_args()
 
     from rwkvtts_tpu.codecs import flow as flow_lib, hift as hift_lib
@@ -74,8 +80,9 @@ def main():
         quantize_int4=args.int4,
     )
     skw = {"token_hop_len": args.hop, "sfm": args.sfm,
-           "vocode_every": args.vocode_every,
-           "lm_prefetch": not args.no_prefetch}
+           "vocode_every": args.vocode_every, "hop_max": args.hop_max,
+           "lm_prefetch": not args.no_prefetch,
+           "lm_chunk": args.lm_chunk or args.hop}
     if args.flow_timesteps is not None:
         skw["n_timesteps"] = args.flow_timesteps
     if args.ctx is not None:
@@ -143,6 +150,8 @@ def main():
     cfgs = f"hop {args.hop} tok | ctx {scfg.ctx_tokens} | flow " + (
         f"sfm-{scfg.n_timesteps}" if args.sfm else f"cfm-{scfg.n_timesteps}"
     ) + f" | vocode_every {scfg.vocode_every}" + (
+        f" | hop_max {scfg.hop_max}" if scfg.hop_max else ""
+    ) + (
         " | no-prefetch" if args.no_prefetch else ""
     )
     print(

@@ -64,11 +64,22 @@ class StreamConfig:
     # the steady-state vocoder cost ~K×. Audio differs from K=1 only in
     # having K× fewer crossfade seams.
     vocode_every: int = 1
-    # speculatively dispatch LM chunk N+1 before vocoding hop N: the device
-    # pipelines LM/flow/HiFT back-to-back instead of idling during host
-    # window prep. Token-identical (same key split order); costs at most
-    # one wasted LM chunk after EOS.
+    # dispatch LM chunk N+1 before vocoding hop N — but only once the first
+    # audio chunk is out: the TPU core runs one program at a time, so a
+    # prefetch enqueued before flow hop 0 DELAYS first audio by a whole LM
+    # chunk (measured +165 ms TTFA at 1.5B, PERF.md round 4). After the
+    # first chunk it only hides host-side window prep (~10% of wall).
+    # Token-identical (same key split order); costs at most one wasted LM
+    # chunk after EOS.
     lm_prefetch: bool = True
+    # Hop ramp: the flow hop DOUBLES after each emitted hop, capped at
+    # hop_max (None = fixed hop). The first chunk stays token_hop_len
+    # (TTFA unchanged); steady state pays the flow/vocoder fixed costs
+    # (~60-90 ms/call regardless of length, PERF.md round 4) per 4-8 s of
+    # audio instead of per 2 s. One compiled flow program per ramp stage
+    # (log2(hop_max/hop) + 1 programs). The LM outruns playback ~12x at
+    # 1.5B int8, so waiting for the bigger hop never starves the stream.
+    hop_max: Optional[int] = None
 
 
 @functools.partial(
@@ -162,8 +173,15 @@ class CosyStreamSession:
         self.P = P
         la = self.fcfg.pre_lookahead_len
         self.la = la
-        self.gen_cap = stream_cfg.ctx_tokens + stream_cfg.token_hop_len + la
+        h = stream_cfg.token_hop_len
+        self.hop_cap = max(stream_cfg.hop_max or h, h)
+        # window must hold ctx + the largest ramp slice (hop_cap rounded up
+        # to a whole number of base hops for the final-remainder slice) + la
+        self.gen_cap = (
+            stream_cfg.ctx_tokens + -(-(self.hop_cap + la) // h) * h + la
+        )
         self.cap = P + self.gen_cap
+        self.cur_hop = h  # doubles per emitted hop up to hop_cap
         # vocoder caches (reference hift_cache_dict, cli/model.py:374-395)
         up = self.hcfg.total_upsample
         self.scl = stream_cfg.mel_cache_len * up
@@ -184,14 +202,18 @@ class CosyStreamSession:
     def _window_mel(self, tokens: np.ndarray, off: int, n_new: int) -> np.ndarray:
         """Mel for tokens[off : off+n_new] conditioned on the bounded window."""
         scfg, fcfg = self.scfg, self.fcfg
-        end = min(off + scfg.token_hop_len + self.la, len(tokens))
+        end = min(off + n_new + self.la, len(tokens))
         w0 = max(0, off - scfg.ctx_tokens)
         gen_win = tokens[w0:end]
         n_valid = self.P + len(gen_win)
         buf = np.zeros((1, self.cap), np.int32)
         buf[0, : self.P] = self.prompt_tokens
         buf[0, self.P : n_valid] = gen_win
-        slice_len = scfg.token_hop_len + self.la
+        # static slice length: n_new rounded up to a whole number of base
+        # hops, so the ramp set {h, 2h, ..., hop_cap} (+ one remainder
+        # rounding) bounds the number of compiled flow programs
+        h = scfg.token_hop_len
+        slice_len = -(-n_new // h) * h + self.la
         sfm = scfg.sfm and "sfm_head" in self.pipe.flow_params
         mel = _flow_hop(
             self.pipe.flow_params, fcfg,
@@ -266,11 +288,12 @@ class CosyStreamSession:
         hops accumulate in groups of `vocode_every` per HiFT call — the
         vocoder is fixed-cost-bound at hop size (PERF.md round 4), so
         batching cuts its steady-state share ~K×."""
-        hop = self.scfg.token_hop_len
         K = max(1, self.scfg.vocode_every)
-        while len(tokens) - self.token_offset >= hop + self.la:
+        while len(tokens) - self.token_offset >= self.cur_hop + self.la:
+            hop = self.cur_hop
             mel = self._window_mel(tokens, self.token_offset, hop)
             self.token_offset += hop
+            self.cur_hop = min(2 * hop, self.hop_cap)  # ramp
             if self.mel_cache is None and not self._mel_accum:
                 yield self._vocode(mel, finalize=False)
             else:
@@ -363,12 +386,14 @@ def stream_synthesize(
     key, pending = dispatch(carry, key)
     while not lm_done:
         carry, toks, done = pending
-        if stream_cfg.lm_prefetch:
-            # speculatively enqueue chunk N+1 BEFORE syncing chunk N: the
-            # device pipelines LM -> flow -> HiFT back-to-back instead of
-            # idling while the host prepares the flow window; token order
-            # and key splits are identical to the sequential loop, at most
-            # one post-EOS chunk of wasted device work per utterance.
+        # enqueue chunk N+1 BEFORE syncing chunk N — but only after the
+        # first audio chunk is out (sess.hop_idx > 0): the device is
+        # serial, so an early prefetch would run ahead of flow hop 0 and
+        # delay first audio by a whole LM chunk (measured +165 ms TTFA).
+        # Token order and key splits are identical to the sequential loop;
+        # at most one post-EOS chunk of wasted device work per utterance.
+        prefetched = stream_cfg.lm_prefetch and sess.hop_idx > 0
+        if prefetched:
             key, pending = dispatch(carry, key)
         chunk = np.asarray(toks)[0]
         n_decoded += len(chunk)
@@ -378,7 +403,7 @@ def stream_synthesize(
             lm_done = True
         elif n_decoded >= max_len:
             lm_done = True
-        if not lm_done and not stream_cfg.lm_prefetch:
+        if not lm_done and not prefetched:
             key, pending = dispatch(carry, key)
         tokens = np.concatenate([tokens, chunk.astype(np.int64)])
         yield from sess.emit_ready(tokens, lm_done)

@@ -279,3 +279,38 @@ def test_vocode_every_batches_hift_calls(pipe):
     assert wavs[1].shape == wavs[3].shape
     assert calls[3] < calls[1]
     assert np.isfinite(wavs[3]).all()
+
+
+def test_hop_ramp_parity_and_fewer_flow_calls(pipe):
+    """hop_max ramp: flow hop doubles per chunk — total samples match the
+    fixed-hop stream, flow call count drops, first chunk (TTFA) is still
+    the base hop's size."""
+    kw = dict(token_hop_len=4, ctx_tokens=4, mel_cache_len=2, n_timesteps=2,
+              lm_chunk=4)
+    orig = streaming.CosyStreamSession._window_mel
+    calls = {}
+    wavs = {}
+    firsts = {}
+    for hop_max in (None, 16):
+        n = 0
+
+        def counting(self, tokens, off, n_new):
+            nonlocal n
+            n += 1
+            return orig(self, tokens, off, n_new)
+
+        streaming.CosyStreamSession._window_mel = counting
+        try:
+            scfg = streaming.StreamConfig(hop_max=hop_max, **kw)
+            chunks = list(streaming.stream_synthesize(
+                pipe, "hello ramp", stream_cfg=scfg, max_new_tokens=24,
+            ))
+        finally:
+            streaming.CosyStreamSession._window_mel = orig
+        wavs[hop_max] = np.concatenate(chunks)
+        firsts[hop_max] = len(chunks[0])
+        calls[hop_max] = n
+    assert wavs[None].shape == wavs[16].shape
+    assert calls[16] < calls[None]
+    assert firsts[16] == firsts[None]  # TTFA chunk unchanged
+    assert np.isfinite(wavs[16]).all()
