@@ -213,9 +213,6 @@ def main(argv=None):
 
     logging.basicConfig(level=logging.INFO)
     packed = not args.no_packed_wkv
-    if args.state_bf16 and packed:
-        log.info("--state-bf16: disabling the packed decode state (exclusive)")
-        packed = False
     if args.dp > 1 and packed:
         # the packed Pallas step is per-device; a dp-sharded pool must use
         # the XLA step (ContinuousBatcher raises on the combination)

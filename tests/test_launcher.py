@@ -53,7 +53,7 @@ def test_launcher_boot_and_serve(ckpt, monkeypatch):
         tts.close()
 
 
-def test_launcher_rejects_bad_combo(ckpt, monkeypatch):
+def test_launcher_packed_bf16_combo(ckpt, monkeypatch):
     class Tok:
         def encode(self, t):
             return [1, 2]
@@ -62,11 +62,16 @@ def test_launcher_rejects_bad_combo(ckpt, monkeypatch):
         "rwkvtts_tpu.utils.tokenizer.get_world_tokenizer",
         lambda n_spct=0: Tok(),
     )
-    # packed + bf16 state is exclusive: pack_decode_state raises when the
-    # service builds its carry
+    # packed + bf16 state COMPOSE since round 4 (the packed step kernel
+    # preserves a bf16 carry): the service builds its slot carry with
+    # bf16 (P, N, 2N) wkv leaves instead of raising
     pipe = launch.build_pipeline(ckpt, packed_wkv=True, state_bf16=True)
-    with pytest.raises(ValueError):
-        launch.build_service(pipe, continuous=True, n_slots=2, warmup=False)
+    tts = launch.build_service(pipe, continuous=True, n_slots=2, warmup=False)
+    try:
+        st = tts.batcher._carry[1][0]["wkv"]
+        assert st.ndim == 3 and st.dtype == jnp.bfloat16
+    finally:
+        tts.close()
 
 
 def test_launcher_cosy_family_boot(tmp_path, monkeypatch):
