@@ -46,6 +46,8 @@ EXCEPTIONS: Dict[str, str] = {
     "could": "kʊd", "would": "wʊd", "should": "ʃʊd", "who": "hu",
     "whom": "hum", "whose": "huz", "what": "wʌt", "where": "wɛr",
     "when": "wɛn", "why": "waɪ", "how": "haʊ", "which": "wɪtʃ",
+    "yes": "jɛs", "bus": "bʌs", "gas": "gæs", "plus": "plʌs",
+    "us": "ʌs", "this2": "ðɪs",
     "one": "wʌn", "once": "wʌns", "two": "tu", "four": "fɔr",
     "eight": "eɪt", "said": "sɛd", "says": "sɛz", "again": "əˈgɛn",
     "against": "əˈgɛnst", "any": "ˈɛni", "many": "ˈmɛni", "only": "ˈoʊnli",
@@ -234,9 +236,13 @@ _RULES: List[Tuple[str, str, str, str]] = [
     ("ey", "i", "", "$"),
     ("ly", "li", "", "$"),
     ("y", "i", ".", "$"),       # word-final y after anything = i (happy)
-    ("es", "z", "[bgvdmnlrw]|" + V, "$"),
-    ("es", "ɪz", "[szxʃ]|c|g", "$"),
-    ("s", "z", "[bgvdmnlrw]|" + V, "$"),
+    # plural/3sg -es: the sibilant reading FIRST (ages/uses/boxes -> ɪz;
+    # soft-g/-ce endings are in this class, so it must outrank the plain
+    # z reading whose class also contains g), and every -es/-s suffix rule
+    # requires a >=2-char stem ('.') so 'yes' is not parsed as 'y'+'es'
+    ("es", "ɪz", ".(?:[szxʃc]|g)", "$"),
+    ("es", "z", ".(?:[bvdmnlrw]|" + V + ")", "$"),
+    ("s", "z", ".(?:[bgvdmnlrw]|" + V + ")", "$"),
     # --- vowel digraphs
     ("eau", "oʊ", "", ""),
     ("iew", "ju", "", ""),

@@ -137,9 +137,12 @@ def pinyin_to_ipa(syllable: str) -> str:
     # ju/qu/xu spell the v-final with a bare u
     if ini in ("j", "q", "x") and fin.startswith("u"):
         fin = "v" + fin[1:]
-    # jue/que/xue/yue spell ve as ue
-    if fin.startswith("ue"):
+    # nüe/lüe typed as nue/lue (ueng must NOT take this path)
+    if ini in ("n", "l") and fin.startswith("ue"):
         fin = "v" + fin[1:]
+    # full-form finals produced by the y/w normalization (you -> iou,
+    # wei -> uei, wen -> uen) contract to their post-initial table keys
+    fin = {"iou": "iu", "uei": "ui", "uen": "un"}.get(fin, fin)
     if fin == "i" and ini in _RETROFLEX_I:
         vowel = "ʐ̩"
     elif fin == "i" and ini in _DENTAL_I:

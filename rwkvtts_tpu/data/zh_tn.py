@@ -264,12 +264,32 @@ def _plain_number(m: re.Match) -> str:
     return _decimal_to_zh(s)
 
 
+def _iso_date(m: re.Match) -> str:
+    return (
+        digits_to_zh(m.group(1)) + "年"
+        + num_to_zh(int(m.group(2))) + "月"
+        + num_to_zh(int(m.group(3))) + "日"
+    )
+
+
+def _percent_range(m: re.Match) -> str:
+    return (
+        "百分之" + _decimal_to_zh(m.group(1))
+        + "到百分之" + _decimal_to_zh(m.group(2))
+    )
+
+
 _ZH_RULES = [
-    # phone-shaped digit runs FIRST (a hyphenated phone would otherwise
-    # match the range rule)
+    # ISO dates FIRST: the phone/range rules would otherwise read
+    # 2024-01-05 digit-by-digit / as "2024 to 1, minus 5"
+    # (WeTextProcessing reads it as a date)
+    (re.compile(r"(?<!\d)(\d{4})-(\d{1,2})-(\d{1,2})(?!\d)"), _iso_date),
+    # phone-shaped digit runs next (a hyphenated phone would otherwise
+    # match the range rule); any >=3-group hyphenated digit run (service/
+    # serial numbers like 400-123-4567) also reads digit-by-digit
     (
         re.compile(
-            r"(?<!\d)(?:1[3-9]\d{9}|\d{3,4}-\d{7,8})(?!\d)"
+            r"(?<!\d)(?:1[3-9]\d{9}|\d{3,4}-\d{7,8}|\d+(?:-\d+){2,})(?!\d)"
             r"|(?:(?<=拨打)|(?<=致电))(?:110|119|120|122)(?!\d)"
         ),
         _phone,
@@ -286,7 +306,13 @@ _ZH_RULES = [
     (re.compile(r"(\d{2,4})年"), _year_digits),
     (re.compile(r"(\d{1,2})月(\d{1,2})[日号]"), _date),
     (re.compile(r"(\d{1,2}):(\d{1,2})(?::(\d{1,2}))?(?=[^\d:]|$)"), _time),
-    # percent / fraction / range
+    # percent / fraction / range; a percent RANGE (10~20%) distributes
+    # 百分之 over both ends before the bare-percent rule can eat the
+    # right end and strand the separator
+    (
+        re.compile(r"(\d+(?:\.\d+)?)\s*[~～—–-]\s*(\d+(?:\.\d+)?)%"),
+        _percent_range,
+    ),
     (re.compile(r"(-?\d+(?:\.\d+)?)%"), _percent),
     (re.compile(r"(\d+)/(\d+)"), _fraction),
     (re.compile(r"(\d+(?:\.\d+)?)[~～—–-](\d+(?:\.\d+)?)(?=[^\d]|$)"), _range),
@@ -301,10 +327,20 @@ def _units(text: str) -> str:
         unit = _UNIT_WORDS.get(m.group(2).lower())
         return m.group(1) + (unit if unit else m.group(2))
 
-    pat = r"(\d(?:\.\d+)?)\s*(" + "|".join(
-        sorted(_UNIT_WORDS, key=len, reverse=True)
-    ) + r")(?![a-zA-Z])"
-    return re.sub(pat, repl, text, flags=re.IGNORECASE)
+    multi = [u for u in _UNIT_WORDS if len(u) > 1]
+    single = [u for u in _UNIT_WORDS if len(u) == 1]
+    # multi-letter units match case-insensitively (5KM, 3Kg); SINGLE-letter
+    # units only lowercase — '5G'/'3M' are tech/brand tokens, not grams or
+    # meters (WeTextProcessing's tagger makes the same distinction)
+    pat = (
+        r"(\d(?:\.\d+)?)\s*("
+        + "|".join(
+            sorted((f"(?i:{u})" for u in multi), key=len, reverse=True)
+        )
+        + "|" + "|".join(single)
+        + r")(?![a-zA-Z])"
+    )
+    return re.sub(pat, repl, text)
 
 
 def normalize_zh(text: str) -> str:

@@ -158,6 +158,14 @@ class CosyStreamSession:
         self.scfg = stream_cfg
         self.fcfg = pipeline.flow_cfg
         self.hcfg = pipeline.hift_cfg
+        if stream_cfg.sfm and "sfm_head" not in pipeline.flow_params:
+            # refuse rather than silently running plain CFM at the
+            # SFM-tuned low step count (degraded audio mislabeled "sfm")
+            raise ValueError(
+                "StreamConfig.sfm=True but flow_params has no 'sfm_head' "
+                "(cfg.sfm checkpoint required); unset sfm or load an "
+                "SFM-trained flow"
+            )
         self.seed = seed
         self.prompt_tokens = np.asarray(prompt_speech_tokens, np.int64)
         if spk_embedding is None:
@@ -175,11 +183,17 @@ class CosyStreamSession:
         self.la = la
         h = stream_cfg.token_hop_len
         self.hop_cap = max(stream_cfg.hop_max or h, h)
-        # window must hold ctx + the largest ramp slice (hop_cap rounded up
-        # to a whole number of base hops for the final-remainder slice) + la
-        self.gen_cap = (
-            stream_cfg.ctx_tokens + -(-(self.hop_cap + la) // h) * h + la
-        )
+        # ramp slice lengths (static jit arg -> one compiled flow program
+        # each): the doubling stages. The final remainder (at most
+        # cur_hop + la - 1 <= hop_cap + la - 1 tokens) fits the largest
+        # stage's slice. With hop_max=None this degenerates to the single
+        # round-3 shape {h + la} — no extra padded flow compute on the
+        # fixed-hop path.
+        stages = [h]
+        while stages[-1] < self.hop_cap:
+            stages.append(min(2 * stages[-1], self.hop_cap))
+        self._slice_lens = [s + la for s in stages]
+        self.gen_cap = stream_cfg.ctx_tokens + self._slice_lens[-1]
         self.cap = P + self.gen_cap
         self.cur_hop = h  # doubles per emitted hop up to hop_cap
         # vocoder caches (reference hift_cache_dict, cli/model.py:374-395)
@@ -209,12 +223,10 @@ class CosyStreamSession:
         buf = np.zeros((1, self.cap), np.int32)
         buf[0, : self.P] = self.prompt_tokens
         buf[0, self.P : n_valid] = gen_win
-        # static slice length: n_new rounded up to a whole number of base
-        # hops, so the ramp set {h, 2h, ..., hop_cap} (+ one remainder
-        # rounding) bounds the number of compiled flow programs
-        h = scfg.token_hop_len
-        slice_len = -(-n_new // h) * h + self.la
-        sfm = scfg.sfm and "sfm_head" in self.pipe.flow_params
+        # static slice length: the smallest ramp-stage slice that covers
+        # n_new — the precomputed set bounds the compiled flow programs
+        slice_len = next(s for s in self._slice_lens if s >= n_new)
+        sfm = scfg.sfm  # __init__ guarantees sfm_head exists when set
         mel = _flow_hop(
             self.pipe.flow_params, fcfg,
             self._flow_key,

@@ -97,3 +97,24 @@ def test_collator_ipa_strict_default():
         rng=random.Random(0),
     )
     assert out["tokens"].shape[0] == 2  # plain + properties sample
+
+
+def test_en_g2p_suffix_rules():
+    """Round-4 review: 'es' must be a real suffix (>=2-char stem) and read
+    ɪz after sibilants/soft-g — 'yes' keeps its vowel, 'ages' its ɪ."""
+    from rwkvtts_tpu.data import en_g2p
+
+    assert en_g2p.convert("yes").rstrip("*") == "jɛs"
+    assert en_g2p.convert("ages").rstrip("*").endswith("ɪz")
+    assert en_g2p.convert("boxes").rstrip("*").endswith("ɪz")
+    assert en_g2p.convert("dogs").rstrip("*").endswith("gz")
+
+
+def test_pinyin_ipa_y_w_syllables():
+    """Round-4 review: you/wei/wen/weng (full-form finals from the y/w
+    normalization) must transcribe, not pass through as raw pinyin."""
+    from rwkvtts_tpu.data import pinyin
+
+    for s in ("you3", "wei4", "wen2", "weng1", "jue2", "nve4"):
+        out = pinyin.pinyin_to_ipa(s)
+        assert out != s and not any(c.isdigit() for c in out), (s, out)

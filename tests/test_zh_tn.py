@@ -152,3 +152,32 @@ def test_g2p_text():
     out = en_g2p.convert_text("the cat sat")
     assert out.split()[0] == "ðə"
     assert len(out.split()) == 3
+
+
+# --- round-4 review regressions ------------------------------------------
+
+from rwkvtts_tpu.data import zh_tn  # noqa: E402
+
+
+def test_iso_date_not_range():
+    assert zh_tn.normalize_zh("会议定于2024-01-05举行") == (
+        "会议定于二零二四年一月五日举行"
+    )
+
+
+def test_hyphenated_service_number_digitwise():
+    out = zh_tn.normalize_zh("电话400-123-4567")
+    assert out == "电话四零零幺二三四五六七"
+
+
+def test_percent_range_distributes():
+    assert zh_tn.normalize_zh("10~20%的增长") == "百分之十到百分之二十的增长"
+    assert "~" not in zh_tn.normalize_zh("10~20%")
+
+
+def test_uppercase_single_letter_not_unit():
+    out = zh_tn.normalize_zh("5G网络和3M胶带")
+    assert "克" not in out and "米" not in out
+    # lowercase single-letter units still verbalize
+    assert zh_tn.normalize_zh("买了5g糖") == "买了五克糖"
+    assert zh_tn.normalize_zh("跑了10km") == "跑了十千米"
