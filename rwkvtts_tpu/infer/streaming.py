@@ -193,6 +193,8 @@ class CosyStreamSession:
         while stages[-1] < self.hop_cap:
             stages.append(min(2 * stages[-1], self.hop_cap))
         self._slice_lens = [s + la for s in stages]
+        # upper bound across stages (diagnostics only; _window_mel sizes
+        # the actual buffer per stage)
         self.gen_cap = stream_cfg.ctx_tokens + self._slice_lens[-1]
         self.cap = P + self.gen_cap
         self.cur_hop = h  # doubles per emitted hop up to hop_cap
@@ -220,12 +222,18 @@ class CosyStreamSession:
         w0 = max(0, off - scfg.ctx_tokens)
         gen_win = tokens[w0:end]
         n_valid = self.P + len(gen_win)
-        buf = np.zeros((1, self.cap), np.int32)
+        # static slice length: the smallest ramp-stage slice that covers
+        # n_new — the precomputed set bounds the compiled flow programs.
+        # The window BUFFER is sized per stage too: the conformer encodes
+        # the whole padded window, so a buffer sized for the largest stage
+        # would make every hop (incl. the TTFA-critical first one) pay the
+        # max-stage cost (measured: hop_max=200 raised TTFA 554 -> 947 ms
+        # before this; PERF.md round 4).
+        slice_len = next(s for s in self._slice_lens if s >= n_new)
+        cap = self.P + scfg.ctx_tokens + slice_len
+        buf = np.zeros((1, cap), np.int32)
         buf[0, : self.P] = self.prompt_tokens
         buf[0, self.P : n_valid] = gen_win
-        # static slice length: the smallest ramp-stage slice that covers
-        # n_new — the precomputed set bounds the compiled flow programs
-        slice_len = next(s for s in self._slice_lens if s >= n_new)
         sfm = scfg.sfm  # __init__ guarantees sfm_head exists when set
         mel = _flow_hop(
             self.pipe.flow_params, fcfg,
