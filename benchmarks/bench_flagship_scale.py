@@ -54,14 +54,12 @@ def bench_decode(hidden, layers, batch=64, t_prompt=128, t_new=256, iters=3,
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
     )
-    if proj_fuse:
-        params = rwkv7.pack_decode_params(
-            params, cfg.backbone, quantize_int8=int8, quantize_int4=int4
-        )
-    elif int8 or int4:
-        # proj-fuse off + quantization on is not a combination the packer
-        # supports; the probe compares fused-vs-unfused at equal precision
-        raise SystemExit("--no-proj-fuse is bf16-only")
+    if int4 and not proj_fuse:
+        raise SystemExit("--no-proj-fuse does not compose with int4")
+    params = rwkv7.pack_decode_params(
+        params, cfg.backbone, quantize_int8=int8, quantize_int4=int4,
+        fuse_projections=proj_fuse,
+    )
     np_ = n_params(params)
 
     k = jax.random.PRNGKey(1)

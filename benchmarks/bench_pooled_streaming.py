@@ -53,6 +53,12 @@ def main():
     ap.add_argument("--layers", type=int, default=12)
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--int4", action="store_true")
+    ap.add_argument("--state-bf16", action="store_true",
+                    help="bf16 WKV state carry (halves pool-state HBM; "
+                         "zero measured decision flips, PERF.md round 3)")
+    ap.add_argument("--no-proj-fuse", action="store_true",
+                    help="unfused per-projection decode weights (drops the "
+                         "doubled fused copies — HBM headroom at 1.5B)")
     ap.add_argument("--overlap", action="store_true",
                     help="double-buffered chunks (token-identical; hides "
                          "the per-chunk host sync behind device compute)")
@@ -97,7 +103,8 @@ def main():
         )
     else:
         lm_cfg = cosy.default_config(
-            hidden_size=args.hidden, num_layers=args.layers
+            hidden_size=args.hidden, num_layers=args.layers,
+            decode_state_bf16=args.state_bf16,
         )
         fcfg = flow_lib.FlowConfig()
         hcfg = hift_lib.HiFTConfig()
@@ -107,7 +114,7 @@ def main():
     pipe = CosyPipeline(
         lm_cfg, lm_params, _Tok(), flow_cfg=fcfg, flow_params=fparams,
         hift_cfg=hcfg, hift_params=hparams, quantize_int8=args.int8,
-        quantize_int4=args.int4,
+        quantize_int4=args.int4, fuse_projections=not args.no_proj_fuse,
     )
     text = "pooled streaming benchmark " * (args.text_len // 27 + 1)
     text = text[: args.text_len]
@@ -145,6 +152,8 @@ def main():
                 "bench": f"pooled_streaming_{args.hidden}x{args.layers}"
                 + ("_int8" if args.int8 else "")
                 + ("_int4" if args.int4 else "")
+                + ("_sbf16" if args.state_bf16 else "")
+                + ("_nofuse" if args.no_proj_fuse else "")
                 + ("_overlap" if args.overlap else ""),
                 "streams": n_streams,
                 "slots": args.slots,

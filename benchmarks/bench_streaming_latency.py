@@ -42,6 +42,9 @@ def main():
                          "greedy flips, PERF.md round 3)")
     ap.add_argument("--int4", action="store_true",
                     help="int4 group-wise LM decode weights")
+    ap.add_argument("--no-proj-fuse", action="store_true",
+                    help="unfused per-projection decode weights (fewer HBM "
+                         "bytes at B=1; see pack_decode_params)")
     ap.add_argument("--sfm", action="store_true",
                     help="SFM fast decode in the flow hop (start at t_h)")
     ap.add_argument("--flow-timesteps", type=int, default=None,
@@ -77,7 +80,7 @@ def main():
     pipe = CosyPipeline(
         lm_cfg, lm_params, _Tok(), flow_cfg=fcfg, flow_params=fparams,
         hift_cfg=hcfg, hift_params=hparams, quantize_int8=args.int8,
-        quantize_int4=args.int4,
+        quantize_int4=args.int4, fuse_projections=not args.no_proj_fuse,
     )
     skw = {"token_hop_len": args.hop, "sfm": args.sfm,
            "vocode_every": args.vocode_every, "hop_max": args.hop_max,
@@ -153,6 +156,8 @@ def main():
         f" | hop_max {scfg.hop_max}" if scfg.hop_max else ""
     ) + (
         " | no-prefetch" if args.no_prefetch else ""
+    ) + (
+        " | no-proj-fuse" if args.no_proj_fuse else ""
     )
     print(
         f"TTFA {min(ttfas)*1000:.0f} ms | steady RTF {min(rtfs):.3f} "

@@ -59,6 +59,7 @@ class CosyPipeline:
         sample_rate: int = 24000,
         quantize_int8: bool = False,
         quantize_int4: bool = False,
+        fuse_projections: bool = True,
     ):
         from rwkvtts_tpu.models import rwkv7
 
@@ -66,10 +67,12 @@ class CosyPipeline:
         # opt-in int8/int4 LM decode weights — what clears RTF<=0.1 at the
         # deployed 1.5B pairing (PERF.md round 3; quality bound: zero
         # greedy decision flips measured for int8; int4 probe via
-        # scripts/measure_int8_quality.py --int4)
+        # scripts/measure_int8_quality.py --int4). fuse_projections=False
+        # drops the doubled fused projection copies — the B=1
+        # weight-bandwidth lever (pack_decode_params docstring).
         self.lm_params = rwkv7.pack_decode_params(
             lm_params, lm_cfg.backbone, quantize_int8=quantize_int8,
-            quantize_int4=quantize_int4,
+            quantize_int4=quantize_int4, fuse_projections=fuse_projections,
         )
         self.tok = text_tokenizer
         self.flow_cfg = flow_cfg

@@ -693,6 +693,7 @@ def layer_decode_views(params: Params, cfg: RWKV7Config) -> Params:
 def pack_decode_params(
     params: Params, cfg: RWKV7Config, quantize_int8: bool = False,
     quantize_int4: bool = False, int4_group: int = 64,
+    fuse_projections: bool = True,
 ) -> Params:
     """Precompute fused decode projections (done once, host/amortized).
 
@@ -704,11 +705,36 @@ def pack_decode_params(
     bound at small batch, so fewer, larger matmuls win (PERF.md).
     Returns params + blocks.att.{fused_a, fused_b} of shape
     (L, C, 3C+Dw+Da+Dv+Dg), both stored in cfg.dtype.
+
+    fuse_projections=False trades the other way: the fused pair stores the
+    projection weights TWICE (fused_b = diag(x_s)·W), so where decode is
+    weight-bandwidth-bound rather than dispatch-bound — B=1 streaming at
+    1.5B (the reference's own B=1 latency path, cosy_llm.py:238-272) — the
+    unfused seven-matmul step reads ~35% fewer HBM bytes. With
+    quantize_int8 the seven projections quantize individually (same
+    per-output-channel scheme); int4 stays fused-only.
     """
     if quantize_int8 and quantize_int4:
         raise ValueError("quantize_int8 and quantize_int4 are exclusive")
+    if quantize_int4 and not fuse_projections:
+        raise ValueError("quantize_int4 requires fused projections")
     att = params["blocks"]["att"]
     dt = cfg.dtype
+
+    if not fuse_projections:
+        if not quantize_int8:
+            return params  # decode_step's unfused branch reads the originals
+        out = dict(params)
+        out["blocks"] = dict(params["blocks"])
+        new_att = dict(att)
+        for name in ("receptance", "key", "value", "output"):
+            new_att[f"{name}_q8"] = _quantize_int8(att[name])
+        new_ffn = dict(params["blocks"]["ffn"])
+        new_ffn["key_q8"] = _quantize_int8(params["blocks"]["ffn"]["key"])
+        new_ffn["value_q8"] = _quantize_int8(params["blocks"]["ffn"]["value"])
+        out["blocks"]["att"] = new_att
+        out["blocks"]["ffn"] = new_ffn
+        return out
 
     def scale(xs, w):  # (L,C) deltas, (L,C,D) weights
         return xs[:, :, None] * w
@@ -811,12 +837,14 @@ def decode_step(
             xr, xw, xk, xv, xa, xg = (
                 xn + xx * cast(att[f"x_{s}"]) for s in "rwkvag"
             )
-            r = xr @ cast(att["receptance"])
+            # projections may carry unfused int8 storage (pack_decode_params
+            # with fuse_projections=False — the B=1 bandwidth-bound regime)
+            r = xr @ _qmat(att, "receptance", dt)
             w_raw = -jax.nn.softplus(
                 -(cast(att["w0"]) + _lora(xw, cast(att["w1"]), cast(att["w2"]), jnp.tanh))
             ) - 0.5
-            k = xk @ cast(att["key"])
-            v = xv @ cast(att["value"])
+            k = xk @ _qmat(att, "key", dt)
+            v = xv @ _qmat(att, "value", dt)
             v_resid = v + (v_first - v) * jax.nn.sigmoid(
                 cast(att["v0"]) + _lora(xv, cast(att["v1"]), cast(att["v2"]))
             )

@@ -70,6 +70,7 @@ def main():
     ap.add_argument("--packed-wkv", action="store_true")
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--state-bf16", action="store_true")
+    ap.add_argument("--no-proj-fuse", action="store_true")
     args = ap.parse_args()
 
     cfg = spark.default_config(
@@ -81,7 +82,8 @@ def main():
         lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
     )
     params = rwkv7.pack_decode_params(
-        params, cfg.backbone, quantize_int8=args.int8
+        params, cfg.backbone, quantize_int8=args.int8,
+        fuse_projections=not args.no_proj_fuse,
     )
 
     for B in (int(b) for b in args.batches.split(",")):
@@ -108,6 +110,7 @@ def main():
             + ("_pk" if args.packed_wkv else "")
             + ("_q8" if args.int8 else "")
             + ("_sb" if args.state_bf16 else "")
+            + ("_nf" if args.no_proj_fuse else "")
         )
         jax.profiler.start_trace(out_dir)
         np.asarray(run(jax.random.PRNGKey(4)))

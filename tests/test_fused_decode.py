@@ -66,6 +66,50 @@ def test_int8_decode_close_to_fp():
     assert rel < 0.05, rel
 
 
+def test_unfused_int8_decode_close_to_fp():
+    """fuse_projections=False + int8: the seven projections quantize
+    individually (B=1 bandwidth mode) — no fused keys, close to fp."""
+    cfg = rwkv7.RWKV7Config(
+        vocab_size=64, hidden_size=64, num_layers=2, head_size=16,
+        gate_lora=16, dtype=jnp.float32, wkv_chunk=4, remat=False,
+    )
+    params = rwkv7.init_params(jax.random.PRNGKey(0), cfg)
+    k = jax.random.PRNGKey(1)
+    att = dict(params["blocks"]["att"])
+    for name in ("w1", "a1", "v1", "g1", "output"):
+        k, sub = jax.random.split(k)
+        att[name] = 0.1 * jax.random.normal(sub, att[name].shape)
+    params["blocks"] = dict(params["blocks"], att=att)
+
+    q8 = rwkv7.pack_decode_params(
+        params, cfg, quantize_int8=True, fuse_projections=False
+    )
+    qa = q8["blocks"]["att"]
+    assert "fused_a" not in qa and "fused_a_q8" not in qa
+    for name in ("receptance", "key", "value", "output"):
+        assert qa[f"{name}_q8"]["q"].dtype == jnp.int8
+        assert name in qa  # originals stay (prefill consumes them)
+    assert q8["blocks"]["ffn"]["key_q8"]["q"].dtype == jnp.int8
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64))
+    h1, _ = rwkv7.decode_step(params, cfg, x, rwkv7.init_model_state(cfg, 2))
+    h2, _ = rwkv7.decode_step(q8, cfg, x, rwkv7.init_model_state(cfg, 2))
+    rel = float(jnp.abs(h1 - h2).max() / (jnp.abs(h1).max() + 1e-6))
+    assert rel < 0.05, rel
+
+    # bf16 + unfused is a no-op pack (decode_step reads the originals)
+    plain = rwkv7.pack_decode_params(params, cfg, fuse_projections=False)
+    h3, _ = rwkv7.decode_step(plain, cfg, x, rwkv7.init_model_state(cfg, 2))
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h3))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rwkv7.pack_decode_params(
+            params, cfg, quantize_int4=True, fuse_projections=False
+        )
+
+
 def test_pack_shapes():
     cfg = rwkv7.RWKV7Config(
         vocab_size=8, hidden_size=32, num_layers=2, head_size=8,
