@@ -53,7 +53,10 @@ def pytest_collection_modifyitems(config, items):
     early). The trigger is some earlier-loaded native library state —
     compiling the Pallas programs before the heavyweight modules (torch
     parity tests etc.) sidesteps it."""
-    front = ("test_wkv7_pallas", "test_wkv7_step_pallas", "test_wkv7")
+    front = (
+        "test_wkv7_pallas", "test_wkv7_step_pallas", "test_wkv7",
+        "test_decode_mega",
+    )
 
     def rank(item):
         name = item.fspath.purebasename
