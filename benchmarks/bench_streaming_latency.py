@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--no-proj-fuse", action="store_true",
                     help="unfused per-projection decode weights (fewer HBM "
                          "bytes at B=1; see pack_decode_params)")
+    ap.add_argument("--mega", action="store_true",
+                    help="whole-step megakernel LM decode (int8 stream; "
+                         "ops/decode_mega.py)")
     ap.add_argument("--sfm", action="store_true",
                     help="SFM fast decode in the flow hop (start at t_h)")
     ap.add_argument("--flow-timesteps", type=int, default=None,
@@ -81,6 +84,7 @@ def main():
         lm_cfg, lm_params, _Tok(), flow_cfg=fcfg, flow_params=fparams,
         hift_cfg=hcfg, hift_params=hparams, quantize_int8=args.int8,
         quantize_int4=args.int4, fuse_projections=not args.no_proj_fuse,
+        decode_megakernel=args.mega,
     )
     skw = {"token_hop_len": args.hop, "sfm": args.sfm,
            "vocode_every": args.vocode_every, "hop_max": args.hop_max,
@@ -158,6 +162,8 @@ def main():
         " | no-prefetch" if args.no_prefetch else ""
     ) + (
         " | no-proj-fuse" if args.no_proj_fuse else ""
+    ) + (
+        " | mega" if args.mega else ""
     )
     print(
         f"TTFA {min(ttfas)*1000:.0f} ms | steady RTF {min(rtfs):.3f} "

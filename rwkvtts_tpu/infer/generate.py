@@ -191,11 +191,16 @@ def spark_generate_early_exit(
 
 def _make_cosy_step(
     params, cfg, *, min_new_tokens: int, top_k: int, top_p: float,
-    win_size: int, tau_r: float,
+    win_size: int, tau_r: float, mega=None, mega_spec=None,
 ):
     """One Cosy decode step (RAS sampling + EOS bookkeeping), shared by the
     fixed-length scan (`cosy_generate`) and the chunked streaming decoder
-    (`cosy_decode_chunk`). carry = (h, state, done, recent, n)."""
+    (`cosy_decode_chunk`). carry = (h, state, done, recent, n).
+
+    With `mega` (arrays) + `mega_spec` (static) the backbone step routes
+    through the whole-step megakernel (ops/decode_mega.py, B=1 only) and
+    the carried state is the mega layout; embed/head still come from
+    `params`."""
     from rwkvtts_tpu.models import cosy
 
     eos_id = cfg.eos_token_id
@@ -220,7 +225,13 @@ def _make_cosy_step(
         new_done = done | (tok == eos_id)
         recent = jnp.concatenate([recent[:, 1:], tok[:, None]], axis=1)
         x = cosy.decode_embed(params, cfg, tok)
-        h, st = rwkv7.decode_step(params, bb, x, st)
+        if mega is not None:
+            from rwkvtts_tpu.ops import decode_mega as dm
+
+            h, st = dm.decode_step_mega(mega, bb, x, st, spec=mega_spec)
+            h = h.astype(bb.dtype)
+        else:
+            h, st = rwkv7.decode_step(params, bb, x, st)
         return (h, st, new_done, recent, n + 1), tok
 
     return step
@@ -228,17 +239,26 @@ def _make_cosy_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "win_size"),
+    static_argnames=("cfg", "win_size", "mega_state"),
 )
 def cosy_prefill_carry(
-    params, cfg, tokens, modality, attention_mask, win_size: int = 10
+    params, cfg, tokens, modality, attention_mask, win_size: int = 10,
+    mega_state: bool = False,
 ):
-    """Prefill and build the chunked-decode carry for `cosy_decode_chunk`."""
+    """Prefill and build the chunked-decode carry for `cosy_decode_chunk`.
+
+    mega_state=True packs the state for the megakernel decode path
+    (ops/decode_mega.py; B must be 1) instead of the per-layer views."""
     from rwkvtts_tpu.models import cosy
 
     B = tokens.shape[0]
     h_last, state = cosy.prefill(params, cfg, tokens, modality, attention_mask)
-    state = rwkv7.pack_decode_state(state, cfg.backbone)
+    if mega_state:
+        from rwkvtts_tpu.ops import decode_mega as dm
+
+        state = dm.pack_mega_state(state, cfg.backbone)
+    else:
+        state = rwkv7.pack_decode_state(state, cfg.backbone)
     return (
         h_last,
         state,
@@ -252,6 +272,7 @@ def cosy_prefill_carry(
     jax.jit,
     static_argnames=(
         "cfg", "chunk_len", "top_k", "top_p", "win_size", "tau_r",
+        "mega_spec",
     ),
     donate_argnums=(2,),
 )
@@ -267,6 +288,8 @@ def cosy_decode_chunk(
     top_p: float = 0.8,
     win_size: int = 10,
     tau_r: float = 0.1,
+    mega=None,
+    mega_spec=None,
 ):
     """Decode `chunk_len` Cosy tokens from a carried state.
 
@@ -275,11 +298,15 @@ def cosy_decode_chunk(
     the reference's per-token Python loop with an early break
     (cosy_llm.py:238-261): fixed-shape compiled chunks, host control only
     at chunk granularity, so a 20×-content max length does not cost 20×
-    compute. Returns (carry, toks (B, chunk_len), done (B,))."""
-    params = rwkv7.layer_decode_views(params, cfg.backbone)
+    compute. Returns (carry, toks (B, chunk_len), done (B,)).
+
+    `mega` + `mega_spec` route the backbone through the whole-step
+    megakernel (carry built with cosy_prefill_carry(mega_state=True))."""
+    if mega is None:
+        params = rwkv7.layer_decode_views(params, cfg.backbone)
     step = _make_cosy_step(
         params, cfg, min_new_tokens=min_new_tokens, top_k=top_k, top_p=top_p,
-        win_size=win_size, tau_r=tau_r,
+        win_size=win_size, tau_r=tau_r, mega=mega, mega_spec=mega_spec,
     )
     keys = jax.random.split(key, chunk_len)
     carry, toks = jax.lax.scan(step, carry, keys)

@@ -384,10 +384,11 @@ def stream_synthesize(
     min_len = int(content_len * 2)
     max_len = min(int(content_len * 20), max_new_tokens)
 
+    mega = getattr(pipeline, "lm_mega", None)
     carry = gen.cosy_prefill_carry(
         pipeline.lm_params, pipeline.lm_cfg,
         jnp.asarray(batch["tokens"]), jnp.asarray(batch["modality"]),
-        jnp.asarray(batch["attention_mask"]),
+        jnp.asarray(batch["attention_mask"]), mega_state=mega is not None,
     )
     key = jax.random.PRNGKey(seed)
     eos = pipeline.lm_cfg.eos_token_id
@@ -401,6 +402,7 @@ def stream_synthesize(
             pipeline.lm_params, pipeline.lm_cfg, carry, sub,
             chunk_len=stream_cfg.lm_chunk, min_new_tokens=min_len,
             top_k=top_k, top_p=top_p,
+            mega=mega, mega_spec=getattr(pipeline, "lm_mega_spec", None),
         )
 
     key, pending = dispatch(carry, key)

@@ -162,8 +162,11 @@ def _q8_np(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 def pack_mega(params: Params, cfg, tile_n: int = 1024) -> Params:
     """Pack raw (unfused) backbone params into the megakernel layout.
 
-    Returns {'spec', 'w_stream' (L,T,C,TN) int8, 's_stream' (L,T,1,TN) f32,
-    'lora_out' (L,512,C) bf16, 'smalls' (L,NS,C) f32, 'ln0_*', 'ln_out_*'}.
+    Accepts either the raw param tree or a pack_decode_params output (the
+    originals survive packing). Returns {'spec', 'w_stream' (L,T,C,TN)
+    int8, 's_stream' (L,T,1,TN) bf16, 'lora_out' (L,512,C) bf16,
+    'smalls' (L,NS,C) f32, 'ln0_*', 'ln_out_*'}; pop 'spec' (static,
+    hashable) before passing the arrays through jit.
     """
     spec = build_spec(cfg, tile_n)
     C, L, TN = spec.C, spec.L, spec.TN
@@ -471,17 +474,23 @@ def _mega_kernel(
 
 def decode_step_mega(
     mega: Params, cfg, x: jax.Array, mstate: Params,
-    *, interpret: bool = False,
+    *, interpret: bool | None = None, spec: MegaSpec | None = None,
 ) -> Tuple[jax.Array, Params]:
     """One B=1 decode step through the megakernel.
 
     x: (1, C) token embedding (pre-ln0). Returns (hidden (1, C) post-ln_out,
     new mega state). Semantics == models/rwkv7.decode_step with unfused
     int8 params at B=1 (parity: tests/test_decode_mega.py).
+
+    `spec` may be passed explicitly (jit callers keep it static and pop it
+    from the mega dict); `interpret=None` auto-selects interpret mode off
+    TPU (the resolve_impl convention).
     """
     from rwkvtts_tpu.ops.norm import layer_norm
 
-    spec: MegaSpec = mega["spec"]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    spec = spec if spec is not None else mega["spec"]
     C, L, P, TN, T = spec.C, spec.L, spec.P, spec.TN, spec.T
     x = layer_norm(
         x.astype(jnp.float32), mega["ln0_scale"], mega["ln0_bias"],
