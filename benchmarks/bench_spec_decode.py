@@ -98,6 +98,10 @@ def main():
           f"({n_params/1e9:.2f}B), B=1, K={args.k} ==")
     ms_plain = timed_loop(packed_fp, args.steps, "plain bf16 greedy")
     ms_draft = timed_loop(packed_q, args.steps, f"{qname} draft loop")
+    # free the loop-bench copies BEFORE the e2e run: at 1.4B K=16 the
+    # fused bf16 + quantized view trees kept ~4 GB live and the e2e spec
+    # program OOMed HBM mid-run (chipq_s8.log 04:27, ADVICE round 3)
+    del packed_fp, packed_q
 
     # verify window cost: one collect_states chunk pass over K tokens
     d = jax.random.randint(jax.random.PRNGKey(2), (1, args.k), 0, 100).astype(
