@@ -328,10 +328,24 @@ def _mega_kernel(
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     h1 = (lane128 < 64).astype(jnp.float32)
     h2 = 1.0 - h1
+    # 128x128 identity for MXU-based lane<->sublane bridges. The
+    # broadcast+transpose formulation (probe bcast_t) passes standalone but
+    # fails layout assignment when the row carries a replicated sublane
+    # offset (vpad "{*,...}") — computed (1,C) rows from dot_general chains
+    # do. A dot against the identity is layout-agnostic and costs one
+    # 128x128x1 MXU pass.
+    eye128 = (
+        jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    ).astype(jnp.float32)
 
     def bridge(row):  # (1,128) lanes -> (64,128) varying over sublanes
-        vt = jnp.transpose(jnp.broadcast_to(row, (128, 128)), (1, 0))
-        return vt[0:64, :] * h1 + vt[64:128, :] * h2
+        # col[i, 0] = row[0, i]  (lane -> sublane via MXU)
+        col = jax.lax.dot_general(
+            eye128, row, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return col[0:64, :] * h1 + col[64:128, :] * h2
 
     def layer_start():
         x_cur = jnp.where(l == 0, x_in[...], x_res[...])
@@ -408,7 +422,11 @@ def _mega_kernel(
             y1 = jnp.sum(Sr * h1, -1, keepdims=True)  # (64, 1)
             y2 = jnp.sum(Sr * h2, -1, keepdims=True)
             ycol = jnp.concatenate([y1, y2], axis=0)  # (128, 1)
-            y_p = jnp.transpose(jnp.broadcast_to(ycol, (128, 128)), (1, 0))[0:1, :]
+            # y_p[0, j] = ycol[j, 0]  (sublane -> lane via MXU, see bridge)
+            y_p = jax.lax.dot_general(
+                ycol, eye128, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
             # GroupNorm per 64-lane head
             m1 = jnp.sum(y_p * h1, -1, keepdims=True) / 64.0
