@@ -71,6 +71,11 @@ def main():
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--state-bf16", action="store_true")
     ap.add_argument("--no-proj-fuse", action="store_true")
+    ap.add_argument("--decode-only", action="store_true",
+                    help="trace a post-prefill spark_decode_chunk instead of "
+                    "the whole generate: the full-generate trace includes the "
+                    "remat-scoped prefill ops ('checkpoint'/'copy' bands), "
+                    "which polluted the r4e B=64 attribution")
     args = ap.parse_args()
 
     cfg = spark.default_config(
@@ -93,17 +98,36 @@ def main():
         modality = modality.at[:, -1].set(spark.MOD_TAG)
         mask = jnp.ones((B, 128), jnp.int32)
 
-        def run(key):
-            toks, _ = gen.spark_generate(
-                params, cfg, tokens, modality, mask, key,
-                max_new_tokens=64, top_k=50, top_p=0.95,
-            )
-            return toks
+        if args.decode_only:
+            # steady-state chunk: prefill once outside the traced region,
+            # then time/trace one donated 64-step decode chunk (the carry
+            # from a prior chunk, so EOS masks/counters are warm too)
+            def chunk(carry, key):
+                carry, toks, _ = gen.spark_decode_chunk(
+                    params, cfg, carry, key,
+                    chunk_len=64, top_k=50, top_p=0.95,
+                )
+                return carry, toks
 
-        np.asarray(run(jax.random.PRNGKey(2)))
-        t0 = time.perf_counter()
-        np.asarray(run(jax.random.PRNGKey(3)))
-        dt = time.perf_counter() - t0
+            carry = gen.spark_prefill_carry(params, cfg, tokens, modality, mask)
+            carry, t0ks = chunk(carry, jax.random.PRNGKey(2))  # compile+warm
+            np.asarray(t0ks)
+            t0 = time.perf_counter()
+            carry, t1ks = chunk(carry, jax.random.PRNGKey(3))
+            np.asarray(t1ks)
+            dt = time.perf_counter() - t0
+        else:
+            def run(key):
+                toks, _ = gen.spark_generate(
+                    params, cfg, tokens, modality, mask, key,
+                    max_new_tokens=64, top_k=50, top_p=0.95,
+                )
+                return toks
+
+            np.asarray(run(jax.random.PRNGKey(2)))
+            t0 = time.perf_counter()
+            np.asarray(run(jax.random.PRNGKey(3)))
+            dt = time.perf_counter() - t0
         print(f"B={B}: {dt*1e3/64:.2f} ms/step", flush=True)
         out_dir = (
             f"/tmp/dec_trace_h{args.hidden}_b{B}"
@@ -111,9 +135,14 @@ def main():
             + ("_q8" if args.int8 else "")
             + ("_sb" if args.state_bf16 else "")
             + ("_nf" if args.no_proj_fuse else "")
+            + ("_do" if args.decode_only else "")
         )
         jax.profiler.start_trace(out_dir)
-        np.asarray(run(jax.random.PRNGKey(4)))
+        if args.decode_only:
+            carry, tks = chunk(carry, jax.random.PRNGKey(4))
+            np.asarray(tks)
+        else:
+            np.asarray(run(jax.random.PRNGKey(4)))
         jax.profiler.stop_trace()
         self_times(out_dir)
 
