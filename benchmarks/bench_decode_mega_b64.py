@@ -1,0 +1,133 @@
+"""B=64 decode-step shootout: whole-step megakernel vs the XLA paths.
+
+The 1.4B B=64 production point measures 7.52 ms/step on the XLA path
+(int8 + bf16 state) against a ~2.6 ms HBM roofline (PERF.md round 4) —
+the gap is dispatch + temp materialization that a single whole-step
+pallas_call avoids. Variants:
+
+  xla_q8        fused int8 + state-bf16 (the r4e production point)
+  xla_q8_nofuse unfused int8 + state-bf16 (r4f winner without sbf16)
+  mega          B=64 whole-step megakernel (ops/decode_mega_b64.py)
+
+Usage: python benchmarks/bench_decode_mega_b64.py --hidden 2048 --layers 24
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from rwkvtts_tpu.utils import jit_cache
+
+jit_cache.enable()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hidden", type=int, default=2048)
+    ap.add_argument("--layers", type=int, default=24)
+    ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--tile-n", type=int, default=512)
+    ap.add_argument("--variants", default="xla_q8,xla_q8_nofuse,mega")
+    ap.add_argument("--state-f32", action="store_true",
+                    help="carry the mega state f32 instead of bf16")
+    ap.add_argument("--interpret", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    from rwkvtts_tpu.models import rwkv7
+    from rwkvtts_tpu.ops import decode_mega_b64 as dmb
+
+    B = dmb.B
+    cfg = rwkv7.RWKV7Config(
+        vocab_size=8193, hidden_size=args.hidden, num_layers=args.layers,
+        decode_state_bf16=True,
+    )
+    params = rwkv7.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
+    )
+    results = []
+
+    def time_variant(name, step_fn, pk, st0):
+        @jax.jit
+        def run(pk, st):
+            def body(carry, _):
+                tok, st = carry
+                x = pk_emb[tok]
+                h, st = step_fn(pk, x, st)
+                logits = h.astype(jnp.bfloat16) @ pk_head
+                tok = jnp.argmax(logits, axis=-1)
+                return (tok, st), tok[:1]
+            (_, st), toks = jax.lax.scan(
+                body, (jnp.zeros((B,), jnp.int32), st), None,
+                length=args.steps,
+            )
+            return toks
+        pk_emb = params["embedding"].astype(jnp.bfloat16)
+        pk_head = params["head"].astype(jnp.bfloat16)
+        np.asarray(run(pk, st0))  # compile + first
+        best = float("inf")
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            np.asarray(run(pk, st0))
+            best = min(best, time.perf_counter() - t0)
+        ms = best * 1e3 / args.steps
+        out = {
+            "bench": f"decode_mega_b64_{args.hidden}x{args.layers}",
+            "variant": name,
+            "ms_per_step": round(ms, 3),
+            "tok_per_s_chip": round(B * 1000.0 / ms, 1),
+        }
+        results.append(out)
+        print(json.dumps(out), flush=True)
+
+    variants = args.variants.split(",")
+    if "xla_q8" in variants:
+        pk = rwkv7.pack_decode_params(params, cfg, quantize_int8=True)
+        st = rwkv7.init_model_state(cfg, B)
+        time_variant(
+            "xla_q8",
+            lambda p, x, s: rwkv7.decode_step(p, cfg, x, s), pk, st,
+        )
+    if "xla_q8_nofuse" in variants:
+        pk = rwkv7.pack_decode_params(
+            params, cfg, quantize_int8=True, fuse_projections=False
+        )
+        st = rwkv7.init_model_state(cfg, B)
+        time_variant(
+            "xla_q8_nofuse",
+            lambda p, x, s: rwkv7.decode_step(p, cfg, x, s), pk, st,
+        )
+    if "mega" in variants:
+        mega = dmb.pack_mega_b64(params, cfg, tile_n=args.tile_n)
+        spec = mega.pop("spec")
+        st = dmb.pack_mega_state_b64(rwkv7.init_model_state(cfg, B), cfg)
+        if args.state_f32:
+            st = dict(st, wkv=st["wkv"].astype(jnp.float32))
+
+        def mega_step(p, x, s):
+            return dmb.decode_step_mega_b64(
+                p, cfg, x, s, interpret=args.interpret, spec=spec
+            )
+
+        time_variant("mega", mega_step, mega, st)
+
+    print("ALL:", json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()
