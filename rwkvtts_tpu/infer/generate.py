@@ -94,6 +94,77 @@ def spark_generate(
     return toks, lengths
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "mega_spec", "max_new_tokens", "top_k", "top_p",
+        "temperature", "eos_id", "min_new_tokens",
+    ),
+)
+def spark_generate_mega_b64(
+    params,
+    mega,
+    mega_spec,
+    cfg: spark.SparkTTSConfig,
+    tokens: jax.Array,
+    modality: jax.Array,
+    attention_mask: jax.Array,
+    key: jax.Array,
+    *,
+    max_new_tokens: int = 1024,
+    min_new_tokens: int = 0,
+    temperature: float = 1.0,
+    top_k: int = 50,
+    top_p: float = 0.95,
+    eos_id: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """`spark_generate` with the decode loop routed through the B=64
+    whole-step megakernel (ops/decode_mega_b64.py). Prefill runs the XLA
+    path on `params`, the state is repacked in-jit, and every decode step
+    is one pallas_call; embed/head/sampling/EOS logic are identical to
+    spark_generate. The batch must be exactly 64 rows (the kernel's lane
+    packing); `mega` = pack_mega_b64 arrays (spec popped), `mega_spec`
+    static."""
+    from rwkvtts_tpu.ops import decode_mega_b64 as dmb
+
+    if eos_id is None:
+        eos_id = cfg.eos_token_id
+    bb = cfg.backbone
+    B = tokens.shape[0]
+    assert B == dmb.B, f"megakernel decode requires B={dmb.B}, got {B}"
+
+    h_last, state = spark.prefill(params, cfg, tokens, modality, attention_mask)
+    state = dmb.pack_mega_state_b64(state, bb)
+
+    def step(carry, step_key):
+        h, st, done, n = carry
+        logits = (h @ params["head"].astype(bb.dtype)).astype(jnp.float32)
+        if min_new_tokens > 0:
+            logits = jnp.where(
+                (n < min_new_tokens)[..., None]
+                & (jnp.arange(logits.shape[-1]) == eos_id)[None, :],
+                sampling.NEG_INF,
+                logits,
+            )
+        tok = sampling.sample(
+            step_key, logits, temperature=temperature, top_k=top_k, top_p=top_p
+        )
+        tok = jnp.where(done, eos_id, tok)
+        new_done = done | (tok == eos_id)
+        x = spark.decode_embed(params, cfg, tok)
+        h, st = dmb.decode_step_mega_b64(mega, bb, x, st, spec=mega_spec)
+        h = h.astype(bb.dtype)
+        return (h, st, new_done, n + 1), tok
+
+    keys = jax.random.split(key, max_new_tokens)
+    init = (h_last, state, jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32))
+    (_, _, done, _), toks = jax.lax.scan(step, init, keys)
+    toks = jnp.moveaxis(toks, 0, 1)
+    lengths = jnp.argmax(toks == eos_id, axis=-1)
+    lengths = jnp.where(jnp.any(toks == eos_id, axis=-1), lengths, max_new_tokens)
+    return toks, lengths
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def spark_prefill_carry(params, cfg, tokens, modality, attention_mask):
     """Prefill and build the chunked-decode carry for `spark_decode_chunk`."""

@@ -109,6 +109,45 @@ def test_mega_b64_matches_decode_step_multi_step():
         assert rel < 0.08, (leaf, rel)
 
 
+def test_spark_generate_mega_b64_matches_xla_greedy():
+    """spark_generate_mega_b64 reproduces the XLA generate's greedy tokens
+    end to end (prefill -> packed state -> scan -> EOS bookkeeping). Head
+    logits are scaled up so greedy gaps dwarf the int8 noise — this tests
+    ROUTING, not the quantization bound (covered above)."""
+    from rwkvtts_tpu.infer import generate as gen
+    from rwkvtts_tpu.models import spark
+
+    cfg = spark.default_config(
+        hidden_size=128, num_layers=2, dtype=jnp.float32,
+        wkv_chunk=4, remat=False,
+    )
+    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+    params["head"] = 10.0 * params["head"]
+
+    mega = dmb.pack_mega_b64(params, cfg.backbone, tile_n=128)
+    spec = mega.pop("spec")
+    q8 = rwkv7.pack_decode_params(
+        params, cfg.backbone, quantize_int8=True, fuse_projections=False
+    )
+
+    Bn, T = dmb.B, 8
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (Bn, T), 0, 30)
+    modality = jnp.full((Bn, T), spark.MOD_TEXT, jnp.int32)
+    mask = jnp.ones((Bn, T), jnp.int32)
+    key = jax.random.PRNGKey(5)
+
+    toks_x, len_x = gen.spark_generate(
+        q8, cfg, tokens, modality, mask, key,
+        max_new_tokens=4, top_k=1, top_p=1.0,
+    )
+    toks_m, len_m = gen.spark_generate_mega_b64(
+        params, mega, spec, cfg, tokens, modality, mask, key,
+        max_new_tokens=4, top_k=1, top_p=1.0,
+    )
+    np.testing.assert_array_equal(np.asarray(toks_x), np.asarray(toks_m))
+    np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_m))
+
+
 def test_mega_b64_tracks_unfused_int8_step():
     cfg = _cfg()
     params = _randomized_params(cfg, seed=3)
