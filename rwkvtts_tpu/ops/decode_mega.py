@@ -307,7 +307,7 @@ def _mega_kernel(
     # outputs
     x_out, ax_out, fx_out, st_out,
     # scratch
-    xs, lh, acc_rkv, acc_ffn, x_res, v_first, y_g,
+    xs, lh, acc_rkv, acc_ffn, x_res, v_first, y_g, tmp_row, tmp_col,
     *, spec: MegaSpec,
 ):
     l = pl.program_id(0)
@@ -328,24 +328,21 @@ def _mega_kernel(
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     h1 = (lane128 < 64).astype(jnp.float32)
     h2 = 1.0 - h1
-    # 128x128 identity for MXU-based lane<->sublane bridges. The
-    # broadcast+transpose formulation (probe bcast_t) passes standalone but
-    # fails layout assignment when the row carries a replicated sublane
-    # offset (vpad "{*,...}") — computed (1,C) rows from dot_general chains
-    # do. A dot against the identity is layout-agnostic and costs one
-    # 128x128x1 MXU pass.
-    eye128 = (
-        jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-    ).astype(jnp.float32)
+
+    # Lane<->sublane bridges. Mosaic accepts IMPLICIT elementwise
+    # broadcasts of computed (1,128) rows (replicated sublane offset,
+    # vpad "{*,...}"), but both the explicit vector.broadcast to (128,128)
+    # AND a dot_general against a (1,128) operand fail layout assignment
+    # on them ("Invalid input layout", r4h + r4i). The probe-validated
+    # path (bcast_t) is broadcast+transpose on a LOADED row — so computed
+    # rows round-trip through a one-row VMEM scratch first: the reload
+    # carries a concrete {0,0} offset.
 
     def bridge(row):  # (1,128) lanes -> (64,128) varying over sublanes
-        # col[i, 0] = row[0, i]  (lane -> sublane via MXU)
-        col = jax.lax.dot_general(
-            eye128, row, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return col[0:64, :] * h1 + col[64:128, :] * h2
+        tmp_row[...] = row
+        r = tmp_row[...]
+        vt = jnp.transpose(jnp.broadcast_to(r, (128, 128)), (1, 0))
+        return vt[0:64, :] * h1 + vt[64:128, :] * h2
 
     def layer_start():
         x_cur = jnp.where(l == 0, x_in[...], x_res[...])
@@ -422,11 +419,11 @@ def _mega_kernel(
             y1 = jnp.sum(Sr * h1, -1, keepdims=True)  # (64, 1)
             y2 = jnp.sum(Sr * h2, -1, keepdims=True)
             ycol = jnp.concatenate([y1, y2], axis=0)  # (128, 1)
-            # y_p[0, j] = ycol[j, 0]  (sublane -> lane via MXU, see bridge)
-            y_p = jax.lax.dot_general(
-                ycol, eye128, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            # y_p[0, j] = ycol[j, 0] — same scratch round-trip as bridge()
+            tmp_col[...] = ycol
+            y_p = jnp.transpose(
+                jnp.broadcast_to(tmp_col[...], (128, 128)), (1, 0)
+            )[0:1, :]
 
             # GroupNorm per 64-lane head
             m1 = jnp.sum(y_p * h1, -1, keepdims=True) / 64.0
@@ -556,6 +553,8 @@ def decode_step_mega(
             pltpu.VMEM((1, C), jnp.float32),          # x_res
             pltpu.VMEM((1, C), jnp.float32),          # v_first
             pltpu.VMEM((1, C), jnp.float32),          # y_g
+            pltpu.VMEM((1, 128), jnp.float32),        # tmp_row (bridge)
+            pltpu.VMEM((128, 1), jnp.float32),        # tmp_col (y bridge)
         ],
         input_output_aliases={1: 1, 2: 2, 3: 3},
         interpret=interpret,

@@ -289,7 +289,7 @@ def _mega_b64_kernel(
     # outputs
     x_out, ax_out, fx_out, st_out,
     # scratch
-    xs, lh, rows, acc_rkv, acc_ffn, x_res, v_first, y_g,
+    xs, lh, rows, acc_rkv, acc_ffn, x_res, v_first, y_g, tmp_row,
     *, spec: MegaB64Spec,
 ):
     l = pl.program_id(0)
@@ -318,12 +318,17 @@ def _mega_b64_kernel(
         return jnp.concatenate([tr[0:64, :], tr[64:128, :]], axis=1)
 
     def colblk(row):
-        """(1, 128) param slice (c = h*64+d) -> (64 d, 128 q) block."""
-        cols = jax.lax.dot_general(
-            eye128, row, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (128, 1)
-        return cols[0:64, :] * h1 + cols[64:128, :] * h2
+        """(1, 128) param slice (c = h*64+d) -> (64 d, 128 q) block.
+
+        Mosaic rejects dots/explicit broadcasts on (1,128) operands with
+        non-canonical layouts ("Invalid input layout", PERF.md round 4);
+        the row round-trips through a one-row scratch so the reload has a
+        concrete {0,0} offset, then the probe-validated broadcast+transpose
+        runs."""
+        tmp_row[...] = row
+        vt = jnp.transpose(
+            jnp.broadcast_to(tmp_row[...], (128, 128)), (1, 0))
+        return vt[0:64, :] * h1 + vt[64:128, :] * h2
 
     def deq():
         return w_ref[0, 0].astype(mm) * s_ref[0, 0].astype(mm)
@@ -561,6 +566,7 @@ def decode_step_mega_b64(
             pltpu.VMEM((B, C), jnp.float32),            # x_res
             pltpu.VMEM((B, C), jnp.bfloat16),           # v_first
             pltpu.VMEM((B, C), jnp.bfloat16),           # y_g
+            pltpu.VMEM((1, 128), jnp.float32),          # tmp_row (colblk)
         ],
         input_output_aliases={1: 1, 2: 2, 3: 3},
         interpret=interpret,
