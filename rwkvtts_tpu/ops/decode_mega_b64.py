@@ -421,8 +421,13 @@ def _mega_b64_kernel(
             S3 = st_in[0, 0, i0 * 64:(i0 + _I_CHUNK) * 64, :].astype(
                 jnp.float32).reshape(_I_CHUNK, 64, 128)
             sa = jnp.sum(S3 * Z[None], axis=1, keepdims=True)
-            S2 = S3 * WD[None] + sa * BB[None] \
-                + V[i0:i0 + _I_CHUNK, None, :] * K[None]
+            # slice+newaxis via jnp indexing emits a GATHER (even with a
+            # static start) which Mosaic's cond-branch lowering rejects
+            # ("Shape mismatch in input, indices and output", r4m);
+            # lax.slice_in_dim + expand_dims stays a slice+reshape.
+            v_chunk = jnp.expand_dims(
+                jax.lax.slice_in_dim(V, i0, i0 + _I_CHUNK, axis=0), 1)
+            S2 = S3 * WD[None] + sa * BB[None] + v_chunk * K[None]
             st_out[0, 0, i0 * 64:(i0 + _I_CHUNK) * 64, :] = (
                 S2.reshape(_I_CHUNK * 64, 128).astype(st_out.dtype))
             ycs.append(jnp.sum(S2 * R[None], axis=1).reshape(_I_CHUNK, 128))
