@@ -61,6 +61,7 @@ def main():
         lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
     )
     results = []
+    tok_streams = {}
 
     def time_variant(name, step_fn, pk, st0):
         @jax.jit
@@ -79,7 +80,8 @@ def main():
             return toks
         pk_emb = params["embedding"].astype(jnp.bfloat16)
         pk_head = params["head"].astype(jnp.bfloat16)
-        np.asarray(run(pk, st0))  # compile + first
+        toks = np.asarray(run(pk, st0))  # compile + first
+        tok_streams[name] = toks
         best = float("inf")
         for _ in range(args.iters):
             t0 = time.perf_counter()
@@ -125,6 +127,19 @@ def main():
             )
 
         time_variant("mega", mega_step, mega, st)
+
+    # greedy-token agreement across variants (int8 projection quantization
+    # is shared; mega additionally quantizes lora-out matrices, so small
+    # divergence is expected — report, don't assert)
+    names = list(tok_streams)
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = tok_streams[names[i]], tok_streams[names[j]]
+            agree = float((a == b).mean())
+            print(json.dumps({
+                "agreement": f"{names[i]} vs {names[j]}",
+                "frac": round(agree, 4),
+            }), flush=True)
 
     print("ALL:", json.dumps(results), flush=True)
 
