@@ -38,6 +38,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Any, Dict, List, Tuple
 
 import jax
@@ -62,7 +63,14 @@ _XS = {"r": 0, "k": 1, "v": 2, "w": 3, "a": 4, "g": 5, "ffn": 6}
 
 # lora_h scratch rows
 _LH = {"w": 0, "a": 1, "v": 2, "g": 3}
+# glue-staged wide rows (scratch sublane per row; sliced per pair as REF
+# loads so every 128-lane slice carries the natural {0,0} layout)
+_GR = {"wd": 0, "a": 1, "kk": 2, "k": 3, "v": 4, "g": 5}
 _LORA_PAD = 128  # every lora dim padded to this (holds up to C=4096)
+
+# lane->sublane bridge construction (probed via utils/aot local compiles;
+# "default" fails Mosaic layout assignment on the real v5e pipeline)
+_BRIDGE = os.environ.get("RWKVTTS_MEGA_BRIDGE", "default")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -307,7 +315,7 @@ def _mega_kernel(
     # outputs
     x_out, ax_out, fx_out, st_out,
     # scratch
-    xs, lh, acc_rkv, acc_ffn, x_res, v_first, y_g, tmp_row, tmp_col,
+    xs, lh, acc_rkv, acc_ffn, x_res, v_first, y_g, tmp_row, tmp_col, grows,
     *, spec: MegaSpec,
 ):
     l = pl.program_id(0)
@@ -338,10 +346,36 @@ def _mega_kernel(
     # rows round-trip through a one-row VMEM scratch first: the reload
     # carries a concrete {0,0} offset.
 
+    eye128 = (
+        jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    ).astype(jnp.float32)
+
     def bridge(row):  # (1,128) lanes -> (64,128) varying over sublanes
         tmp_row[...] = row
         r = tmp_row[...]
-        vt = jnp.transpose(jnp.broadcast_to(r, (128, 128)), (1, 0))
+        if _BRIDGE == "eyedot":
+            # MXU lane->sublane: col[a] = row[0,a]; no vector.broadcast of
+            # a (1,128) over sublanes anywhere (that op fails layout
+            # assignment on the v5e Mosaic pipeline no matter how the row
+            # is produced — r4j chip log + local AOT bisect)
+            col = jax.lax.dot_general(
+                eye128, r, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (128, 1)
+            h1_64 = (jax.lax.broadcasted_iota(jnp.int32, (64, 128), 1)
+                     < 64).astype(jnp.float32)
+            return col[0:64, :] * h1_64 + col[64:128, :] * (1.0 - h1_64)
+        if _BRIDGE == "mul_ones":
+            # implicit elementwise broadcast (accepted where the explicit
+            # vector.broadcast fails layout assignment), then transpose
+            m = jnp.ones((128, 128), jnp.float32) * r
+            vt = jnp.transpose(m, (1, 0))
+        elif _BRIDGE == "transpose_first":
+            col = jnp.transpose(r, (1, 0))  # (128, 1)
+            vt = col * jnp.ones((128, 128), jnp.float32)
+        else:  # "default"
+            vt = jnp.transpose(jnp.broadcast_to(r, (128, 128)), (1, 0))
         return vt[0:64, :] * h1 + vt[64:128, :] * h2
 
     def layer_start():
@@ -355,7 +389,6 @@ def _mega_kernel(
 
     def wkv_glue():
         Dw, Da, Dv, Dg = spec.d_lora
-        r_row = acc_rkv[0:1, 0:C]
         k0_row = acc_rkv[0:1, C:2 * C]
         v_row = acc_rkv[0:1, 2 * C:3 * C]
         lo = lo_ref[0].astype(jnp.float32)  # (512, C)
@@ -383,21 +416,31 @@ def _mega_kernel(
         v_eff = jnp.where(is_first, v_row, v_resid)
         v_first[...] = jnp.where(is_first, v_eff, v_first[...])
 
-        kk_row = k0_row * sm("k_k")
-        k_row = k0_row * (1.0 + (a_row - 1.0) * sm("k_a"))
-        rk_row = sm("r_k")
-        gn_s = sm("ln_x_s")
-        gn_b = sm("ln_x_b")
+        # Stage the wide rows in scratch and slice PER PAIR from the REF.
+        # Slicing a materialized (1, C) VALUE at lane offset >=128 gives
+        # the slice layout {*,c0}; relayout-insertion cannot push that
+        # through the implicit (1,128)->(64,128) broadcasts and dies with
+        # "Invalid input layout" (r4h/r4i/r4j; root-caused via the local
+        # AOT dumps — post-relayout-insertion-failed.txt). Loads at
+        # 128-multiple lane indices get the natural {0,0} layout.
+        grows[_GR["wd"]:_GR["wd"] + 1, :] = wd_row
+        grows[_GR["a"]:_GR["a"] + 1, :] = a_row
+        grows[_GR["kk"]:_GR["kk"] + 1, :] = k0_row * sm("k_k")
+        grows[_GR["k"]:_GR["k"] + 1, :] = (
+            k0_row * (1.0 + (a_row - 1.0) * sm("k_a")))
+        grows[_GR["v"]:_GR["v"] + 1, :] = v_eff
+        grows[_GR["g"]:_GR["g"] + 1, :] = g_row
 
         for p in range(P):
             c0 = 128 * p
-            sl = (slice(0, 1), slice(c0, c0 + 128))
-            r_p = r_row[sl]
-            kk_p = kk_row[sl]
-            k_p = k_row[sl]
-            v_p = v_eff[sl]
-            a_p = a_row[sl]
-            wd_p = wd_row[sl]
+            gp = lambda nm: grows[_GR[nm]:_GR[nm] + 1, c0:c0 + 128]
+            smp = lambda nm: sm_ref[0, _SM[nm]:_SM[nm] + 1, c0:c0 + 128]
+            r_p = acc_rkv[0:1, c0:c0 + 128]
+            kk_p = gp("kk")
+            k_p = gp("k")
+            v_p = gp("v")
+            a_p = gp("a")
+            wd_p = gp("wd")
             # l2-normalize kk per 64-lane head (torch F.normalize eps 1e-12)
             sq = kk_p * kk_p
             n1 = jnp.sqrt(jnp.maximum(jnp.sum(sq * h1, -1, keepdims=True), 1e-24))
@@ -419,11 +462,22 @@ def _mega_kernel(
             y1 = jnp.sum(Sr * h1, -1, keepdims=True)  # (64, 1)
             y2 = jnp.sum(Sr * h2, -1, keepdims=True)
             ycol = jnp.concatenate([y1, y2], axis=0)  # (128, 1)
-            # y_p[0, j] = ycol[j, 0] — same scratch round-trip as bridge()
+            # y_p[0, j] = ycol[j, 0]. NOT transpose(broadcast(col)): a
+            # Mosaic canonicalization rewrites that into
+            # broadcast(transpose(col)) — a (1,128)->(128,128) sublane
+            # vector.broadcast that fails layout assignment (the op never
+            # appears in the lowered module; a pass synthesizes it).
+            # One MXU pass instead: ycol^T @ eye.
             tmp_col[...] = ycol
-            y_p = jnp.transpose(
-                jnp.broadcast_to(tmp_col[...], (128, 128)), (1, 0)
-            )[0:1, :]
+            if _BRIDGE == "eyedot":
+                y_p = jax.lax.dot_general(
+                    tmp_col[...], eye128, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (1, 128)
+            else:
+                y_p = jnp.transpose(
+                    jnp.broadcast_to(tmp_col[...], (128, 128)), (1, 0)
+                )[0:1, :]
 
             # GroupNorm per 64-lane head
             m1 = jnp.sum(y_p * h1, -1, keepdims=True) / 64.0
@@ -433,15 +487,15 @@ def _mega_kernel(
             var2 = jnp.sum(yc * yc * h2, -1, keepdims=True) / 64.0
             inv = jax.lax.rsqrt(var1 + spec.ln_x_eps) * h1 + \
                 jax.lax.rsqrt(var2 + spec.ln_x_eps) * h2
-            y_n = yc * inv * gn_s[sl] + gn_b[sl]
+            y_n = yc * inv * smp("ln_x_s") + smp("ln_x_b")
 
             # bonus: (sum_head r*k*r_k) * v
-            rkq = r_p * k_p * rk_row[sl]
+            rkq = r_p * k_p * smp("r_k")
             s1 = jnp.sum(rkq * h1, -1, keepdims=True)
             s2 = jnp.sum(rkq * h2, -1, keepdims=True)
             bonus = (s1 * h1 + s2 * h2) * v_p
 
-            y_g[sl] = (y_n + bonus) * g_row[sl]
+            y_g[0:1, c0:c0 + 128] = (y_n + bonus) * gp("g")
 
     def ffn_glue():
         xn2 = _ln(x_res[...], sm("ln2_s"), sm("ln2_b"), spec.norm_eps)
@@ -555,6 +609,7 @@ def decode_step_mega(
             pltpu.VMEM((1, C), jnp.float32),          # y_g
             pltpu.VMEM((1, 128), jnp.float32),        # tmp_row (bridge)
             pltpu.VMEM((128, 1), jnp.float32),        # tmp_col (y bridge)
+            pltpu.VMEM((8, C), jnp.float32),          # grows (glue rows)
         ],
         input_output_aliases={1: 1, 2: 2, 3: 3},
         interpret=interpret,
