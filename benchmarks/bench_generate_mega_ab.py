@@ -1,0 +1,109 @@
+"""A/B: bench.py's full-sampling generate vs the B=64 megakernel route.
+
+Times `spark_generate` (the current production/driver path: XLA fused
+decode, bf16 state) against `spark_generate_mega_b64` (whole-step
+pallas_call per token: int8 weight stream, bf16 state, ops/
+decode_mega_b64.py) at the EXACT bench.py flagship config — 0.4B-class
+1024x24, B=64, 128-token prompt, 256 new tokens, top-k 50 / top-p 0.95.
+Median of N passes each, same key schedule.
+
+Usage: python benchmarks/bench_generate_mega_ab.py [--hidden 2048]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rwkvtts_tpu.utils import jit_cache
+
+jit_cache.enable()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hidden", type=int, default=1024)
+    ap.add_argument("--layers", type=int, default=24)
+    ap.add_argument("--t-new", type=int, default=256)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--tile-n", type=int, default=512)
+    ap.add_argument("--variants", default="xla,mega")
+    args = ap.parse_args()
+
+    from rwkvtts_tpu.infer.generate import (
+        spark_generate, spark_generate_mega_b64,
+    )
+    from rwkvtts_tpu.models import rwkv7, spark
+
+    cfg = spark.default_config(
+        hidden_size=args.hidden, num_layers=args.layers,
+        decode_state_bf16=True,
+    )
+    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
+    )
+
+    B, T_prompt, T_new = 64, 128, args.t_new
+    k = jax.random.PRNGKey(1)
+    tokens = jax.random.randint(k, (B, T_prompt), 0, 4000)
+    modality = jnp.full((B, T_prompt), spark.MOD_TEXT, jnp.int32)
+    modality = modality.at[:, -1].set(spark.MOD_TAG)
+    mask = jnp.ones((B, T_prompt), jnp.int32)
+
+    def bench(name, run):
+        np.asarray(run(jax.random.PRNGKey(2)))  # compile + warm
+        times = []
+        for i in range(args.reps):
+            t0 = time.perf_counter()
+            np.asarray(run(jax.random.PRNGKey(3 + i)))
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
+        out = {
+            "bench": f"generate_mega_ab_{args.hidden}x{args.layers}",
+            "variant": name,
+            "tok_per_s_chip": round(B * T_new / dt, 1),
+            "median_s": round(dt, 3),
+            "spread": round((max(times) - min(times)) / dt, 3),
+        }
+        print(json.dumps(out), flush=True)
+
+    variants = args.variants.split(",")
+    if "xla" in variants:
+        pk = rwkv7.pack_decode_params(params, cfg.backbone)
+
+        def run_xla(key):
+            toks, _ = spark_generate(
+                pk, cfg, tokens, modality, mask, key,
+                max_new_tokens=T_new, top_k=50, top_p=0.95, temperature=1.0,
+            )
+            return toks
+
+        bench("xla", run_xla)
+
+    if "mega" in variants:
+        from rwkvtts_tpu.ops import decode_mega_b64 as dmb
+
+        mega = dmb.pack_mega_b64(params, cfg.backbone, tile_n=args.tile_n)
+        spec = mega.pop("spec")
+
+        def run_mega(key):
+            toks, _ = spark_generate_mega_b64(
+                params, mega, spec, cfg, tokens, modality, mask, key,
+                max_new_tokens=T_new, top_k=50, top_p=0.95, temperature=1.0,
+            )
+            return toks
+
+        bench("mega", run_mega)
+
+
+if __name__ == "__main__":
+    main()
