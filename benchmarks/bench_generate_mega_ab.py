@@ -88,6 +88,17 @@ def main():
             return toks
 
         bench("xla", run_xla)
+        # free the fused pack + its jitted closure before the mega variant
+        # packs its own arrays: at --hidden 2048 both sets resident at once
+        # risks RESOURCE_EXHAUSTED on the 16 GB chip (ADVICE r4). The pack
+        # SHARES the raw param leaves (it only adds fused copies), so only
+        # delete leaves not aliased into `params`.
+        del run_xla
+        keep = {id(x) for x in jax.tree.leaves(params)}
+        for leaf in jax.tree.leaves(pk):
+            if id(leaf) not in keep and hasattr(leaf, "delete"):
+                leaf.delete()
+        del pk
 
     if "mega" in variants:
         from rwkvtts_tpu.ops import decode_mega_b64 as dmb

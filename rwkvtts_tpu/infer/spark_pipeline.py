@@ -70,6 +70,16 @@ class SparkPipeline:
         self.spec_k = int(spec_k)
         self.draft_params = None
         if self.spec_k:
+            if self.spec_k > 8:
+                # k=16 RESOURCE_EXHAUSTEDs mid-run at 1.5B on a 16 GB chip
+                # (chipq_s8.log, spec_generate_greedy) and the measured k=8
+                # economics are already a 0.40x loss (PERF.md round 4) —
+                # larger windows only cost more verify FLOPs.
+                raise ValueError(
+                    "spec_k > 8 is not supported: the verify window OOMs"
+                    " 16 GB HBM at deployed sizes and k=8 already measured"
+                    " 0.40x plain decode (PERF.md round 4)"
+                )
             if quantize_int8 or quantize_int4:
                 raise ValueError(
                     "spec_k verifies at full precision; quantization applies"

@@ -14,7 +14,9 @@ for P in /tmp/chipq_r4n.pid; do
     while kill -0 "$(cat "$P")" 2>/dev/null; do sleep 20; done
   fi
 done
-rm -f /tmp/chipq.stop
+# NOTE: the stop flag is NOT deleted here (ADVICE r4: deleting it at
+# startup defeated the documented stop mechanism). Remove /tmp/chipq.stop
+# manually before intentionally launching a queue.
 cd /root/repo
 
 probe() {
@@ -24,11 +26,20 @@ x = jnp.ones((128, 128))
 print('probe ok', float(np.asarray(x @ x)[0, 0]))" >> "$L" 2>&1
 }
 
+ok=0
 for i in $(seq 1 72); do
-  if probe; then break; fi
+  if [ -f /tmp/chipq.stop ]; then
+    echo "=== STOPPED by /tmp/chipq.stop during tunnel wait" >> "$L"
+    exit 0
+  fi
+  if probe; then ok=1; break; fi
   echo "=== $(date +%H:%M:%S) tunnel probe failed ($i), sleeping 300s" >> "$L"
   sleep 300
 done
+if [ "$ok" != 1 ]; then
+  echo "=== tunnel dead after all probes, aborting queue" >> "$L"
+  exit 1
+fi
 
 run() {
   if [ -f /tmp/chipq.stop ]; then

@@ -222,3 +222,14 @@ def test_pipeline_spec_rejects_quantized_verifier(setup):
         SparkPipeline(cfg, params, None, spec_k=4, quantize_int8=True)
     with pytest.raises(ValueError):
         SparkPipeline(cfg, params, None, spec_k=4, spec_draft="fp8")
+
+
+def test_spec_k_cap(setup):
+    """spec_k > 8 is fenced: the k=16 verify window OOMs 16 GB HBM at the
+    deployed 1.5B (chipq_s8.log) and k=8 already measured 0.40x plain
+    (PERF.md round 4)."""
+    from rwkvtts_tpu.infer.spark_pipeline import SparkPipeline
+
+    cfg, params = setup
+    with pytest.raises(ValueError, match="spec_k > 8"):
+        SparkPipeline(cfg, params, None, spec_k=16)
