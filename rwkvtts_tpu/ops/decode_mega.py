@@ -49,20 +49,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 Params = Dict[str, Any]
 
-# smalls bundle row indices (one (C,) vector per row)
+# smalls bundle row indices (one (C,) vector per row). x_r/x_k/x_v are
+# adjacent so the B=64 kernel's shared rkv body can select the mix row
+# as 4 + (tile // K) with a dynamic sublane read.
 _SM = {
     "ln1_s": 0, "ln1_b": 1, "ln2_s": 2, "ln2_b": 3,
-    "x_r": 4, "x_w": 5, "x_k": 6, "x_v": 7, "x_a": 8, "x_g": 9,
+    "x_r": 4, "x_k": 5, "x_v": 6, "x_w": 7, "x_a": 8, "x_g": 9,
     "w0": 10, "a0": 11, "v0": 12, "k_k": 13, "k_a": 14, "r_k": 15,
     "ln_x_s": 16, "ln_x_b": 17, "ffn_x_k": 18,
 }
 _NS = 24  # padded row count (multiple of 8 for f32 sublane tiling)
 
-# xs scratch rows: token-shifted inputs
+# xs scratch rows: token-shifted inputs. (v, w, a, g) adjacency lets the
+# shared lora body compute the source row as 2 + sidx.
 _XS = {"r": 0, "k": 1, "v": 2, "w": 3, "a": 4, "g": 5, "ffn": 6}
 
-# lora_h scratch rows
-_LH = {"w": 0, "a": 1, "v": 2, "g": 3}
+# lora_h scratch rows — order (v, w, a, g) == lora segment order so
+# sidx == the lh row AND xs row - 2
+_LH = {"v": 0, "w": 1, "a": 2, "g": 3}
 # glue-staged wide rows (scratch sublane per row; sliced per pair as REF
 # loads so every 128-lane slice carries the natural {0,0} layout)
 _GR = {"wd": 0, "a": 1, "kk": 2, "k": 3, "v": 4, "g": 5}
@@ -120,8 +124,9 @@ def build_spec(cfg, tile_n: int = 1024) -> MegaSpec:
                 kind="rkv", src_row=_XS[name], n_off=si * C + j * TN,
             ))
     # lora-in tiles: 4 segments of _LORA_PAD cols packed into ceil tiles
-    segs_all = [(_XS["w"], _LH["w"]), (_XS["a"], _LH["a"]),
-                (_XS["v"], _LH["v"]), (_XS["g"], _LH["g"])]
+    # (segment order == _LH order: sidx -> xs row 2 + sidx, lh row sidx)
+    segs_all = [(_XS["v"], _LH["v"]), (_XS["w"], _LH["w"]),
+                (_XS["a"], _LH["a"]), (_XS["g"], _LH["g"])]
     per_tile = max(1, TN // _LORA_PAD)
     for t0 in range(0, 4, per_tile):
         chunk = segs_all[t0:t0 + per_tile]
@@ -226,11 +231,12 @@ def pack_mega(params: Params, cfg, tile_n: int = 1024) -> Params:
                 w_stream[l, ti] = q[td.k_off:td.k_off + C, td.n_off:td.n_off + TN]
                 s_stream[l, ti] = s[:, td.n_off:td.n_off + TN]
         # lora out matrices (zero rows on the padding kill padded-lane noise,
-        # including sigmoid(0)=0.5 on the padded gate lanes)
-        lora_out[l, 0:Dw] = att["w2"][l]
-        lora_out[l, _LORA_PAD:_LORA_PAD + Da] = att["a2"][l]
-        lora_out[l, 2 * _LORA_PAD:2 * _LORA_PAD + Dv] = att["v2"][l]
-        lora_out[l, 3 * _LORA_PAD:3 * _LORA_PAD + Dg] = att["g2"][l]
+        # including sigmoid(0)=0.5 on the padded gate lanes); groups in
+        # _LH order (v, w, a, g)
+        for nm, mat in (("w", att["w2"][l]), ("a", att["a2"][l]),
+                        ("v", att["v2"][l]), ("g", att["g2"][l])):
+            g0 = _LH[nm] * _LORA_PAD
+            lora_out[l, g0:g0 + mat.shape[0]] = mat
         for nm, row in _SM.items():
             src = {
                 "ln1_s": blocks["ln1_scale"], "ln1_b": blocks["ln1_bias"],
@@ -318,20 +324,36 @@ def _mega_kernel(
     xs, lh, acc_rkv, acc_ffn, x_res, v_first, y_g, tmp_row, tmp_col, grows,
     *, spec: MegaSpec,
 ):
+    """Shared-body kernel: one code path per tile KIND (rkv/lora/out/
+    ffnk/ffnv), parameterized by scalar arithmetic on the grid index, so
+    generated code size is O(1) in C. The round-4 version unrolled a
+    closure per tile instance and the resulting multi-MB program fell off
+    the instruction-delivery cliff at C=2048 (PERF.md round 5). Dequant
+    applies per-output-channel scales on the OUTPUT of an int8-operand
+    MXU dot — the (C, TN) dequant temp never materializes.
+    """
     l = pl.program_id(0)
     t = pl.program_id(1)
     C, TN, P = spec.C, spec.TN, spec.P
+    K = C // TN
     mm = spec.mm_dtype
     sm = lambda name: sm_ref[0, _SM[name]:_SM[name] + 1, :]  # (1, C) f32
 
-    def deq():
-        return w_ref[0, 0].astype(mm) * s_ref[0, 0].astype(mm)
+    # static tile-phase boundaries (grid layout: [rkv x 3K][lora x n_lora]
+    # [out x K][ffnk x 4K][ffnv x 4K]; glue rides the first out tile)
+    t_lora = 3 * K
+    per_tile = min(4, max(1, TN // _LORA_PAD))
+    o0 = t_lora + -(-4 // per_tile)
+    f0 = o0 + K
+    vv0 = f0 + 4 * K
+    T_last = vv0 + 4 * K - 1
 
-    def matvec(xrow):  # (1, C) f32 @ tile -> (1, TN) f32
-        return jax.lax.dot_general(
-            xrow.astype(mm), deq(), (((1,), (0,)), ((), ())),
+    def matvec(xrow):  # (1, C) f32 @ int8 tile -> (1, TN) f32, scale at out
+        r = jax.lax.dot_general(
+            xrow.astype(mm), w_ref[0, 0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        return r * s_ref[0, 0].astype(jnp.float32)
 
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     h1 = (lane128 < 64).astype(jnp.float32)
@@ -431,11 +453,11 @@ def _mega_kernel(
         grows[_GR["v"]:_GR["v"] + 1, :] = v_eff
         grows[_GR["g"]:_GR["g"] + 1, :] = g_row
 
-        for p in range(P):
-            c0 = 128 * p
-            gp = lambda nm: grows[_GR[nm]:_GR[nm] + 1, c0:c0 + 128]
-            smp = lambda nm: sm_ref[0, _SM[nm]:_SM[nm] + 1, c0:c0 + 128]
-            r_p = acc_rkv[0:1, c0:c0 + 128]
+        def pair_body(p, _):
+            c0 = pl.multiple_of(p * 128, 128)
+            gp = lambda nm: grows[_GR[nm]:_GR[nm] + 1, pl.ds(c0, 128)]
+            smp = lambda nm: sm_ref[0, _SM[nm]:_SM[nm] + 1, pl.ds(c0, 128)]
+            r_p = acc_rkv[0:1, pl.ds(c0, 128)]
             kk_p = gp("kk")
             k_p = gp("k")
             v_p = gp("v")
@@ -449,14 +471,14 @@ def _mega_kernel(
             z_p = -kkn
             b_p = kkn * a_p
 
-            S = st_in[0, p].astype(jnp.float32)  # (64, 128)
+            S = st_in[0, pl.ds(p, 1)].astype(jnp.float32).reshape(64, 128)
             Sz = S * z_p
             sa1 = jnp.sum(Sz * h1, -1, keepdims=True)
             sa2 = jnp.sum(Sz * h2, -1, keepdims=True)
             sa = sa1 * h1 + sa2 * h2
             vb = bridge(v_p)
             S2 = S * wd_p + sa * b_p + vb * k_p
-            st_out[0, p] = S2.astype(st_out.dtype)
+            st_out[0, pl.ds(p, 1)] = S2[None].astype(st_out.dtype)
 
             Sr = S2 * r_p
             y1 = jnp.sum(Sr * h1, -1, keepdims=True)  # (64, 1)
@@ -495,7 +517,10 @@ def _mega_kernel(
             s2 = jnp.sum(rkq * h2, -1, keepdims=True)
             bonus = (s1 * h1 + s2 * h2) * v_p
 
-            y_g[0:1, c0:c0 + 128] = (y_n + bonus) * gp("g")
+            y_g[0:1, pl.ds(c0, 128)] = (y_n + bonus) * gp("g")
+            return 0
+
+        jax.lax.fori_loop(0, P, pair_body, 0, unroll=False)
 
     def ffn_glue():
         xn2 = _ln(x_res[...], sm("ln2_s"), sm("ln2_b"), spec.norm_eps)
@@ -503,42 +528,69 @@ def _mega_kernel(
         xx2 = fx_in[0].astype(jnp.float32) - xn2
         xs[_XS["ffn"]:_XS["ffn"] + 1, :] = xn2 + xx2 * sm("ffn_x_k")
 
-    def make_branch(td: TileDesc):
-        def br():
-            if td.kind == "rkv":
-                if td.n_off == 0 and td.src_row == _XS["r"]:
-                    layer_start()
-                part = matvec(xs[td.src_row:td.src_row + 1, :])
-                acc_rkv[0:1, td.n_off:td.n_off + TN] = part
-            elif td.kind == "lora":
-                for (xs_row, col, lh_row) in td.segs:
-                    part = jax.lax.dot_general(
-                        xs[xs_row:xs_row + 1, :].astype(mm),
-                        deq()[:, col:col + _LORA_PAD],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    lh[lh_row:lh_row + 1, :] = part
-            elif td.kind == "out":
-                if td.glue_wkv:
-                    wkv_glue()
-                part = matvec(y_g[...])
-                x_res[0:1, td.n_off:td.n_off + TN] += part
-            elif td.kind == "ffnk":
-                if td.glue_ffn:
-                    ffn_glue()
-                part = matvec(xs[_XS["ffn"]:_XS["ffn"] + 1, :])
-                acc_ffn[0:1, td.n_off:td.n_off + TN] = part
-            elif td.kind == "ffnv":
-                if td.relu2:
-                    acc_ffn[...] = jnp.square(jnp.maximum(acc_ffn[...], 0.0))
-                part = matvec(acc_ffn[0:1, td.k_off:td.k_off + C])
-                x_res[0:1, td.n_off:td.n_off + TN] += part
-            if td.last:
-                x_out[...] = x_res[...]
-        return br
+    def rkv_body():
+        @pl.when(t == 0)
+        def _():
+            layer_start()
+        si = t // K           # 0=r, 1=k, 2=v == xs rows
+        j = t - si * K
+        part = matvec(xs[pl.ds(si, 1), :])
+        off = si * C + j * TN
+        acc_rkv[0:1, pl.ds(pl.multiple_of(off, 128), TN)] = part
 
-    jax.lax.switch(t, [make_branch(td) for td in spec.tiles])
+    def lora_body():
+        # seg sidx (order v,w,a,g == _LH) rides tile lt at column i*128;
+        # its xs source row is 2 + sidx
+        lt = t - t_lora
+        for i in range(per_tile):
+            sidx = lt * per_tile + i
+            col = i * _LORA_PAD
+
+            @pl.when(sidx < 4)
+            def _(sidx=sidx, col=col):
+                part = jax.lax.dot_general(
+                    xs[pl.ds(2 + sidx, 1), :].astype(mm),
+                    w_ref[0, 0, :, col:col + _LORA_PAD],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * s_ref[0, 0, :, col:col + _LORA_PAD].astype(jnp.float32)
+                lh[pl.ds(sidx, 1), :] = part
+
+    def out_body():
+        @pl.when(t == o0)
+        def _():
+            wkv_glue()
+        j = t - o0
+        part = matvec(y_g[...])
+        x_res[0:1, pl.ds(pl.multiple_of(j * TN, 128), TN)] += part
+
+    def ffnk_body():
+        @pl.when(t == f0)
+        def _():
+            ffn_glue()
+        j = t - f0
+        part = matvec(xs[_XS["ffn"]:_XS["ffn"] + 1, :])
+        acc_ffn[0:1, pl.ds(pl.multiple_of(j * TN, 128), TN)] = part
+
+    def ffnv_body():
+        @pl.when(t == vv0)
+        def _():
+            acc_ffn[...] = jnp.square(jnp.maximum(acc_ffn[...], 0.0))
+        jj = t - vv0
+        kc = jj // K
+        j = jj - kc * K
+        lhs = acc_ffn[0:1, pl.ds(pl.multiple_of(kc * C, 128), C)]
+        part = matvec(lhs)
+        x_res[0:1, pl.ds(pl.multiple_of(j * TN, 128), TN)] += part
+
+        @pl.when(t == T_last)
+        def _():
+            x_out[...] = x_res[...]
+
+    kind = ((t >= t_lora).astype(jnp.int32) + (t >= o0) + (t >= f0)
+            + (t >= vv0))
+    jax.lax.switch(kind, [rkv_body, lora_body, out_body, ffnk_body,
+                          ffnv_body])
 
 
 def decode_step_mega(

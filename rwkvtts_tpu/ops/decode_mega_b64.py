@@ -63,8 +63,10 @@ _I_CHUNK = 16   # glue i-chunk rows (bounds Mosaic temp materialization)
 
 # rows scratch groups (B rows each)
 _RG = {"wd": 0, "a": 1, "g": 2, "kk": 3}
-# lh scratch groups (B rows each)
-_LH = {"w": 0, "a": 1, "v": 2, "g": 3}
+# lh scratch groups (B rows each). Order (v, w, a, g) so lora segment
+# sidx maps to the adjacent _SM mix rows 6..9 (x_v, x_w, x_a, x_g) —
+# the shared lora body computes row = 6 + sidx.
+_LH = {"v": 0, "w": 1, "a": 2, "g": 3}
 # xs scratch groups: current layer's (xn, xx) pair (ffn phase overwrites)
 _XG = {"xn": 0, "xx": 1}
 
@@ -117,7 +119,8 @@ def build_spec_b64(cfg, tile_n: int = 512) -> MegaB64Spec:
     for name in ("r", "k", "v"):
         for j in range(C // TN):
             tiles.append(B64Tile(kind="rkv", src=name, n_off=j * TN))
-    segs_all = [("w", _LH["w"]), ("a", _LH["a"]), ("v", _LH["v"]),
+    # segment order == _LH order (v, w, a, g): sidx -> mix row 6 + sidx
+    segs_all = [("v", _LH["v"]), ("w", _LH["w"]), ("a", _LH["a"]),
                 ("g", _LH["g"])]
     per_tile = TN // _LORA_PAD
     for t0 in range(0, 4, per_tile):
@@ -216,8 +219,8 @@ def pack_mega_b64(params: Params, cfg, tile_n: int = 512) -> Params:
         # lora OUT matrices: int8 per-output-channel (the bf16 block costs
         # 4 MB of double-buffered VMEM at C=2048; scales restore parity to
         # the XLA path within the int8 quality bound)
-        for gi, mat in ((0, att["w2"][l]), (1, att["a2"][l]),
-                        (2, att["v2"][l]), (3, att["g2"][l])):
+        for gi, mat in ((_LH["w"], att["w2"][l]), (_LH["a"], att["a2"][l]),
+                        (_LH["v"], att["v2"][l]), (_LH["g"], att["g2"][l])):
             q, s = _q8_np(mat)
             d = q.shape[0]
             lora_q[l, gi * _LORA_PAD:gi * _LORA_PAD + d] = q
@@ -290,13 +293,34 @@ def _mega_b64_kernel(
     x_out, ax_out, fx_out, st_out,
     # scratch
     xs, lh, rows, acc_rkv, acc_ffn, x_res, v_first, y_g, tmp_row,
+    v_scr, y_pair,
     *, spec: MegaB64Spec,
 ):
+    """Shared-body kernel: ONE code path per tile KIND, parameterized by
+    scalar arithmetic on the grid index, so generated code size is O(1)
+    in C. The round-4 version unrolled a closure per tile instance (66
+    switch branches at C=2048) and its 10.9 MB program fell off the
+    instruction-delivery cliff — 64.8 us/grid-step vs 2.15 us at C=1024
+    (PERF.md round 5). Dequant also moved to the OUTPUT side:
+    (x @ W_q) * s == x @ (W_q * s) for per-output-channel scales, so the
+    (C, TN) dequant temp disappears and the MXU consumes int8 directly.
+    """
     l = pl.program_id(0)
     t = pl.program_id(1)
     C, TN, P = spec.C, spec.TN, spec.P
+    K = C // TN
     mm = jnp.bfloat16
-    sm = lambda name: sm_ref[0, _SM[name]:_SM[name] + 1, :]  # (1, C) f32
+
+    # static tile-phase boundaries (grid layout: [rkv x 3K][lora x n_lora]
+    # [prep][glue x P][out x K][ffnk x 4K][ffnv x 4K])
+    t_lora = 3 * K
+    t_prep = spec.prep_t
+    g0 = t_prep + 1
+    o0 = g0 + P
+    f0 = o0 + K
+    vv0 = f0 + 4 * K
+    T_last = vv0 + 4 * K - 1
+    per_tile = min(4, TN // _LORA_PAD)  # lora segments per tile
 
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     h1 = (lane128 < 64).astype(jnp.float32)
@@ -305,6 +329,9 @@ def _mega_b64_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
     ).astype(jnp.float32)
+
+    def sm(name):  # (1, C) f32
+        return sm_ref[0, _SM[name]:_SM[name] + 1, :]
 
     def tblk(x):
         """(B, 128) lane-major slice (c = h*64+d) -> (64 d, 128 q=h*64+b).
@@ -330,19 +357,23 @@ def _mega_b64_kernel(
             jnp.broadcast_to(tmp_row[...], (128, 128)), (1, 0))
         return vt[0:64, :] * h1 + vt[64:128, :] * h2
 
-    def deq():
-        return w_ref[0, 0].astype(mm) * s_ref[0, 0].astype(mm)
-
     def mix(x_row):  # (1, C) shift coefficient -> (B, C) bf16 mix
         xn = xs[_XG["xn"] * B:(_XG["xn"] + 1) * B, :].astype(jnp.float32)
         xx = xs[_XG["xx"] * B:(_XG["xx"] + 1) * B, :].astype(jnp.float32)
         return (xn + xx * x_row).astype(mm)
 
-    def matmul(lhs):  # (B, C) bf16 @ tile -> (B, TN) f32
-        return jax.lax.dot_general(
-            lhs, deq(), (((1,), (0,)), ((), ())),
+    def matmul(lhs):
+        """(B, C) bf16 @ int8 tile -> (B, TN) f32, scales on the OUTPUT.
+
+        int8 values are exact in bf16, so x @ W_q (f32 accum) then a
+        per-column s multiply is the same quantization scheme with one
+        fewer rounding than dequant-then-dot; the (C, TN) dequant temp
+        never materializes."""
+        r = jax.lax.dot_general(
+            lhs, w_ref[0, 0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        return r * s_ref[0, 0].astype(jnp.float32)  # (1, TN) broadcast
 
     def layer_start():
         x_cur = jnp.where(l == 0, x_in[...], x_res[...])
@@ -361,7 +392,38 @@ def _mega_b64_kernel(
         )
         return part * ls_ref[0, lg:lg + 1, :]
 
-    def prep():
+    def rkv_body():
+        @pl.when(t == 0)
+        def _():
+            layer_start()
+        si = t // K           # 0=r, 1=k, 2=v
+        j = t - si * K
+        row = 4 + si          # _SM x_r/x_k/x_v adjacency
+        x_row = sm_ref[0, pl.ds(row, 1), :]
+        part = matmul(mix(x_row))
+        off = si * C + j * TN
+        acc_rkv[:, pl.ds(pl.multiple_of(off, 128), TN)] = (
+            part.astype(acc_rkv.dtype))
+
+    def lora_body():
+        # seg sidx (order v,w,a,g == _LH) rides tile lt at column i*128;
+        # its token-shift mix row is 6 + sidx (_SM adjacency)
+        lt = t - t_lora
+        for i in range(per_tile):
+            sidx = lt * per_tile + i
+            col = i * _LORA_PAD
+
+            @pl.when(sidx < 4)
+            def _(sidx=sidx, col=col):
+                x_row = sm_ref[0, pl.ds(6 + sidx, 1), :]
+                part = jax.lax.dot_general(
+                    mix(x_row), w_ref[0, 0, :, col:col + _LORA_PAD],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * s_ref[0, 0, :, col:col + _LORA_PAD].astype(jnp.float32)
+                lh[pl.ds(sidx * B, B), :] = part
+
+    def prep_body():
         lhg = lambda g: lh[g * B:(g + 1) * B, :]
         w_vec = sm("w0") + lo_mm(_LH["w"], jnp.tanh(lhg(_LH["w"])))
         w_raw = -_softplus(-w_vec) - 0.5
@@ -387,19 +449,20 @@ def _mega_b64_kernel(
         acc_rkv[:, C:2 * C] = (
             k0 * (1.0 + (a_row - 1.0) * sm("k_a"))).astype(acc_rkv.dtype)
 
-    def glue(p: int):
-        c0 = 128 * p
-        r_s = acc_rkv[:, c0:c0 + 128].astype(jnp.float32)
-        k_s = acc_rkv[:, C + c0:C + c0 + 128].astype(jnp.float32)
-        v_s = acc_rkv[:, 2 * C + c0:2 * C + c0 + 128].astype(jnp.float32)
-        kk_s = rows[_RG["kk"] * B + 0:_RG["kk"] * B + B,
-                    c0:c0 + 128].astype(jnp.float32)
+    def glue_body():
+        p = t - g0
+        c0 = pl.multiple_of(p * 128, 128)
+        r_s = acc_rkv[:, pl.ds(c0, 128)].astype(jnp.float32)
+        k_s = acc_rkv[:, pl.ds(C + c0, 128)].astype(jnp.float32)
+        v_s = acc_rkv[:, pl.ds(2 * C + c0, 128)].astype(jnp.float32)
+        kk_s = rows[_RG["kk"] * B:(_RG["kk"] + 1) * B,
+                    pl.ds(c0, 128)].astype(jnp.float32)
         a_s = rows[_RG["a"] * B:(_RG["a"] + 1) * B,
-                   c0:c0 + 128].astype(jnp.float32)
+                   pl.ds(c0, 128)].astype(jnp.float32)
         wd_s = rows[_RG["wd"] * B:(_RG["wd"] + 1) * B,
-                    c0:c0 + 128].astype(jnp.float32)
+                    pl.ds(c0, 128)].astype(jnp.float32)
         g_s = rows[_RG["g"] * B:(_RG["g"] + 1) * B,
-                   c0:c0 + 128].astype(jnp.float32)
+                   pl.ds(c0, 128)].astype(jnp.float32)
 
         # l2-normalize kk per 64-lane head (torch F.normalize, eps 1e-12)
         sq = kk_s * kk_s
@@ -411,42 +474,48 @@ def _mega_b64_kernel(
         WD = tblk(wd_s)
         Z = tblk(-kkn)
         BB = tblk(kkn * a_s)
-        K = tblk(k_s)
-        V = tblk(v_s)
+        K_ = tblk(k_s)
         G = tblk(g_s)
+        v_scr[...] = tblk(v_s)  # per-chunk rows sliced from a REF below
 
-        # state update in i-chunks (bounds Mosaic temp materialization)
-        ycs = []
-        for i0 in range(0, 64, _I_CHUNK):
-            S3 = st_in[0, 0, i0 * 64:(i0 + _I_CHUNK) * 64, :].astype(
+        # state update in i-chunks via a rolled loop (code O(1) in chunks;
+        # chunking itself bounds Mosaic temp materialization)
+        def ichunk(ic, _):
+            r0 = pl.multiple_of(ic * (_I_CHUNK * 64), 8)
+            S3 = st_in[0, 0, pl.ds(r0, _I_CHUNK * 64), :].astype(
                 jnp.float32).reshape(_I_CHUNK, 64, 128)
             sa = jnp.sum(S3 * Z[None], axis=1, keepdims=True)
-            # slice+newaxis via jnp indexing emits a GATHER (even with a
-            # static start) which Mosaic's cond-branch lowering rejects
-            # ("Shape mismatch in input, indices and output", r4m);
-            # lax.slice_in_dim + expand_dims stays a slice+reshape.
+            # dynamic row slice must come from a REF: jnp indexing a VALUE
+            # with a dynamic start emits a GATHER which Mosaic's
+            # cond-branch lowering rejects (r4m)
             v_chunk = jnp.expand_dims(
-                jax.lax.slice_in_dim(V, i0, i0 + _I_CHUNK, axis=0), 1)
-            S2 = S3 * WD[None] + sa * BB[None] + v_chunk * K[None]
-            st_out[0, 0, i0 * 64:(i0 + _I_CHUNK) * 64, :] = (
+                v_scr[pl.ds(pl.multiple_of(ic * _I_CHUNK, 8), _I_CHUNK), :], 1)
+            S2 = S3 * WD[None] + sa * BB[None] + v_chunk * K_[None]
+            st_out[0, 0, pl.ds(r0, _I_CHUNK * 64), :] = (
                 S2.reshape(_I_CHUNK * 64, 128).astype(st_out.dtype))
-            ycs.append(jnp.sum(S2 * R[None], axis=1).reshape(_I_CHUNK, 128))
-        y = jnp.concatenate(ycs, axis=0)  # (64, 128)
+            y_pair[pl.ds(pl.multiple_of(ic * _I_CHUNK, 8), _I_CHUNK), :] = (
+                jnp.sum(S2 * R[None], axis=1).reshape(_I_CHUNK, 128))
+            return 0
+
+        jax.lax.fori_loop(0, 64 // _I_CHUNK, ichunk, 0, unroll=False)
+        y = y_pair[...]  # (64, 128)
 
         # GroupNorm per (b, h) over the 64 i values (sublane stats)
         m = jnp.mean(y, axis=0, keepdims=True)
         var = jnp.mean((y - m) ** 2, axis=0, keepdims=True)
-        gs = colblk(sm("ln_x_s")[:, c0:c0 + 128])
-        gb = colblk(sm("ln_x_b")[:, c0:c0 + 128])
+        gs = colblk(sm_ref[0, _SM["ln_x_s"]:_SM["ln_x_s"] + 1,
+                           pl.ds(c0, 128)])
+        gb = colblk(sm_ref[0, _SM["ln_x_b"]:_SM["ln_x_b"] + 1,
+                           pl.ds(c0, 128)])
         y_n = (y - m) * jax.lax.rsqrt(var + spec.ln_x_eps) * gs + gb
 
         # bonus: (sum_j r*k_eff*r_k) * v  — all in the transposed layout
-        RK = colblk(sm("r_k")[:, c0:c0 + 128])
-        s_bh = jnp.sum(R * K * RK, axis=0, keepdims=True)  # (1, 128)
-        y_fin = (y_n + s_bh * V) * G
+        RK = colblk(sm_ref[0, _SM["r_k"]:_SM["r_k"] + 1, pl.ds(c0, 128)])
+        s_bh = jnp.sum(R * K_ * RK, axis=0, keepdims=True)  # (1, 128)
+        y_fin = (y_n + s_bh * v_scr[...]) * G
 
         # back to lane-major (tblk is an involution) and store the slice
-        y_g[:, c0:c0 + 128] = tblk(y_fin).astype(y_g.dtype)
+        y_g[:, pl.ds(c0, 128)] = tblk(y_fin).astype(y_g.dtype)
 
     def ffn_glue():
         xn2 = _ln(x_res[...].astype(jnp.float32), sm("ln2_s"), sm("ln2_b"),
@@ -456,47 +525,43 @@ def _mega_b64_kernel(
         xs[_XG["xn"] * B:(_XG["xn"] + 1) * B, :] = xn2.astype(xs.dtype)
         xs[_XG["xx"] * B:(_XG["xx"] + 1) * B, :] = xx2.astype(xs.dtype)
 
-    def make_branch(td: B64Tile):
-        def br():
-            if td.kind == "rkv":
-                if td.src == "r" and td.n_off == 0:
-                    layer_start()
-                part = matmul(mix(sm(f"x_{td.src}")))
-                si = {"r": 0, "k": 1, "v": 2}[td.src]
-                acc_rkv[:, si * C + td.n_off:si * C + td.n_off + TN] = (
-                    part.astype(acc_rkv.dtype))
-            elif td.kind == "lora":
-                for (mx, col, lg) in td.segs:
-                    part = jax.lax.dot_general(
-                        mix(sm(f"x_{mx}")), deq()[:, col:col + _LORA_PAD],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    lh[lg * B:(lg + 1) * B, :] = part
-            elif td.kind == "prep":
-                prep()
-            elif td.kind == "glue":
-                glue(td.pair)
-            elif td.kind == "out":
-                part = matmul(y_g[...].astype(mm))
-                x_res[:, td.n_off:td.n_off + TN] += part
-            elif td.kind == "ffnk":
-                if td.n_off == 0:
-                    ffn_glue()
-                part = matmul(mix(sm("ffn_x_k")))
-                acc_ffn[:, td.n_off:td.n_off + TN] = part.astype(acc_ffn.dtype)
-            elif td.kind == "ffnv":
-                if td.relu2:
-                    a = acc_ffn[...].astype(jnp.float32)
-                    acc_ffn[...] = jnp.square(
-                        jnp.maximum(a, 0.0)).astype(acc_ffn.dtype)
-                part = matmul(acc_ffn[:, td.k_off:td.k_off + C].astype(mm))
-                x_res[:, td.n_off:td.n_off + TN] += part
-            if td.last:
-                x_out[...] = x_res[...]
-        return br
+    def out_body():
+        j = t - o0
+        part = matmul(y_g[...].astype(mm))
+        off = pl.multiple_of(j * TN, 128)
+        x_res[:, pl.ds(off, TN)] += part
 
-    jax.lax.switch(t, [make_branch(td) for td in spec.tiles])
+    def ffnk_body():
+        @pl.when(t == f0)
+        def _():
+            ffn_glue()
+        j = t - f0
+        part = matmul(mix(sm("ffn_x_k")))
+        off = pl.multiple_of(j * TN, 128)
+        acc_ffn[:, pl.ds(off, TN)] = part.astype(acc_ffn.dtype)
+
+    def ffnv_body():
+        @pl.when(t == vv0)
+        def _():
+            a = acc_ffn[...].astype(jnp.float32)
+            acc_ffn[...] = jnp.square(
+                jnp.maximum(a, 0.0)).astype(acc_ffn.dtype)
+        jj = t - vv0
+        kc = jj // K
+        j = jj - kc * K
+        lhs = acc_ffn[:, pl.ds(pl.multiple_of(kc * C, 128), C)].astype(mm)
+        part = matmul(lhs)
+        off = pl.multiple_of(j * TN, 128)
+        x_res[:, pl.ds(off, TN)] += part
+
+        @pl.when(t == T_last)
+        def _():
+            x_out[...] = x_res[...]
+
+    kind = ((t >= t_lora).astype(jnp.int32) + (t >= t_prep) + (t >= g0)
+            + (t >= o0) + (t >= f0) + (t >= vv0))
+    jax.lax.switch(kind, [rkv_body, lora_body, prep_body, glue_body,
+                          out_body, ffnk_body, ffnv_body])
 
 
 def decode_step_mega_b64(
@@ -572,6 +637,8 @@ def decode_step_mega_b64(
             pltpu.VMEM((B, C), jnp.bfloat16),           # v_first
             pltpu.VMEM((B, C), jnp.bfloat16),           # y_g
             pltpu.VMEM((1, 128), jnp.float32),          # tmp_row (colblk)
+            pltpu.VMEM((64, 128), jnp.float32),         # v_scr (glue V)
+            pltpu.VMEM((64, 128), jnp.float32),         # y_pair (glue y)
         ],
         input_output_aliases={1: 1, 2: 2, 3: 3},
         interpret=interpret,
