@@ -113,6 +113,48 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
     return name, arr
 
 
+_DTYPE_IDS = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _len_field(field: int, payload: bytes) -> bytes:
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+def write_onnx_initializers(arrays: Dict[str, np.ndarray]) -> bytes:
+    """Serialize {name: array} as a minimal ModelProto holding only graph
+    initializers — the exact subset load_onnx_initializers reads back.
+
+    Used to synthesize ONNX exports for importer-level golden fixtures:
+    the reference's S3/CAM++ models exist only as ONNX binaries not in
+    this image (cosyvoice/cli/frontend.py:95-116), so CI captures tiny
+    random-weight exports in the same initializer naming/layout instead.
+    """
+    tensors = []
+    for name, arr in arrays.items():
+        arr = np.ascontiguousarray(arr)
+        body = bytearray()
+        for d in arr.shape:
+            body += _varint(1 << 3) + _varint(d)          # dims (field 1)
+        body += _varint(2 << 3) + _varint(_DTYPE_IDS[arr.dtype])
+        body += _len_field(8, name.encode("utf-8"))        # name
+        body += _len_field(9, arr.tobytes())               # raw_data
+        tensors.append(_len_field(5, bytes(body)))          # initializer
+    graph = b"".join(tensors)
+    return _len_field(7, graph)                             # ModelProto.graph
+
+
 def load_onnx_initializers(path: str) -> Dict[str, np.ndarray]:
     """Extract {initializer_name: array} from an .onnx file."""
     with open(path, "rb") as f:
