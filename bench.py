@@ -21,7 +21,11 @@ jit_cache.enable()
 
 
 def main():
-    from rwkvtts_tpu.infer.generate import spark_generate
+    import os
+
+    from rwkvtts_tpu.infer.generate import (
+        spark_generate, spark_generate_mega_b64,
+    )
     from rwkvtts_tpu.models import spark
 
     # deployed-scale flagship: 0.4B-class (the reference ships 0.19B-1.5B
@@ -40,10 +44,7 @@ def main():
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
     )
-    # fuse the seven per-block input projections into two matmuls
     from rwkvtts_tpu.models import rwkv7
-
-    params = rwkv7.pack_decode_params(params, cfg.backbone)
 
     B, T_prompt, T_new = 64, 128, 256
     k = jax.random.PRNGKey(1)
@@ -52,12 +53,36 @@ def main():
     modality = modality.at[:, -1].set(spark.MOD_TAG)
     mask = jnp.ones((B, T_prompt), jnp.int32)
 
-    def run(key):
-        toks, _ = spark_generate(
-            params, cfg, tokens, modality, mask, key,
-            max_new_tokens=T_new, top_k=50, top_p=0.95, temperature=1.0,
-        )
-        return toks
+    # Decode path: the whole-step B=64 megakernel (ops/decode_mega_b64.py —
+    # one pallas_call per token: int8 weight stream, bf16 state; prefill
+    # stays XLA bf16). Gated on chip before promotion (PERF.md r5a):
+    # quality bound 1.0 teacher-forced AND free-running agreement over 256
+    # steps at this exact config, and the full-sampling A/B measured
+    # 29,481 tok/s vs 19,094 for the XLA path (+54%). Set
+    # RWKVTTS_BENCH_PATH=xla for the previous fused-XLA decode.
+    use_mega = os.environ.get("RWKVTTS_BENCH_PATH", "mega") != "xla"
+    if use_mega:
+        from rwkvtts_tpu.ops import decode_mega_b64 as dmb
+
+        mega = dmb.pack_mega_b64(params, cfg.backbone, tile_n=512)
+        spec = mega.pop("spec")
+
+        def run(key):
+            toks, _ = spark_generate_mega_b64(
+                params, mega, spec, cfg, tokens, modality, mask, key,
+                max_new_tokens=T_new, top_k=50, top_p=0.95, temperature=1.0,
+            )
+            return toks
+    else:
+        # fuse the seven per-block input projections into two matmuls
+        pk = rwkv7.pack_decode_params(params, cfg.backbone)
+
+        def run(key):
+            toks, _ = spark_generate(
+                pk, cfg, tokens, modality, mask, key,
+                max_new_tokens=T_new, top_k=50, top_p=0.95, temperature=1.0,
+            )
+            return toks
 
     # compile + warmup; sync via an explicit host transfer (block_until_ready
     # alone does not reliably fence on the tunneled axon platform)

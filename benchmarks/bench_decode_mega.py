@@ -116,9 +116,10 @@ def main():
     if "mega" in variants:
         mega = dm.pack_mega(params, cfg, tile_n=args.tile_n)
         spec = mega.pop("spec")  # static: close over it, jit the arrays
-        st = dm.pack_mega_state(rwkv7.init_model_state(cfg, 1), cfg)
-        if args.state_bf16:
-            st = dict(st, wkv=st["wkv"].astype(jnp.bfloat16))
+        st = dm.pack_mega_state(
+            rwkv7.init_model_state(cfg, 1), cfg,
+            state_bf16=args.state_bf16,
+        )
 
         def mega_step(p, x, s):
             return dm.decode_step_mega(

@@ -62,6 +62,15 @@ def main():
     ap.add_argument("--overlap", action="store_true",
                     help="double-buffered chunks (token-identical; hides "
                          "the per-chunk host sync behind device compute)")
+    ap.add_argument("--sfm", action="store_true",
+                    help="SFM fast decode in the flow hop (use with "
+                         "--flow-timesteps ~5)")
+    ap.add_argument("--flow-timesteps", type=int, default=None,
+                    help="ODE steps per flow hop (default: StreamConfig 10)")
+    ap.add_argument("--ctx", type=int, default=None,
+                    help="generated-token context kept in the flow window")
+    ap.add_argument("--vocode-every", type=int, default=1,
+                    help="batch K hops per HiFT call after the first chunk")
     ap.add_argument("--tiny", action="store_true",
                     help="toy LM/flow/HiFT dims for a CPU smoke run")
     ap.add_argument("--cpu", action="store_true",
@@ -69,6 +78,7 @@ def main():
     args = ap.parse_args()
 
     from rwkvtts_tpu.codecs import conformer, flow as flow_lib, hift as hift_lib
+    from rwkvtts_tpu.infer import streaming
     from rwkvtts_tpu.infer.cosy_pipeline import CosyPipeline
     from rwkvtts_tpu.models import cosy
     from rwkvtts_tpu.serving.cosy_pool import CosyStreamHub
@@ -106,7 +116,7 @@ def main():
             hidden_size=args.hidden, num_layers=args.layers,
             decode_state_bf16=args.state_bf16,
         )
-        fcfg = flow_lib.FlowConfig()
+        fcfg = flow_lib.FlowConfig(sfm=args.sfm)
         hcfg = hift_lib.HiFTConfig()
     lm_params = cosy.init_params(jax.random.PRNGKey(0), lm_cfg)
     fparams = flow_lib.init_params(jax.random.PRNGKey(1), fcfg)
@@ -119,9 +129,15 @@ def main():
     text = "pooled streaming benchmark " * (args.text_len // 27 + 1)
     text = text[: args.text_len]
 
+    skw = {"token_hop_len": args.hop, "sfm": args.sfm,
+           "vocode_every": args.vocode_every}
+    if args.flow_timesteps is not None:
+        skw["n_timesteps"] = args.flow_timesteps
+    if args.ctx is not None:
+        skw["ctx_tokens"] = args.ctx
     hub = CosyStreamHub(
         pipe, n_slots=args.slots, chunk=args.chunk, warmup=True,
-        overlap=args.overlap,
+        overlap=args.overlap, stream_cfg=streaming.StreamConfig(**skw),
     )
 
     def drive(n_streams, record):
@@ -154,7 +170,11 @@ def main():
                 + ("_int4" if args.int4 else "")
                 + ("_sbf16" if args.state_bf16 else "")
                 + ("_nofuse" if args.no_proj_fuse else "")
-                + ("_overlap" if args.overlap else ""),
+                + ("_overlap" if args.overlap else "")
+                + (f"_sfm{args.flow_timesteps or 10}" if args.sfm else "")
+                + (f"_ctx{args.ctx}" if args.ctx is not None else "")
+                + (f"_vocode{args.vocode_every}"
+                   if args.vocode_every != 1 else ""),
                 "streams": n_streams,
                 "slots": args.slots,
                 "ttfa_ms_p50": round(tt[len(tt) // 2], 0) if tt else None,

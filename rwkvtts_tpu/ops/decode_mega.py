@@ -264,21 +264,33 @@ def pack_mega(params: Params, cfg, tile_n: int = 1024) -> Params:
     }
 
 
-def pack_mega_state(state, cfg) -> Params:
+def pack_mega_state(state, cfg, state_bf16: bool = True) -> Params:
     """Stacked decode state (leaves (L, ...)) -> megakernel layout:
     {'att_x' (L,1,C), 'wkv' (L,P,64,128) head-pair packed, 'ffn_x' (L,1,C)}.
-    Accepts the stacked dict form of models/rwkv7.init_model_state at B=1."""
+    Accepts the stacked dict form of models/rwkv7.init_model_state at B=1.
+
+    state_bf16=True (default) carries the WKV state bf16 between steps —
+    the production config the chip quality gate measured at 1.0 agreement
+    (scripts/measure_int8_quality.py --mega: int8 proj + int8 lora-out +
+    bf16 state) and the config behind the 2.224 ms/tok B=1 1.5B number
+    (PERF.md r5a); the fp32-state kernel ran ~1.6x slower there. The
+    reference's own decode kernel carries fp16 state
+    (model/llm/cuda/rwkv7_state_fwd_fp16.cu). Pass False for exact-fp32
+    parity tests."""
     from rwkvtts_tpu.ops.wkv7_step_pallas import pack_state
 
     L = cfg.num_layers
     C = cfg.hidden_size
     wkv = state["wkv"]  # (L, 1, H, N, N)
     packed = pack_state(wkv.reshape(L, 1, cfg.num_heads, 64, 64))
+    wkv = packed.reshape(L, C // 128, 64, 128)
+    if state_bf16:
+        wkv = wkv.astype(jnp.bfloat16)
     return {
         # the mega carry keeps shift states f32 (kernel-native; ~L*C*8
         # bytes, negligible vs weights) so the scan carry dtype is stable
         "att_x": state["att_x"].reshape(L, 1, C).astype(jnp.float32),
-        "wkv": packed.reshape(L, C // 128, 64, 128),
+        "wkv": wkv,
         "ffn_x": state["ffn_x"].reshape(L, 1, C).astype(jnp.float32),
     }
 

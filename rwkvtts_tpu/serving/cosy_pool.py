@@ -385,8 +385,16 @@ class CosyStreamHub:
     def __init__(self, pipeline, n_slots: int = 8, chunk: int = 16,
                  prompt_cap: int = 128, top_k: int = 25, top_p: float = 0.8,
                  warmup: bool = False, warmup_widths=None,
-                 overlap: bool = False):
+                 overlap: bool = False, stream_cfg=None):
         self.pipe = pipeline
+        # hub-wide vocoder/flow streaming config (infer/streaming.
+        # StreamConfig): the solo-stream levers — SFM few-step flow, small
+        # ctx window, vocode_every hop batching — apply per SESSION, so
+        # without this every pooled stream paid the CFM-10/ctx-100/
+        # vocode-1 defaults while solo streaming ran SFM-5/ctx-50/
+        # vocode-2 (0.213 -> 0.134 RTF, PERF.md r4). Per-call
+        # `stream_cfg` overrides; `hop_tokens` overrides the hop only.
+        self.stream_cfg = stream_cfg
         self.batcher = CosyPoolBatcher(
             pipeline.lm_params, pipeline.lm_cfg, n_slots=n_slots,
             chunk=chunk, prompt_cap=prompt_cap, top_k=top_k, top_p=top_p,
@@ -457,12 +465,17 @@ class CosyStreamHub:
         seed: int = 0,
         max_new_tokens: int = 2048,
         timeout: Optional[float] = None,
+        stream_cfg=None,
     ) -> Generator[np.ndarray, None, None]:
         """One streaming utterance; safe to call from many threads at once.
         Mirrors infer/streaming.stream_synthesize, LM stage pooled.
         `timeout` bounds the WHOLE stream (seconds); on expiry the request
         is cancelled and a TimeoutError raised. A pool-level decode failure
-        surfaces as RuntimeError instead of a silent hang."""
+        surfaces as RuntimeError instead of a silent hang. `stream_cfg`
+        (per-call) or the hub-level default set the vocoder/flow levers;
+        `hop_tokens` overrides the hop on the hub default only."""
+        import dataclasses as _dc
+
         from rwkvtts_tpu.data import cosy_collator
         from rwkvtts_tpu.data.spark_collator import pad_prompts_left
         from rwkvtts_tpu.infer import streaming
@@ -471,7 +484,12 @@ class CosyStreamHub:
             prompt_speech_tokens, prompt_mel, spk_embedding = (
                 self.pipe.frontend_zero_shot(prompt_wav)
             )
-        scfg = streaming.StreamConfig(token_hop_len=hop_tokens)
+        if stream_cfg is not None:
+            scfg = stream_cfg
+        elif self.stream_cfg is not None:
+            scfg = _dc.replace(self.stream_cfg, token_hop_len=hop_tokens)
+        else:
+            scfg = streaming.StreamConfig(token_hop_len=hop_tokens)
         sess = streaming.CosyStreamSession(
             self.pipe, scfg, prompt_speech_tokens, prompt_mel, spk_embedding,
             seed=seed,

@@ -73,7 +73,7 @@ def test_mega_matches_decode_step_multi_step():
 
     B, C = 1, cfg.hidden_size
     st = rwkv7.init_model_state(cfg, B)
-    mst = dm.pack_mega_state(st, cfg)
+    mst = dm.pack_mega_state(st, cfg, state_bf16=False)
 
     key = jax.random.PRNGKey(7)
     step_mega = functools.partial(dm.decode_step_mega, interpret=True)
@@ -108,7 +108,7 @@ def test_mega_tracks_unfused_int8_step_tightly():
 
     B, C = 1, cfg.hidden_size
     st = rwkv7.init_model_state(cfg, B)
-    mst = dm.pack_mega_state(st, cfg)
+    mst = dm.pack_mega_state(st, cfg, state_bf16=False)
 
     key = jax.random.PRNGKey(11)
     for i in range(2):
@@ -236,7 +236,7 @@ def test_mega_state_pack_roundtrip():
         lambda x: jax.random.normal(jax.random.PRNGKey(x.size % 97), x.shape),
         st,
     )
-    mst = dm.pack_mega_state(st, cfg)
+    mst = dm.pack_mega_state(st, cfg, state_bf16=False)
     back = dm.unpack_mega_state(mst, cfg, dtype=jnp.float32)
     for leaf in ("att_x", "ffn_x", "wkv"):
         np.testing.assert_allclose(
