@@ -100,20 +100,28 @@ def main():
                 leaf.delete()
         del pk
 
-    if "mega" in variants:
+    if "mega" in variants or "mega_rankbf16" in variants:
         from rwkvtts_tpu.ops import decode_mega_b64 as dmb
 
         mega = dmb.pack_mega_b64(params, cfg.backbone, tile_n=args.tile_n)
         spec = mega.pop("spec")
 
-        def run_mega(key):
-            toks, _ = spark_generate_mega_b64(
-                params, mega, spec, cfg, tokens, modality, mask, key,
-                max_new_tokens=T_new, top_k=50, top_p=0.95, temperature=1.0,
-            )
-            return toks
+        def make_run(rank_bf16):
+            def run_mega(key):
+                toks, _ = spark_generate_mega_b64(
+                    params, mega, spec, cfg, tokens, modality, mask, key,
+                    max_new_tokens=T_new, top_k=50, top_p=0.95,
+                    temperature=1.0, rank_bf16=rank_bf16,
+                )
+                return toks
+            return run_mega
 
-        bench("mega", run_mega)
+        if "mega" in variants:
+            bench("mega", make_run(False))
+        if "mega_rankbf16" in variants:
+            # bf16 candidate ranking: no full-vocab fp32 convert/divide/
+            # TopK per step (ops/sampling.sample rank_bf16)
+            bench("mega_rankbf16", make_run(True))
 
 
 if __name__ == "__main__":

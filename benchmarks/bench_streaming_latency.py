@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--mega", action="store_true",
                     help="whole-step megakernel LM decode (int8 stream; "
                          "ops/decode_mega.py)")
+    ap.add_argument("--rank-bf16", action="store_true",
+                    help="bf16 candidate ranking in the RAS sampler "
+                         "(drops the per-step full-vocab fp32 TopK)")
     ap.add_argument("--sfm", action="store_true",
                     help="SFM fast decode in the flow hop (start at t_h)")
     ap.add_argument("--flow-timesteps", type=int, default=None,
@@ -84,7 +87,7 @@ def main():
         lm_cfg, lm_params, _Tok(), flow_cfg=fcfg, flow_params=fparams,
         hift_cfg=hcfg, hift_params=hparams, quantize_int8=args.int8,
         quantize_int4=args.int4, fuse_projections=not args.no_proj_fuse,
-        decode_megakernel=args.mega,
+        decode_megakernel=args.mega, sample_rank_bf16=args.rank_bf16,
     )
     skw = {"token_hop_len": args.hop, "sfm": args.sfm,
            "vocode_every": args.vocode_every, "hop_max": args.hop_max,
@@ -164,6 +167,8 @@ def main():
         " | no-proj-fuse" if args.no_proj_fuse else ""
     ) + (
         " | mega" if args.mega else ""
+    ) + (
+        " | rank-bf16" if args.rank_bf16 else ""
     )
     print(
         f"TTFA {min(ttfas)*1000:.0f} ms | steady RTF {min(rtfs):.3f} "

@@ -62,6 +62,7 @@ class CosyPipeline:
         fuse_projections: bool = True,
         decode_megakernel: bool = False,
         mega_tile_n: int = 1024,
+        sample_rank_bf16: bool = False,
     ):
         from rwkvtts_tpu.models import rwkv7
 
@@ -72,6 +73,10 @@ class CosyPipeline:
         # scripts/measure_int8_quality.py --int4). fuse_projections=False
         # drops the doubled fused projection copies — the B=1
         # weight-bandwidth lever (pack_decode_params docstring).
+        # bf16 candidate ranking in the sampler (ops/sampling rank_bf16):
+        # drops the full-vocab fp32 convert/divide/TopK from each decode
+        # step; probabilities on the k survivors stay fp32
+        self.lm_rank_bf16 = sample_rank_bf16
         self.lm_mega = self.lm_mega_spec = None
         if decode_megakernel:
             # whole-step megakernel B=1 decode (ops/decode_mega.py): the

@@ -98,7 +98,7 @@ def spark_generate(
     jax.jit,
     static_argnames=(
         "cfg", "mega_spec", "max_new_tokens", "top_k", "top_p",
-        "temperature", "eos_id", "min_new_tokens",
+        "temperature", "eos_id", "min_new_tokens", "rank_bf16",
     ),
 )
 def spark_generate_mega_b64(
@@ -117,6 +117,7 @@ def spark_generate_mega_b64(
     top_k: int = 50,
     top_p: float = 0.95,
     eos_id: Optional[int] = None,
+    rank_bf16: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """`spark_generate` with the decode loop routed through the B=64
     whole-step megakernel (ops/decode_mega_b64.py). Prefill runs the XLA
@@ -138,7 +139,12 @@ def spark_generate_mega_b64(
 
     def step(carry, step_key):
         h, st, done, n = carry
-        logits = (h @ params["head"].astype(bb.dtype)).astype(jnp.float32)
+        logits = h @ params["head"].astype(bb.dtype)
+        if not rank_bf16:
+            # rank_bf16 keeps the full-vocab logits in the head's native
+            # bf16 — sampling ranks there and runs fp32 only on the k
+            # survivors (ops/sampling.sample)
+            logits = logits.astype(jnp.float32)
         if min_new_tokens > 0:
             logits = jnp.where(
                 (n < min_new_tokens)[..., None]
@@ -147,7 +153,8 @@ def spark_generate_mega_b64(
                 logits,
             )
         tok = sampling.sample(
-            step_key, logits, temperature=temperature, top_k=top_k, top_p=top_p
+            step_key, logits, temperature=temperature, top_k=top_k,
+            top_p=top_p, rank_bf16=rank_bf16,
         )
         tok = jnp.where(done, eos_id, tok)
         new_done = done | (tok == eos_id)
@@ -263,6 +270,7 @@ def spark_generate_early_exit(
 def _make_cosy_step(
     params, cfg, *, min_new_tokens: int, top_k: int, top_p: float,
     win_size: int, tau_r: float, mega=None, mega_spec=None,
+    rank_bf16: bool = False,
 ):
     """One Cosy decode step (RAS sampling + EOS bookkeeping), shared by the
     fixed-length scan (`cosy_generate`) and the chunked streaming decoder
@@ -279,9 +287,11 @@ def _make_cosy_step(
 
     def step(carry, step_key):
         h, st, done, recent, n = carry
-        logits = (h @ params["head"].astype(bb.dtype)).astype(jnp.float32)
+        logits = h @ params["head"].astype(bb.dtype)
+        if not rank_bf16:
+            logits = logits.astype(jnp.float32)
         if "head_bias" in params:
-            logits = logits + params["head_bias"].astype(jnp.float32)
+            logits = logits + params["head_bias"].astype(logits.dtype)
         logits = jnp.where(
             (n < min_new_tokens)[:, None]
             & (jnp.arange(logits.shape[-1]) == eos_id)[None, :],
@@ -291,6 +301,7 @@ def _make_cosy_step(
         tok = sampling.ras_sample(
             step_key, logits, recent,
             top_p=top_p, top_k=top_k, win_size=win_size, tau_r=tau_r,
+            rank_bf16=rank_bf16,
         )
         tok = jnp.where(done, eos_id, tok)
         new_done = done | (tok == eos_id)
@@ -343,7 +354,7 @@ def cosy_prefill_carry(
     jax.jit,
     static_argnames=(
         "cfg", "chunk_len", "top_k", "top_p", "win_size", "tau_r",
-        "mega_spec",
+        "mega_spec", "rank_bf16",
     ),
     donate_argnums=(2,),
 )
@@ -361,6 +372,7 @@ def cosy_decode_chunk(
     tau_r: float = 0.1,
     mega=None,
     mega_spec=None,
+    rank_bf16: bool = False,
 ):
     """Decode `chunk_len` Cosy tokens from a carried state.
 
@@ -378,6 +390,7 @@ def cosy_decode_chunk(
     step = _make_cosy_step(
         params, cfg, min_new_tokens=min_new_tokens, top_k=top_k, top_p=top_p,
         win_size=win_size, tau_r=tau_r, mega=mega, mega_spec=mega_spec,
+        rank_bf16=rank_bf16,
     )
     keys = jax.random.split(key, chunk_len)
     carry, toks = jax.lax.scan(step, carry, keys)

@@ -403,6 +403,7 @@ def stream_synthesize(
             chunk_len=stream_cfg.lm_chunk, min_new_tokens=min_len,
             top_k=top_k, top_p=top_p,
             mega=mega, mega_spec=getattr(pipeline, "lm_mega_spec", None),
+            rank_bf16=getattr(pipeline, "lm_rank_bf16", False),
         )
 
     key, pending = dispatch(carry, key)

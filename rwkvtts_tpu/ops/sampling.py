@@ -55,8 +55,27 @@ def sample(
     temperature=1.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    rank_bf16: bool = False,
 ) -> jax.Array:
-    """Sample token ids from (..., V) logits. Returns (...,) int32."""
+    """Sample token ids from (..., V) logits. Returns (...,) int32.
+
+    rank_bf16=True runs the full-vocab candidate RANKING (lax.top_k) in
+    bf16 on the raw logits — temperature is order-preserving, so it (and
+    the fp32 math) applies only to the k survivors. This removes the
+    full-vocab fp32 convert + divide + fp32 TopK from the decode hot loop
+    (the cost between the 1.567 ms greedy megakernel step and the 2.17 ms
+    sampled step, PERF.md r5). Semantics: candidate selection at bf16
+    resolution (~3 significant digits); probabilities on the kept set are
+    exact fp32."""
+    if rank_bf16 and top_k and 0 < top_k < logits.shape[-1] and top_p < 1.0:
+        vals, idx = jax.lax.top_k(logits.astype(jnp.bfloat16), top_k)
+        vals = apply_temperature(vals, temperature)
+        probs = jax.nn.softmax(vals, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        first = jax.lax.broadcasted_iota(jnp.int32, vals.shape, vals.ndim - 1) == 0
+        vals = jnp.where((cum - probs < top_p) | first, vals, NEG_INF)
+        choice = jax.random.categorical(key, vals, axis=-1)
+        return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]
     x = apply_temperature(logits, temperature)
     if top_k and 0 < top_k < x.shape[-1] and top_p < 1.0:
         # fused top-k + nucleus: lax.top_k returns values sorted descending,
@@ -88,6 +107,7 @@ def ras_sample(
     top_k: int = 25,
     win_size: int = 10,
     tau_r: float = 0.1,
+    rank_bf16: bool = False,
 ) -> jax.Array:
     """Repetition-aware sampling (VALL-E 2; reference
     third_party/cosyvoice/utils/common.py:108-113): nucleus-sample, and if
@@ -96,11 +116,15 @@ def ras_sample(
 
     logits: (B, V); recent: (B, win_size) rolling window of past draws
     (pad with -1). Fully on-device, fixed shapes.
+
+    rank_bf16: full-vocab ranking and the repetition-fallback draw run in
+    bf16 (see sample()); the nucleus math on the k survivors stays fp32.
     """
     k1, k2 = jax.random.split(key)
-    x = logits.astype(jnp.float32)
+    x = logits.astype(jnp.bfloat16 if rank_bf16 else jnp.float32)
     # fused top-k + nucleus (no full-vocab sort — see sample())
     vals, idx = jax.lax.top_k(x, min(top_k, x.shape[-1]))
+    vals = vals.astype(jnp.float32)
     probs = jax.nn.softmax(vals, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     # >= 1 token survives (torch nucleus semantics): p <= 0 means greedy

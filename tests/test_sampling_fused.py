@@ -99,3 +99,43 @@ def test_sample_rows_per_row_params_and_keys():
         temperature=jnp.ones(4), top_k=10, top_p=jnp.full(4, 0.9),
     )
     assert one.shape == (4,)
+
+
+def test_rank_bf16_matches_fp32_on_separated_logits():
+    """bf16 ranking changes only bf16-resolution ties: with logits whose
+    gaps dwarf bf16 eps, sample(rank_bf16=True) draws the identical token
+    stream, and the survivor-set distribution matches fp32 (the k vals'
+    nucleus math is fp32 in both paths)."""
+    rng = np.random.default_rng(7)
+    # distinct integers in [-150, 150): every value is exactly
+    # representable in bf16 (integers to 256) and all ranks are unique,
+    # so bf16 and fp32 ranking must agree exactly. Scale down 8x so the
+    # top-20 survivor probabilities are not one-hot.
+    logits = jnp.asarray(np.stack([
+        rng.permutation(np.arange(-150, 150, dtype=np.float32)) / 8.0
+        for _ in range(4)
+    ]))
+    keys = jax.random.split(jax.random.PRNGKey(3), 256)
+    a = np.asarray(jax.vmap(
+        lambda k: sampling.sample(k, logits, top_k=20, top_p=0.9)
+    )(keys))
+    b = np.asarray(jax.vmap(
+        lambda k: sampling.sample(k, logits, top_k=20, top_p=0.9,
+                                  rank_bf16=True)
+    )(keys))
+    assert (a == b).all()
+
+
+def test_ras_rank_bf16_matches_fp32_on_separated_logits():
+    rng = np.random.default_rng(11)
+    logits = jnp.asarray(np.stack([
+        rng.permutation(np.arange(-150, 150, dtype=np.float32)) / 8.0
+        for _ in range(2)
+    ]))
+    recent = jnp.full((2, 10), -1, jnp.int32)
+    for s in range(32):
+        k = jax.random.PRNGKey(s)
+        a = sampling.ras_sample(k, logits, recent, top_k=25, top_p=0.8)
+        b = sampling.ras_sample(k, logits, recent, top_k=25, top_p=0.8,
+                                rank_bf16=True)
+        assert int(a[0]) == int(b[0]) and int(a[1]) == int(b[1])
