@@ -209,6 +209,18 @@ def main(argv=None):
                     help="comma-separated prompt widths to precompile at "
                          "boot (e.g. 128,256) so a long prompt never "
                          "compiles at admission time; default: prompt cap")
+    ap.add_argument("--sfm", action="store_true",
+                    help="(cosy) SFM fast flow decode in streaming hops; "
+                         "needs an sfm_head in the flow params")
+    ap.add_argument("--flow-timesteps", type=int, default=None,
+                    help="(cosy) ODE steps per streaming flow hop "
+                         "(default 10; ~5 with --sfm)")
+    ap.add_argument("--stream-ctx", type=int, default=None,
+                    help="(cosy) generated-token context in the flow "
+                         "window (smaller = cheaper hops)")
+    ap.add_argument("--vocode-every", type=int, default=1,
+                    help="(cosy) batch K hops per HiFT call after the "
+                         "first chunk")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -229,6 +241,17 @@ def main(argv=None):
             from rwkvtts_tpu.infer.voices import CosyVoiceLibrary
 
             voices = CosyVoiceLibrary(args.voices_dir)
+        stream_cfg = None
+        if (args.sfm or args.flow_timesteps is not None
+                or args.stream_ctx is not None or args.vocode_every != 1):
+            from rwkvtts_tpu.infer import streaming
+
+            skw = {"sfm": args.sfm, "vocode_every": args.vocode_every}
+            if args.flow_timesteps is not None:
+                skw["n_timesteps"] = args.flow_timesteps
+            if args.stream_ctx is not None:
+                skw["ctx_tokens"] = args.stream_ctx
+            stream_cfg = streaming.StreamConfig(**skw)
         tts = svc.CosyTTSService(
             pipeline, voices=voices, n_slots=args.n_slots, chunk=args.chunk,
             max_new_tokens=args.max_new_tokens,
@@ -240,6 +263,7 @@ def main(argv=None):
                 if args.warmup_widths else None
             ),
             overlap=args.overlap,
+            stream_cfg=stream_cfg,
         )
         http_server.serve(tts, args.host, args.port)
         return

@@ -516,6 +516,7 @@ class CosyTTSService:
         warmup: bool = False,
         warmup_widths=None,
         overlap: bool = False,
+        stream_cfg=None,
     ):
         from rwkvtts_tpu.serving.cosy_pool import CosyStreamHub
 
@@ -523,10 +524,14 @@ class CosyTTSService:
         self.voices = voices
         self.speakers = _CosyVoiceNames(voices)
         self.max_new_tokens = max_new_tokens
+        # stream_cfg: hub-wide vocoder/flow levers (SFM few-step flow,
+        # flow ctx window, vocode_every) — the measured pooled-TTFA fix
+        # (PERF.md r5); per-request hop still rides stream(hop_tokens=...)
         self.hub = CosyStreamHub(
             pipeline, n_slots=n_slots, chunk=chunk, prompt_cap=prompt_cap,
             top_k=top_k, top_p=top_p, warmup=warmup,
             warmup_widths=warmup_widths, overlap=overlap,
+            stream_cfg=stream_cfg,
         )
 
     def close(self):
