@@ -525,8 +525,8 @@ class CosyTTSService:
         self.speakers = _CosyVoiceNames(voices)
         self.max_new_tokens = max_new_tokens
         # stream_cfg: hub-wide vocoder/flow levers (SFM few-step flow,
-        # flow ctx window, vocode_every) — the measured pooled-TTFA fix
-        # (PERF.md r5); per-request hop still rides stream(hop_tokens=...)
+        # flow ctx window, vocode_every); per-request hop still rides
+        # stream(hop_tokens=...)
         self.hub = CosyStreamHub(
             pipeline, n_slots=n_slots, chunk=chunk, prompt_cap=prompt_cap,
             top_k=top_k, top_p=top_p, warmup=warmup,
