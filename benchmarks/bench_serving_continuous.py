@@ -100,8 +100,13 @@ def main():
                     help="bf16 decode-state carry (exclusive with --packed-wkv)")
     ap.add_argument("--overlap", action="store_true",
                     help="double-buffered chunk pipeline (token-identical)")
+    ap.add_argument("--mega", action="store_true",
+                    help="B=64 whole-step megakernel pool (forces "
+                         "--slots 64, int8 weight stream)")
     ap.add_argument("--cpu", action="store_true", help="smoke-test on CPU")
     args = ap.parse_args()
+    if args.mega:
+        args.slots = 64
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
@@ -132,7 +137,7 @@ def main():
     cont = svc.ContinuousTTSService(
         pipe, None, n_slots=args.slots, chunk=args.chunk, prompt_cap=128,
         max_new_tokens=256, top_k=50, top_p=0.95, warmup=True,
-        overlap=args.overlap,
+        overlap=args.overlap, megakernel=args.mega,
     )
     # warm the in-process programs with one full pass, then measure;
     # stats are snapshotted PER PASS so the reported buckets decompose the
@@ -145,7 +150,8 @@ def main():
         passes.append((dt, cont.batcher.snapshot_stats()))
     dt_c, st = min(passes, key=lambda p: p[0])
     out_c = {
-        "mode": "continuous-mixed", "requests": args.requests,
+        "mode": "continuous-mixed" + ("-mega" if args.mega else ""),
+        "requests": args.requests,
         "wall_s": round(dt_c, 2),
         "sustained_tok_per_s": round(total_tokens / dt_c, 1),
         # where the wall time goes + how full the pool ran (both measured
@@ -166,7 +172,8 @@ def main():
     dt_csv = min(drive(cont, same_voice), drive(cont, make_requests(args.requests, seed=1, n_voices=1)))
     cont.close()
     print(json.dumps({
-        "mode": "continuous-same-voice", "wall_s": round(dt_csv, 2),
+        "mode": "continuous-same-voice" + ("-mega" if args.mega else ""),
+        "wall_s": round(dt_csv, 2),
         "sustained_tok_per_s": round(total_tokens_sv / dt_csv, 1),
     }), flush=True)
 

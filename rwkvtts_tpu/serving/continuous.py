@@ -73,6 +73,51 @@ def _insert_many(carry, hk, stk, slots, take, tvec, pvec, svec):
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
+def _insert_many_mega(carry, hk, stk, slots, take, tvec, pvec, svec):
+    """`_insert_many` for the megakernel pool: the carry's WKV state rides
+    the kernel's TRANSPOSED layout (ops/decode_mega_b64.pack_mega_state_b64:
+    (L, P, 4096, 128) with row m = i*64+j and lane q = h*64 + slot), so a
+    request's state inserts as TWO lane columns (head-in-pair 0 and 1)
+    instead of contiguous rows. `stk` is the RAW stacked prefill state
+    (att_x (L,Bk,C), wkv (L,Bk,H,64,64), ffn_x) — no pack_decode_state."""
+
+    def body(j, c):
+        h, st, done, n, temp, topp, seed = c
+        slot = slots[j]
+        row = jax.lax.dynamic_slice_in_dim(hk, j, 1, axis=0)
+        h = jax.lax.dynamic_update_slice(h, row.astype(h.dtype), (slot, 0))
+
+        def ins_bc(cl, s):
+            r = jax.lax.dynamic_slice_in_dim(s, j, 1, axis=1)  # (L, 1, C)
+            return jax.lax.dynamic_update_slice(
+                cl, r.astype(cl.dtype), (0, slot, 0)
+            )
+
+        att_x = ins_bc(st["att_x"], stk["att_x"])
+        ffn_x = ins_bc(st["ffn_x"], stk["ffn_x"])
+        w = jax.lax.dynamic_slice_in_dim(stk["wkv"], j, 1, axis=1)
+        L, H = w.shape[0], w.shape[2]
+        w = w.reshape(L, H // 2, 2, 64, 64)     # (L, p, h, i, j)
+        w = jnp.transpose(w, (0, 1, 3, 4, 2))   # (L, p, i, j, h)
+        w = w.reshape(L, H // 2, 4096, 2).astype(st["wkv"].dtype)
+        wkv = jax.lax.dynamic_update_slice(
+            st["wkv"], w[..., 0:1], (0, 0, 0, slot)
+        )
+        wkv = jax.lax.dynamic_update_slice(
+            wkv, w[..., 1:2], (0, 0, 0, 64 + slot)
+        )
+        st = {"att_x": att_x, "wkv": wkv, "ffn_x": ffn_x}
+        done = done.at[slot].set(False)
+        n = n.at[slot].set(0)
+        temp = temp.at[slot].set(tvec[j])
+        topp = topp.at[slot].set(pvec[j])
+        seed = seed.at[slot].set(svec[j])
+        return (h, st, done, n, temp, topp, seed)
+
+    return jax.lax.fori_loop(0, take, body, carry)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _mark_done(carry, slot_mask):
     """Set the device-side done flag for retired slots. Without this a slot
     freed host-side by the max_new cap (no EOS sampled) keeps decoding
@@ -124,6 +169,46 @@ def _decode_chunk(params, carry, cfg, chunk: int, top_k: int):
     return carry, jnp.moveaxis(toks, 0, 1), carry[2]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "spec", "chunk", "top_k"),
+    donate_argnums=(2,),
+)
+def _decode_chunk_mega(params, mega, carry, cfg, spec, chunk: int, top_k: int):
+    """`_decode_chunk` with the backbone step routed through the B=64
+    whole-step megakernel (ops/decode_mega_b64): one pallas_call per token
+    streams the int8 weights with activations VMEM-resident — measured
+    2.6x the XLA chunk step at the 0.4B B=64 point (PERF.md r5). Embed /
+    head / per-slot sampling / EOS logic are identical to _decode_chunk."""
+    from rwkvtts_tpu.ops import decode_mega_b64 as dmb
+
+    bb = cfg.backbone
+    eos_id = cfg.eos_token_id
+
+    def step(c, _):
+        h, st, done, n, temp, topp, seed = c
+        logits = (h @ params["head"].astype(bb.dtype)).astype(jnp.float32)
+        keys = jax.vmap(
+            lambda s, i: jax.random.key_data(
+                jax.random.fold_in(
+                    jax.random.key(s, impl="threefry2x32"), i
+                )
+            )
+        )(seed, n)
+        tok = sampling.sample_rows(
+            keys, logits, temperature=temp, top_k=top_k, top_p=topp
+        )
+        tok = jnp.where(done, eos_id, tok)
+        done = done | (tok == eos_id)
+        x = spark.decode_embed(params, cfg, tok)
+        h, st = dmb.decode_step_mega_b64(mega, bb, x, st, spec=spec)
+        h = h.astype(bb.dtype)
+        return (h, st, done, n + 1, temp, topp, seed), tok
+
+    carry, toks = jax.lax.scan(step, carry, None, length=chunk)
+    return carry, jnp.moveaxis(toks, 0, 1), carry[2]
+
+
 class ContinuousBatcher:
     """Slot-pool decoder for the Spark speech LM.
 
@@ -148,10 +233,29 @@ class ContinuousBatcher:
         seed: int = 0,
         mesh: Optional[jax.sharding.Mesh] = None,
         overlap: bool = False,
+        megakernel: bool = False,
+        mega_tile_n: int = 512,
     ):
         self.cfg = cfg
         bb = cfg.backbone
         self.mesh = mesh
+        self.megakernel = megakernel
+        if megakernel:
+            from rwkvtts_tpu.ops import decode_mega_b64 as dmb
+
+            # the kernel's lane packing fixes the pool size (lane q =
+            # h*64 + slot); the int8 weight stream is single-device
+            if n_slots != dmb.B:
+                raise ValueError(
+                    f"megakernel pool requires n_slots={dmb.B}, got {n_slots}"
+                )
+            if mesh is not None:
+                raise ValueError(
+                    "megakernel pool is single-device (per-device "
+                    "pallas_call); drop --mesh or --mega"
+                )
+            self._mega = dmb.pack_mega_b64(params, bb, tile_n=mega_tile_n)
+            self._mega_spec = self._mega.pop("spec")
         if mesh is not None:
             # dp-sharded slot pool: the slot axis of every carry leaf is
             # split over the mesh's "dp" axis and params are replicated, so
@@ -184,7 +288,11 @@ class ContinuousBatcher:
         # stacked params for prefill (scan-over-layers forward), layered
         # views for the decode chunk (per-layer state leaves)
         self.params = params
-        self.params_l = rwkv7.layer_decode_views(params, bb)
+        # per-layer decode views materialize sliced copies — the mega pool
+        # never runs rwkv7.decode_step, so skip the extra HBM there
+        self.params_l = None if megakernel else rwkv7.layer_decode_views(
+            params, bb
+        )
         self.n_slots = n_slots
         self.chunk = chunk
         self.prompt_cap = prompt_cap
@@ -203,6 +311,10 @@ class ContinuousBatcher:
         # round trip on the remote-TPU serving path (CLAUDE.md)
         def _prefill_packed(p, c, tokens, modality, mask):
             hk, st = spark.prefill(p, c, tokens, modality, mask)
+            if megakernel:
+                # the mega insert scatters raw rows into the transposed
+                # lane layout itself (_insert_many_mega)
+                return hk, st
             return hk, rwkv7.pack_decode_state(st, c.backbone)
 
         self._prefill = jax.jit(_prefill_packed, static_argnames=("c",))
@@ -239,7 +351,12 @@ class ContinuousBatcher:
     def _fresh_carry(self):
         bb = self.cfg.backbone
         st = rwkv7.init_model_state(bb, self.n_slots)
-        st = rwkv7.pack_decode_state(st, bb)
+        if self.megakernel:
+            from rwkvtts_tpu.ops import decode_mega_b64 as dmb
+
+            st = dmb.pack_mega_state_b64(st, bb)
+        else:
+            st = rwkv7.pack_decode_state(st, bb)
         carry = (
             jnp.zeros((self.n_slots, bb.hidden_size), bb.dtype),
             st,
@@ -254,6 +371,20 @@ class ContinuousBatcher:
                 lambda x: jax.device_put(x, self._slot_sh(x)), carry
             )
         return carry
+
+    def _insert(self, hk, stk, slots, take, tvec, pvec, svec):
+        fn = _insert_many_mega if self.megakernel else _insert_many
+        return fn(self._carry, hk, stk, slots, take, tvec, pvec, svec)
+
+    def _chunk(self):
+        if self.megakernel:
+            return _decode_chunk_mega(
+                self.params, self._mega, self._carry, self.cfg,
+                self._mega_spec, self.chunk, self.top_k,
+            )
+        return _decode_chunk(
+            self.params_l, self._carry, self.cfg, self.chunk, self.top_k
+        )
 
     # -- client API -------------------------------------------------------
 
@@ -313,8 +444,8 @@ class ContinuousBatcher:
                     self.params, self.cfg, pb["tokens"], pb["modality"],
                     pb["attention_mask"],
                 )
-                self._carry = _insert_many(
-                    self._carry, hk, stk,
+                self._carry = self._insert(
+                    hk, stk,
                     np.zeros((bucket,), np.int32), np.int32(0),
                     np.ones((bucket,), np.float32),
                     np.ones((bucket,), np.float32),
@@ -323,9 +454,7 @@ class ContinuousBatcher:
                 if bucket >= self.n_slots:
                     break
                 bucket *= 2
-        self._carry, _, _ = _decode_chunk(
-            self.params_l, self._carry, self.cfg, self.chunk, self.top_k,
-        )
+        self._carry, _, _ = self._chunk()
         # a request retired by its max_new cap (no EOS) fires _mark_done
         # mid-serving — compile it now, not on the first capped request
         self._carry = _mark_done(self._carry, np.zeros(self.n_slots, bool))
@@ -366,8 +495,8 @@ class ContinuousBatcher:
             self.params, self.cfg, stacked["tokens"], stacked["modality"],
             stacked["attention_mask"],
         )
-        self._carry = _insert_many(
-            self._carry, hk, stk, np.asarray(slot_ids, np.int32),
+        self._carry = self._insert(
+            hk, stk, np.asarray(slot_ids, np.int32),
             np.int32(take), tvec, pvec, svec,
         )
         for j, (rid, _, max_new, _, _, _) in enumerate(reqs):
@@ -429,10 +558,7 @@ class ContinuousBatcher:
         if self.overlap:
             pending, self._pending = self._pending, None
             if active:
-                self._carry, toks_dev, _ = _decode_chunk(
-                    self.params_l, self._carry, self.cfg, self.chunk,
-                    self.top_k,
-                )
+                self._carry, toks_dev, _ = self._chunk()
                 self._pending = (toks_dev, [s.req_id for s in self._slots])
                 dispatched = True
             t2 = time.perf_counter()
@@ -441,9 +567,7 @@ class ContinuousBatcher:
                 if pending is not None else []
             )
         else:
-            self._carry, toks_dev, _ = _decode_chunk(
-                self.params_l, self._carry, self.cfg, self.chunk, self.top_k,
-            )
+            self._carry, toks_dev, _ = self._chunk()
             dispatched = True
             toks = np.asarray(toks_dev)
             t2 = time.perf_counter()

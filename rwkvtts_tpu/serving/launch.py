@@ -77,6 +77,7 @@ def build_service(
     warmup_widths=None,
     dp: int = 1,
     overlap: bool = False,
+    megakernel: bool = False,
 ):
     from rwkvtts_tpu.serving import service as svc
 
@@ -87,6 +88,7 @@ def build_service(
             max_new_tokens=max_new_tokens, top_k=top_k, top_p=top_p,
             temperature=temperature, warmup=warmup,
             warmup_widths=warmup_widths, dp=dp, overlap=overlap,
+            megakernel=megakernel,
         )
     return svc.BatchedTTSService(
         pipeline, speakers, max_new_tokens=max_new_tokens
@@ -181,6 +183,10 @@ def main(argv=None):
     ap.add_argument("--no-packed-wkv", action="store_true",
                     help="XLA decode state instead of the packed Pallas "
                          "step (packed wins at the 96-slot default)")
+    ap.add_argument("--mega", action="store_true",
+                    help="(spark) B=64 whole-step decode megakernel pool "
+                         "(int8 weight stream; forces 64 slots, "
+                         "single-device)")
     ap.add_argument("--int8", action="store_true",
                     help="int8 decode weights (zero measured greedy flips; "
                          "PERF.md round 3)")
@@ -267,13 +273,24 @@ def main(argv=None):
         )
         http_server.serve(tts, args.host, args.port)
         return
+    n_slots = args.n_slots
+    if args.mega:
+        if args.dp > 1 or args.grouped:
+            raise SystemExit("--mega is single-device continuous-only")
+        if packed:
+            # the mega pool never runs the packed Pallas decode_step;
+            # keep the config honest
+            packed = False
+        if n_slots != 64:
+            log.info("--mega: forcing n_slots=64 (kernel lane packing)")
+            n_slots = 64
     pipeline = build_pipeline(
         args.ckpt, args.codec_dir, packed_wkv=packed, int8=args.int8,
         int4=args.int4, state_bf16=args.state_bf16,
     )
     tts = build_service(
         pipeline, args.demo_dir, continuous=not args.grouped,
-        n_slots=args.n_slots, chunk=args.chunk,
+        n_slots=n_slots, chunk=args.chunk,
         max_new_tokens=args.max_new_tokens,
         top_k=args.top_k if args.top_k is not None else 50,
         top_p=args.top_p if args.top_p is not None else 0.95,
@@ -283,7 +300,7 @@ def main(argv=None):
             [int(w) for w in args.warmup_widths.split(",")]
             if args.warmup_widths else None
         ),
-        dp=args.dp, overlap=args.overlap,
+        dp=args.dp, overlap=args.overlap, megakernel=args.mega,
     )
     from rwkvtts_tpu.serving import http_server
 

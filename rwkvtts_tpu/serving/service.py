@@ -316,6 +316,8 @@ class ContinuousTTSService(BatchedTTSService):
         warmup_widths=None,  # prompt widths to precompile (default: prompt_cap)
         dp: int = 1,
         overlap: bool = False,
+        megakernel: bool = False,
+        mega_tile_n: int = 512,
     ):
         from rwkvtts_tpu.serving.continuous import ContinuousBatcher
 
@@ -331,6 +333,7 @@ class ContinuousTTSService(BatchedTTSService):
             pipeline.params, pipeline.cfg, n_slots=n_slots, chunk=chunk,
             prompt_cap=prompt_cap, temperature=temperature, top_k=top_k,
             top_p=top_p, seed=seed, mesh=mesh, overlap=overlap,
+            megakernel=megakernel, mega_tile_n=mega_tile_n,
         )
         if warmup:
             self.batcher.warmup(warmup_widths)

@@ -301,3 +301,104 @@ def test_seed_determinism_across_pool_mixes():
     crowded = run(n_slots=3, chunk=5, others=4)
     assert crowded == alone, "pool cohabitation changed a seeded request"
     assert run(n_slots=2, chunk=4, others=0, seed=124) != alone
+
+
+def test_mega_insert_matches_full_pack():
+    """_insert_many_mega's per-request lane scatter must reproduce
+    pack_mega_state_b64's full-batch transpose exactly: insert all 64 rows
+    of a random raw state one slot at a time into a fresh mega carry and
+    compare against packing the whole batch at once."""
+    import jax.numpy as jnp
+
+    from rwkvtts_tpu.models import rwkv7
+    from rwkvtts_tpu.ops import decode_mega_b64 as dmb
+    from rwkvtts_tpu.serving import continuous as cont
+
+    cfg = spark.default_config(
+        hidden_size=128, num_layers=2, dtype=jnp.float32,
+        wkv_chunk=16, remat=False, dropout=0.0,
+    )
+    bb = cfg.backbone
+    k = jax.random.PRNGKey(3)
+    ks = jax.random.split(k, 4)
+    raw = {
+        "att_x": jax.random.normal(ks[0], (2, 64, 128), jnp.float32),
+        "wkv": jax.random.normal(ks[1], (2, 64, 2, 64, 64), jnp.float32),
+        "ffn_x": jax.random.normal(ks[2], (2, 64, 128), jnp.float32),
+    }
+    hk = jax.random.normal(ks[3], (64, 128), jnp.float32)
+
+    expected = dmb.pack_mega_state_b64(raw, bb)
+
+    fresh = dmb.pack_mega_state_b64(rwkv7.init_model_state(bb, 64), bb)
+    carry = (
+        jnp.zeros((64, 128), jnp.float32),
+        fresh,
+        jnp.ones((64,), bool),
+        jnp.zeros((64,), jnp.int32),
+        jnp.ones((64,), jnp.float32),
+        jnp.ones((64,), jnp.float32),
+        jnp.zeros((64,), jnp.int32),
+    )
+    # shuffled slot order: slot assignment must not depend on insert order
+    order = np.random.RandomState(0).permutation(64).astype(np.int32)
+    carry = cont._insert_many_mega(
+        carry, hk[order], jax.tree.map(lambda x: x[:, order], raw),
+        order, np.int32(64),
+        np.ones((64,), np.float32), np.ones((64,), np.float32),
+        np.zeros((64,), np.int32),
+    )
+    h, st, done = carry[0], carry[1], carry[2]
+    np.testing.assert_array_equal(np.asarray(h), np.asarray(hk))
+    assert not np.asarray(done).any()
+    for leaf in ("att_x", "wkv", "ffn_x"):
+        np.testing.assert_array_equal(
+            np.asarray(st[leaf]), np.asarray(expected[leaf]), err_msg=leaf
+        )
+
+
+def test_mega_pool_matches_mega_generate():
+    """The megakernel-backed pool (ContinuousBatcher(megakernel=True))
+    produces exactly the tokens spark_generate_mega_b64 produces for the
+    same 64 prompts under greedy decoding — admission scatter, chunked
+    scan, and per-slot EOS/done handling included."""
+    cfg = spark.default_config(
+        hidden_size=128, num_layers=2, dtype=jnp.float32,
+        wkv_chunk=16, remat=False, dropout=0.0,
+    )
+    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+    tok = FakeTok()
+    max_new = 6
+    texts = [f"mega pool request {i}" for i in range(64)]
+    pbs = [_prompt(t, tok) for t in texts]
+
+    from rwkvtts_tpu.infer.generate import spark_generate_mega_b64
+    from rwkvtts_tpu.ops import decode_mega_b64 as dmb
+    from rwkvtts_tpu.serving import pool_common
+
+    stacked = pool_common.stack_admission(
+        [pool_common.pad_prompt(b, 32) for b in pbs]
+    )
+    mega = dmb.pack_mega_b64(params, cfg.backbone, tile_n=128)
+    spec = mega.pop("spec")
+    toks, lengths = spark_generate_mega_b64(
+        params, mega, spec, cfg,
+        jnp.asarray(stacked["tokens"]), jnp.asarray(stacked["modality"]),
+        jnp.asarray(stacked["attention_mask"]), jax.random.PRNGKey(9),
+        max_new_tokens=max_new, top_k=1, top_p=1.0,
+    )
+    toks, lengths = np.asarray(toks), np.asarray(lengths)
+    expected = {
+        i: toks[i, : min(int(lengths[i]), max_new)].tolist()
+        for i in range(64)
+    }
+
+    cb = ContinuousBatcher(
+        params, cfg, n_slots=64, chunk=3, prompt_cap=32, top_k=1,
+        megakernel=True, mega_tile_n=128,
+    )
+    rids = {cb.add_request(pbs[i], max_new): i for i in range(64)}
+    out = cb.drain()
+    assert cb.idle()
+    got = {rids[r]: v for r, v in out.items()}
+    assert got == expected
