@@ -385,8 +385,20 @@ class CosyStreamHub:
     def __init__(self, pipeline, n_slots: int = 8, chunk: int = 16,
                  prompt_cap: int = 128, top_k: int = 25, top_p: float = 0.8,
                  warmup: bool = False, warmup_widths=None,
-                 overlap: bool = False, stream_cfg=None):
+                 overlap: bool = False, stream_cfg=None,
+                 first_chunk_priority: bool = True):
         self.pipe = pipeline
+        # TTFA fairness on the ONE serial device: streams that already
+        # produced audio briefly defer their vocoder hops while any
+        # admitted stream still awaits its FIRST chunk. The pool decodes
+        # all slots in lockstep, so every first hop becomes ready at once
+        # — without this, early streams' hop-2+ vocodes queue AHEAD of
+        # late streams' first chunks (measured: pooled TTFA p50 1243 ms
+        # vs 554 solo at 8x1.5B, PERF.md r4f). Steady streams hold >=
+        # one hop of audio, so a bounded defer cannot underrun playback.
+        self.first_chunk_priority = first_chunk_priority
+        self._first_pending: set = set()
+        self._first_cv = threading.Condition()
         # hub-wide vocoder/flow streaming config (infer/streaming.
         # StreamConfig): the solo-stream levers — SFM few-step flow, small
         # ctx window, vocode_every hop batching — apply per SESSION, so
@@ -433,6 +445,9 @@ class CosyStreamHub:
             b._pending = None
         for q in sinks.values():
             q.put((np.zeros((0,), np.int64), True, err))
+        with self._first_cv:
+            self._first_pending.clear()
+            self._first_cv.notify_all()
 
     def _run(self):
         while not self._stop.is_set():
@@ -509,9 +524,13 @@ class CosyStreamHub:
                 batch, max_len, min_new_tokens=min_len, seed=seed
             )
             self._sinks[rid] = q
+        if self.first_chunk_priority:
+            with self._first_cv:
+                self._first_pending.add(rid)
         self._wake.set()
         tokens = np.zeros((0,), np.int64)
         done = False
+        emitted = False
         deadline = None if timeout is None else time.monotonic() + timeout
         try:
             while True:
@@ -528,11 +547,29 @@ class CosyStreamHub:
                     raise RuntimeError(err)
                 if len(new):
                     tokens = np.concatenate([tokens, new])
-                yield from sess.emit_ready(tokens, lm_done=done)
+                if emitted and self.first_chunk_priority:
+                    # bounded politeness: let pending first chunks take
+                    # the device first (never blocks pre-first streams,
+                    # never waits past the patience cap)
+                    patience = time.monotonic() + 1.5
+                    with self._first_cv:
+                        while (self._first_pending
+                               and time.monotonic() < patience):
+                            self._first_cv.wait(timeout=0.05)
+                for chunk_wav in sess.emit_ready(tokens, lm_done=done):
+                    if not emitted:
+                        emitted = True
+                        with self._first_cv:
+                            self._first_pending.discard(rid)
+                            self._first_cv.notify_all()
+                    yield chunk_wav
                 if done:
                     return
         finally:
             self._sinks.pop(rid, None)
+            with self._first_cv:
+                self._first_pending.discard(rid)
+                self._first_cv.notify_all()
             if not done:
                 # consumer abandoned mid-stream: stop burning the slot
                 with self._lock:

@@ -257,3 +257,39 @@ def test_hub_oversized_seed_is_clamped_not_fatal(tiny_pipe):
         assert all(np.isfinite(c).all() for c in chunks)
     finally:
         hub.close()
+
+
+def test_hub_first_chunk_priority_bookkeeping(tiny_pipe):
+    """First-chunk priority must never wedge the hub: an abandoned stream
+    (consumer stops before first audio) leaves the pending-first set, and
+    concurrent streams all finish with the deferral active."""
+    hub = CosyStreamHub(tiny_pipe, n_slots=2, chunk=4, prompt_cap=32)
+    try:
+        assert hub.first_chunk_priority
+        # abandon one stream before consuming anything
+        g = hub.stream("abandoned", hop_tokens=4, seed=5, max_new_tokens=12)
+        g.close()  # generator never started: admission never happened
+        results = {}
+
+        def worker(name, text, seed):
+            results[name] = list(
+                hub.stream(text, hop_tokens=4, seed=seed, max_new_tokens=12)
+            )
+
+        ts = [
+            threading.Thread(target=worker, args=("a", "hello", 7)),
+            threading.Thread(target=worker, args=("b", "wxyz", 3)),
+        ]
+        for t in ts:
+            t.start()
+        # abandon a third stream mid-flight: consume exactly one chunk
+        g2 = hub.stream("midway", hop_tokens=4, seed=9, max_new_tokens=12)
+        next(g2, None)
+        g2.close()
+        for t in ts:
+            t.join(timeout=300)
+        assert all(len(v) > 0 for v in results.values())
+        with hub._first_cv:
+            assert not hub._first_pending
+    finally:
+        hub.close()
