@@ -36,18 +36,23 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--tile-n", type=int, default=512)
     ap.add_argument("--variants", default="xla,mega")
+    ap.add_argument("--family", default="spark", choices=["spark", "cosy"],
+                    help="cosy: RAS-sampling Cosy layout (BASELINE config "
+                         "#3 lists batched offline for BOTH layouts)")
     args = ap.parse_args()
 
     from rwkvtts_tpu.infer.generate import (
-        spark_generate, spark_generate_mega_b64,
+        cosy_generate, cosy_generate_mega_b64, spark_generate,
+        spark_generate_mega_b64,
     )
-    from rwkvtts_tpu.models import rwkv7, spark
+    from rwkvtts_tpu.models import cosy, rwkv7, spark
 
-    cfg = spark.default_config(
+    fam = spark if args.family == "spark" else cosy
+    cfg = fam.default_config(
         hidden_size=args.hidden, num_layers=args.layers,
         decode_state_bf16=True,
     )
-    params = spark.init_params(jax.random.PRNGKey(0), cfg)
+    params = fam.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
     )
@@ -55,8 +60,9 @@ def main():
     B, T_prompt, T_new = 64, 128, args.t_new
     k = jax.random.PRNGKey(1)
     tokens = jax.random.randint(k, (B, T_prompt), 0, 4000)
-    modality = jnp.full((B, T_prompt), spark.MOD_TEXT, jnp.int32)
-    modality = modality.at[:, -1].set(spark.MOD_TAG)
+    modality = jnp.full((B, T_prompt), fam.MOD_TEXT, jnp.int32)
+    if args.family == "spark":
+        modality = modality.at[:, -1].set(spark.MOD_TAG)
     mask = jnp.ones((B, T_prompt), jnp.int32)
 
     def bench(name, run):
@@ -68,7 +74,8 @@ def main():
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times))
         out = {
-            "bench": f"generate_mega_ab_{args.hidden}x{args.layers}",
+            "bench": f"generate_mega_ab_{args.hidden}x{args.layers}"
+            + ("_cosy" if args.family == "cosy" else ""),
             "variant": name,
             "tok_per_s_chip": round(B * T_new / dt, 1),
             "median_s": round(dt, 3),
@@ -81,10 +88,17 @@ def main():
         pk = rwkv7.pack_decode_params(params, cfg.backbone)
 
         def run_xla(key):
-            toks, _ = spark_generate(
-                pk, cfg, tokens, modality, mask, key,
-                max_new_tokens=T_new, top_k=50, top_p=0.95, temperature=1.0,
-            )
+            if args.family == "cosy":
+                toks, _ = cosy_generate(
+                    pk, cfg, tokens, modality, mask, key,
+                    max_new_tokens=T_new, top_k=25, top_p=0.8,
+                )
+            else:
+                toks, _ = spark_generate(
+                    pk, cfg, tokens, modality, mask, key,
+                    max_new_tokens=T_new, top_k=50, top_p=0.95,
+                    temperature=1.0,
+                )
             return toks
 
         bench("xla", run_xla)
@@ -108,11 +122,18 @@ def main():
 
         def make_run(rank_bf16):
             def run_mega(key):
-                toks, _ = spark_generate_mega_b64(
-                    params, mega, spec, cfg, tokens, modality, mask, key,
-                    max_new_tokens=T_new, top_k=50, top_p=0.95,
-                    temperature=1.0, rank_bf16=rank_bf16,
-                )
+                if args.family == "cosy":
+                    toks, _ = cosy_generate_mega_b64(
+                        params, mega, spec, cfg, tokens, modality, mask,
+                        key, max_new_tokens=T_new, top_k=25, top_p=0.8,
+                        rank_bf16=rank_bf16,
+                    )
+                else:
+                    toks, _ = spark_generate_mega_b64(
+                        params, mega, spec, cfg, tokens, modality, mask,
+                        key, max_new_tokens=T_new, top_k=50, top_p=0.95,
+                        temperature=1.0, rank_bf16=rank_bf16,
+                    )
                 return toks
             return run_mega
 

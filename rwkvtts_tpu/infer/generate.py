@@ -309,8 +309,12 @@ def _make_cosy_step(
         x = cosy.decode_embed(params, cfg, tok)
         if mega is not None:
             from rwkvtts_tpu.ops import decode_mega as dm
+            from rwkvtts_tpu.ops import decode_mega_b64 as dmb
 
-            h, st = dm.decode_step_mega(mega, bb, x, st, spec=mega_spec)
+            if isinstance(mega_spec, dmb.MegaB64Spec):
+                h, st = dmb.decode_step_mega_b64(mega, bb, x, st, spec=mega_spec)
+            else:
+                h, st = dm.decode_step_mega(mega, bb, x, st, spec=mega_spec)
             h = h.astype(bb.dtype)
         else:
             h, st = rwkv7.decode_step(params, bb, x, st)
@@ -447,6 +451,59 @@ def cosy_generate(
         state,
         jnp.zeros((B,), bool),
         recent0,
+        jnp.zeros((B,), jnp.int32),
+    )
+    (_, _, done, _, _), toks = jax.lax.scan(step, init, keys)
+    toks = jnp.moveaxis(toks, 0, 1)
+    lengths = jnp.argmax(toks == eos_id, axis=-1)
+    lengths = jnp.where(
+        jnp.any(toks == eos_id, axis=-1), lengths, max_new_tokens
+    )
+    return toks, lengths
+
+
+def cosy_generate_mega_b64(
+    params,
+    mega,
+    mega_spec,
+    cfg,
+    tokens: jax.Array,
+    modality: jax.Array,
+    attention_mask: jax.Array,
+    key: jax.Array,
+    *,
+    max_new_tokens: int = 1024,
+    min_new_tokens: int = 0,
+    top_k: int = 25,
+    top_p: float = 0.8,
+    win_size: int = 10,
+    tau_r: float = 0.1,
+    rank_bf16: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """`cosy_generate` (RAS sampling, EOS suppression) with the decode loop
+    routed through the B=64 whole-step megakernel — the Cosy layout of the
+    batched-offline path (BASELINE config #3; spark sibling:
+    spark_generate_mega_b64). Batch must be exactly 64 rows; `mega` =
+    pack_mega_b64 arrays with 'spec' popped, `mega_spec` static."""
+    from rwkvtts_tpu.models import cosy
+    from rwkvtts_tpu.ops import decode_mega_b64 as dmb
+
+    eos_id = cfg.eos_token_id
+    B = tokens.shape[0]
+    assert B == dmb.B, f"megakernel decode requires B={dmb.B}, got {B}"
+    h_last, state = cosy.prefill(params, cfg, tokens, modality, attention_mask)
+    state = dmb.pack_mega_state_b64(state, cfg.backbone)
+    step = _make_cosy_step(
+        params, cfg, min_new_tokens=min_new_tokens, top_k=top_k, top_p=top_p,
+        win_size=win_size, tau_r=tau_r, mega=mega, mega_spec=mega_spec,
+        rank_bf16=rank_bf16,
+    )
+    keys = jax.random.split(key, max_new_tokens)
+    init = (
+        h_last,
+        state,
+        jnp.zeros((B,), bool),
+        jnp.full((B, win_size), -1, jnp.int32),
         jnp.zeros((B,), jnp.int32),
     )
     (_, _, done, _, _), toks = jax.lax.scan(step, init, keys)

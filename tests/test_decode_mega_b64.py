@@ -168,3 +168,42 @@ def test_mega_b64_tracks_unfused_int8_step():
         h_m, mst = dmb.decode_step_mega_b64(mega, cfg, x, mst, interpret=True)
         rel = float(jnp.abs(h_q8 - h_m).max() / (jnp.abs(h_q8).max() + 1e-6))
         assert rel < 0.02, (i, rel)
+
+
+def test_cosy_generate_mega_b64_matches_xla_greedy():
+    """cosy_generate_mega_b64 (RAS sampling + EOS suppression) reproduces
+    the XLA cosy generate's greedy tokens end to end — the Cosy layout of
+    the batched-offline megakernel route (BASELINE config #3). Head logits
+    scaled up so greedy gaps dwarf the int8 noise: tests ROUTING."""
+    from rwkvtts_tpu.infer import generate as gen
+    from rwkvtts_tpu.models import cosy
+
+    cfg = cosy.default_config(
+        hidden_size=128, num_layers=2, dtype=jnp.float32,
+        wkv_chunk=4, remat=False,
+    )
+    params = cosy.init_params(jax.random.PRNGKey(0), cfg)
+    params["head"] = 10.0 * params["head"]
+
+    mega = dmb.pack_mega_b64(params, cfg.backbone, tile_n=128)
+    spec = mega.pop("spec")
+    q8 = rwkv7.pack_decode_params(
+        params, cfg.backbone, quantize_int8=True, fuse_projections=False
+    )
+
+    Bn, T = dmb.B, 8
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (Bn, T), 0, 30)
+    modality = jnp.full((Bn, T), cosy.MOD_TEXT, jnp.int32)
+    mask = jnp.ones((Bn, T), jnp.int32)
+    key = jax.random.PRNGKey(5)
+
+    toks_x, len_x = gen.cosy_generate(
+        q8, cfg, tokens, modality, mask, key,
+        max_new_tokens=4, top_k=1, top_p=1.0,
+    )
+    toks_m, len_m = gen.cosy_generate_mega_b64(
+        params, mega, spec, cfg, tokens, modality, mask, key,
+        max_new_tokens=4, top_k=1, top_p=1.0,
+    )
+    np.testing.assert_array_equal(np.asarray(toks_x), np.asarray(toks_m))
+    np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_m))
