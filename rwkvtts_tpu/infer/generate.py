@@ -523,6 +523,7 @@ def cosy_generate_mega_b64(
         "min_new_tokens",
         "temperature",
         "allow_eos",
+        "mega_spec",
     ),
 )
 def xy_generate(
@@ -536,6 +537,8 @@ def xy_generate(
     min_new_tokens: int = 0,
     temperature: float = 1.0,
     allow_eos: bool = True,
+    mega=None,
+    mega_spec=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """XY 8-channel generation with the staggered flush automaton.
 
@@ -561,8 +564,17 @@ def xy_generate(
     pad = cfg.speech_pad_id
 
     h_last, state = xy_model.prefill(params, cfg, input_ids, attention_mask)
-    state = rwkv7.pack_decode_state(state, bb)
-    params = rwkv7.layer_decode_views(params, bb)
+    if mega is not None:
+        # B=64 whole-step megakernel route (`mega` = pack_mega_b64 arrays,
+        # spec popped and passed static); channel heads/embeds still come
+        # from `params`, same as the spark/cosy mega generates
+        from rwkvtts_tpu.ops import decode_mega_b64 as dmb
+
+        assert B == dmb.B, f"megakernel decode requires B={dmb.B}, got {B}"
+        state = dmb.pack_mega_state_b64(state, bb)
+    else:
+        state = rwkv7.pack_decode_state(state, bb)
+        params = rwkv7.layer_decode_views(params, bb)
 
     ch_arange0 = jnp.arange(cfg.text_vocab_size)
     audio_mask0 = (ch_arange0 >= lo) & (ch_arange0 < hi)
@@ -615,7 +627,13 @@ def xy_generate(
         n = n + jnp.where(is_audio & ~done, 1, 0)
 
         x = xy_model.decode_embed(params, cfg, frame)
-        h, st = rwkv7.decode_step(params, bb, x, st)
+        if mega is not None:
+            from rwkvtts_tpu.ops import decode_mega_b64 as dmb
+
+            h, st = dmb.decode_step_mega_b64(mega, bb, x, st, spec=mega_spec)
+            h = h.astype(bb.dtype)
+        else:
+            h, st = rwkv7.decode_step(params, bb, x, st)
         return (h, st, countdown, new_done, n), frame
 
     keys = jax.random.split(key, max_new_tokens)

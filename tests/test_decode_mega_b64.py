@@ -207,3 +207,51 @@ def test_cosy_generate_mega_b64_matches_xla_greedy():
     )
     np.testing.assert_array_equal(np.asarray(toks_x), np.asarray(toks_m))
     np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_m))
+
+
+def test_xy_generate_mega_b64_matches_xla():
+    """xy_generate's mega route (B=64 whole-step kernel under the
+    staggered flush automaton) reproduces the XLA path's frames at
+    near-greedy temperature with scaled channel heads — routing test for
+    the third model family on the megakernel path."""
+    import dataclasses
+
+    from rwkvtts_tpu.infer.generate import xy_generate
+    from rwkvtts_tpu.models import xy
+
+    cfg = xy.default_config(
+        hidden_size=128, num_layers=2, dtype=jnp.float32,
+        remat=False, wkv_chunk=4,
+    )
+    cfg = dataclasses.replace(
+        cfg, text_vocab_size=700, speech_vocab_size=32, text_shift_size=600
+    )
+    params = xy.init_params(jax.random.PRNGKey(0), cfg)
+    params["heads"] = {
+        k: 10.0 * v for k, v in params["heads"].items()
+    }
+
+    mega = dmb.pack_mega_b64(params, cfg.backbone, tile_n=128)
+    spec = mega.pop("spec")
+    q8 = rwkv7.pack_decode_params(
+        params, cfg.backbone, quantize_int8=True, fuse_projections=False
+    )
+
+    Bn, T = dmb.B, 6
+    prompt = np.full((Bn, T, 8), cfg.speech_pad_id, dtype=np.int64)
+    prompt[:, :, 0] = cfg.text_pad_id
+    prompt[:, :3, 0] = [1, 2, 3]
+    mask = np.ones((Bn, T), dtype=np.int32)
+    key = jax.random.PRNGKey(7)
+
+    frames_x, n_x = xy_generate(
+        q8, cfg, jnp.asarray(prompt), jnp.asarray(mask), key,
+        max_new_tokens=4, min_new_tokens=1, temperature=0.01,
+    )
+    frames_m, n_m = xy_generate(
+        params, cfg, jnp.asarray(prompt), jnp.asarray(mask), key,
+        max_new_tokens=4, min_new_tokens=1, temperature=0.01,
+        mega=mega, mega_spec=spec,
+    )
+    np.testing.assert_array_equal(np.asarray(frames_x), np.asarray(frames_m))
+    np.testing.assert_array_equal(np.asarray(n_x), np.asarray(n_m))
