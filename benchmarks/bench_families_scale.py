@@ -70,7 +70,7 @@ def bench_asr(hidden=1024, layers=24, adapter_layers=6, batch=8, seconds=30.0):
     }), flush=True)
 
 
-def bench_xy(hidden=1024, layers=24, batch=8, t_new=256):
+def bench_xy(hidden=1024, layers=24, batch=8, t_new=256, mega=False):
     from rwkvtts_tpu.models import rwkv7, xy
     from rwkvtts_tpu.infer import generate as gen
 
@@ -80,6 +80,13 @@ def bench_xy(hidden=1024, layers=24, batch=8, t_new=256):
         lambda x: x.astype(jnp.bfloat16) if hasattr(x, "ndim") and x.ndim >= 2 else x,
         params,
     )
+    mkw = {}
+    if mega:
+        from rwkvtts_tpu.ops import decode_mega_b64 as dmb
+
+        batch = dmb.B
+        m = dmb.pack_mega_b64(params, cfg.backbone)
+        mkw = {"mega_spec": m.pop("spec"), "mega": m}
     B, Tp = batch, 32
     rng = np.random.default_rng(1)
     ids = np.full((B, Tp, 8), 0, np.int32)
@@ -90,6 +97,7 @@ def bench_xy(hidden=1024, layers=24, batch=8, t_new=256):
         frames, lengths = gen.xy_generate(
             params, cfg, jnp.asarray(ids), jnp.asarray(mask), key,
             max_new_tokens=t_new, min_new_tokens=t_new, allow_eos=False,
+            **mkw,
         )
         return frames
 
@@ -103,7 +111,8 @@ def bench_xy(hidden=1024, layers=24, batch=8, t_new=256):
     # 8 codebook tokens per frame @ 12.5 Hz
     fps = B * t_new / dt
     print(json.dumps({
-        "bench": f"xy_{hidden}x{layers}", "batch": B,
+        "bench": f"xy_{hidden}x{layers}" + ("_mega" if mega else ""),
+        "batch": B,
         "frames_per_s_chip": round(fps, 1),
         "audio_x_realtime": round(fps / 12.5, 1),
         "tokens_per_s_chip": round(fps * 8, 1),
@@ -213,11 +222,15 @@ def bench_two_tower(hidden=1024, layers=24, batch=16, t_new=256):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
+    ap.add_argument("--mega", action="store_true",
+                    help="(xy) B=64 whole-step megakernel decode route")
+    ap.add_argument("--xy-batch", type=int, default=8,
+                    help="xy decode batch (64 = the mega comparator point)")
     args = ap.parse_args()
     if args.only in (None, "asr"):
         bench_asr()
     if args.only in (None, "xy"):
-        bench_xy()
+        bench_xy(mega=args.mega, batch=args.xy_batch)
     if args.only in (None, "sweep"):
         bench_spark_sweep()
     if args.only in (None, "s2s"):
