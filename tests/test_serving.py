@@ -411,3 +411,13 @@ def test_continuous_service_megakernel_pool():
         assert r is not None and r.error is None, (i, r and r.error)
         assert len(r.wav) > 0
     assert results[0].wav[0] == 5.0 and results[1].wav[0] == 9.0
+
+
+def test_launch_mega_guards():
+    """--mega rejects incompatible modes before touching the checkpoint."""
+    from rwkvtts_tpu.serving import launch
+
+    with pytest.raises(SystemExit):
+        launch.main(["--ckpt", "/nonexistent.pth", "--mega", "--dp", "2"])
+    with pytest.raises(SystemExit):
+        launch.main(["--ckpt", "/nonexistent.pth", "--mega", "--grouped"])
