@@ -70,6 +70,10 @@ def main():
     ap.add_argument("--lm-chunk", type=int, default=None,
                     help="LM decode steps per dispatch (default = hop); "
                          "bigger chunks amortize per-dispatch tunnel cost")
+    ap.add_argument("--lm-chunk-max", type=int, default=None,
+                    help="LM chunk ramp: decode this many steps per "
+                         "dispatch after first audio (first chunk stays "
+                         "--lm-chunk; cuts per-dispatch round trips)")
     args = ap.parse_args()
 
     from rwkvtts_tpu.codecs import flow as flow_lib, hift as hift_lib
@@ -92,7 +96,8 @@ def main():
     skw = {"token_hop_len": args.hop, "sfm": args.sfm,
            "vocode_every": args.vocode_every, "hop_max": args.hop_max,
            "lm_prefetch": not args.no_prefetch,
-           "lm_chunk": args.lm_chunk or args.hop}
+           "lm_chunk": args.lm_chunk or args.hop,
+           "lm_chunk_max": args.lm_chunk_max}
     if args.flow_timesteps is not None:
         skw["n_timesteps"] = args.flow_timesteps
     if args.ctx is not None:
@@ -161,6 +166,8 @@ def main():
         f"sfm-{scfg.n_timesteps}" if args.sfm else f"cfm-{scfg.n_timesteps}"
     ) + f" | vocode_every {scfg.vocode_every}" + (
         f" | hop_max {scfg.hop_max}" if scfg.hop_max else ""
+    ) + (
+        f" | lm-chunk-max {args.lm_chunk_max}" if args.lm_chunk_max else ""
     ) + (
         " | no-prefetch" if args.no_prefetch else ""
     ) + (

@@ -53,6 +53,13 @@ class StreamConfig:
     mel_cache_len: int = 8  # cli/model.py:355
     n_timesteps: int = 10
     lm_chunk: int = 50  # LM decode steps between host-side EOS checks
+    # LM chunk ramp: after the first audio chunk is out, decode
+    # lm_chunk_max steps per dispatch instead (one extra compiled program).
+    # Each dispatch+sync pays a fixed host/tunnel round trip (~15-25 ms on
+    # the tunneled chip, r5f probe) — bigger late chunks cut that count
+    # without touching TTFA (the first, TTFA-critical chunk stays
+    # lm_chunk). Cost: up to lm_chunk_max-1 wasted post-EOS decode steps.
+    lm_chunk_max: Optional[int] = None
     # SFM fast decode in the flow hop (flow.sfm_inference_window): the ODE
     # starts at t_h from the coarse prediction — use with n_timesteps ~5
     # for about half the CFM-10 estimator passes per hop. Requires
@@ -397,10 +404,16 @@ def stream_synthesize(
     lm_done = False
 
     def dispatch(carry, key):
+        # chunk ramp: the TTFA-critical first chunk stays lm_chunk; once
+        # audio is flowing, lm_chunk_max steps per dispatch (fewer fixed
+        # per-dispatch round trips). Two compiled programs total.
+        n = stream_cfg.lm_chunk
+        if stream_cfg.lm_chunk_max and sess.hop_idx > 0:
+            n = max(n, stream_cfg.lm_chunk_max)
         key, sub = jax.random.split(key)
         return key, gen.cosy_decode_chunk(
             pipeline.lm_params, pipeline.lm_cfg, carry, sub,
-            chunk_len=stream_cfg.lm_chunk, min_new_tokens=min_len,
+            chunk_len=n, min_new_tokens=min_len,
             top_k=top_k, top_p=top_p,
             mega=mega, mega_spec=getattr(pipeline, "lm_mega_spec", None),
             rank_bf16=getattr(pipeline, "lm_rank_bf16", False),

@@ -314,3 +314,43 @@ def test_hop_ramp_parity_and_fewer_flow_calls(pipe):
     assert calls[16] < calls[None]
     assert firsts[16] == firsts[None]  # TTFA chunk unchanged
     assert np.isfinite(wavs[16]).all()
+
+
+def test_lm_chunk_ramp_streams_complete_audio(pipe):
+    """lm_chunk_max (bigger LM dispatches after first audio) must deliver
+    the same complete frame-aligned stream contract as the fixed chunk —
+    and fewer LM dispatches. Token draws differ by design (per-dispatch
+    key splits), so this checks the contract, not sample parity."""
+    calls = {"n": 0}
+    orig = streaming.gen.cosy_decode_chunk
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    streaming.gen.cosy_decode_chunk = counting
+    try:
+        def run(lm_chunk_max):
+            calls["n"] = 0
+            scfg = streaming.StreamConfig(
+                token_hop_len=4, ctx_tokens=4, mel_cache_len=2,
+                n_timesteps=2, lm_chunk=4, lm_chunk_max=lm_chunk_max,
+            )
+            chunks = list(
+                streaming.stream_synthesize(
+                    pipe, "hello ramping", stream_cfg=scfg,
+                    max_new_tokens=24,
+                )
+            )
+            wav = np.concatenate(chunks)
+            return wav, calls["n"]
+
+        wav_fixed, n_fixed = run(None)
+        wav_ramp, n_ramp = run(12)
+        for wav in (wav_fixed, wav_ramp):
+            assert np.isfinite(wav).all()
+            up = pipe.hift_cfg.total_upsample
+            assert len(wav) % up == 0
+        assert n_ramp < n_fixed
+    finally:
+        streaming.gen.cosy_decode_chunk = orig
