@@ -462,6 +462,13 @@ def cosy_generate(
     return toks, lengths
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "mega_spec", "max_new_tokens", "min_new_tokens",
+        "top_k", "top_p", "win_size", "tau_r", "rank_bf16",
+    ),
+)
 def cosy_generate_mega_b64(
     params,
     mega,

@@ -50,16 +50,20 @@ class SparkPipeline:
         quantize_int4: bool = False,
         spec_k: int = 0,
         spec_draft: str = "int8",
+        fuse_projections: bool = True,
     ):
         from rwkvtts_tpu.models import rwkv7
 
         self.cfg = lm_cfg
         # fused decode projections (exact same math, fewer dispatches);
         # opt-in int8 decode weights (quality bound: zero greedy flips at
-        # 0.4B, scripts/measure_int8_quality.py + PERF.md round 3)
+        # 0.4B, scripts/measure_int8_quality.py + PERF.md round 3).
+        # fuse_projections=False keeps the raw weights only (the fused
+        # pair stores projections twice) — pass it when another engine
+        # owns decode, e.g. the megakernel serving pool (launch --mega).
         self.params = rwkv7.pack_decode_params(
             lm_params, lm_cfg.backbone, quantize_int8=quantize_int8,
-            quantize_int4=quantize_int4,
+            quantize_int4=quantize_int4, fuse_projections=fuse_projections,
         )
         # opt-in self-speculative B=1 decode (infer/spec_decode.py): a
         # quantized DRAFT proposes spec_k tokens, one full-precision chunk

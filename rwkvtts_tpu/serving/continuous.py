@@ -143,6 +143,16 @@ def _decode_chunk(params, carry, cfg, chunk: int, top_k: int):
     admission timing, or chunk boundaries. The same (prompt, seed) request
     therefore reproduces exactly no matter what else shares the pool
     (tested: test_continuous.py::test_seed_determinism_across_pool_mixes)."""
+    step = _make_pool_step(params, cfg, top_k)
+    carry, toks = jax.lax.scan(step, carry, None, length=chunk)
+    return carry, jnp.moveaxis(toks, 0, 1), carry[2]
+
+
+def _make_pool_step(params, cfg, top_k: int, mega=None, spec=None):
+    """One slot-pool decode step (head -> per-slot sampling -> EOS
+    bookkeeping -> backbone), shared by the XLA and megakernel chunk
+    programs so the seed-determinism/sampling semantics cannot drift
+    between the two pools."""
     bb = cfg.backbone
     eos_id = cfg.eos_token_id
 
@@ -162,11 +172,16 @@ def _decode_chunk(params, carry, cfg, chunk: int, top_k: int):
         tok = jnp.where(done, eos_id, tok)
         done = done | (tok == eos_id)
         x = spark.decode_embed(params, cfg, tok)
-        h, st = rwkv7.decode_step(params, bb, x, st)
+        if mega is not None:
+            from rwkvtts_tpu.ops import decode_mega_b64 as dmb
+
+            h, st = dmb.decode_step_mega_b64(mega, bb, x, st, spec=spec)
+            h = h.astype(bb.dtype)
+        else:
+            h, st = rwkv7.decode_step(params, bb, x, st)
         return (h, st, done, n + 1, temp, topp, seed), tok
 
-    carry, toks = jax.lax.scan(step, carry, None, length=chunk)
-    return carry, jnp.moveaxis(toks, 0, 1), carry[2]
+    return step
 
 
 @functools.partial(
@@ -179,32 +194,9 @@ def _decode_chunk_mega(params, mega, carry, cfg, spec, chunk: int, top_k: int):
     whole-step megakernel (ops/decode_mega_b64): one pallas_call per token
     streams the int8 weights with activations VMEM-resident — measured
     2.6x the XLA chunk step at the 0.4B B=64 point (PERF.md r5). Embed /
-    head / per-slot sampling / EOS logic are identical to _decode_chunk."""
-    from rwkvtts_tpu.ops import decode_mega_b64 as dmb
-
-    bb = cfg.backbone
-    eos_id = cfg.eos_token_id
-
-    def step(c, _):
-        h, st, done, n, temp, topp, seed = c
-        logits = (h @ params["head"].astype(bb.dtype)).astype(jnp.float32)
-        keys = jax.vmap(
-            lambda s, i: jax.random.key_data(
-                jax.random.fold_in(
-                    jax.random.key(s, impl="threefry2x32"), i
-                )
-            )
-        )(seed, n)
-        tok = sampling.sample_rows(
-            keys, logits, temperature=temp, top_k=top_k, top_p=topp
-        )
-        tok = jnp.where(done, eos_id, tok)
-        done = done | (tok == eos_id)
-        x = spark.decode_embed(params, cfg, tok)
-        h, st = dmb.decode_step_mega_b64(mega, bb, x, st, spec=spec)
-        h = h.astype(bb.dtype)
-        return (h, st, done, n + 1, temp, topp, seed), tok
-
+    head / per-slot sampling / EOS logic are the SAME code
+    (_make_pool_step)."""
+    step = _make_pool_step(params, cfg, top_k, mega=mega, spec=spec)
     carry, toks = jax.lax.scan(step, carry, None, length=chunk)
     return carry, jnp.moveaxis(toks, 0, 1), carry[2]
 

@@ -549,9 +549,15 @@ class CosyStreamHub:
                     tokens = np.concatenate([tokens, new])
                 if emitted and self.first_chunk_priority:
                     # bounded politeness: let pending first chunks take
-                    # the device first (never blocks pre-first streams,
-                    # never waits past the patience cap)
-                    patience = time.monotonic() + 1.5
+                    # the device first (never blocks pre-first streams).
+                    # Patience is a fraction of THIS stream's buffered hop
+                    # audio (hop_tokens at 25 Hz) so a full-patience defer
+                    # cannot underrun the client's playback, and the
+                    # stream's own deadline is honored.
+                    hop_audio = scfg.token_hop_len / 25.0
+                    patience = time.monotonic() + min(1.5, 0.6 * hop_audio)
+                    if deadline is not None:
+                        patience = min(patience, deadline)
                     with self._first_cv:
                         while (self._first_pending
                                and time.monotonic() < patience):

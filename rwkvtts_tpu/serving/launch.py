@@ -20,7 +20,8 @@ log = logging.getLogger("rwkvtts_tpu")
 
 def build_pipeline(ckpt: str, codec_dir: Optional[str] = None,
                    packed_wkv: bool = True, int8: bool = False,
-                   int4: bool = False, state_bf16: bool = False):
+                   int4: bool = False, state_bf16: bool = False,
+                   fuse_projections: bool = True):
     import jax.numpy as jnp
 
     from rwkvtts_tpu.convert import rwkv7_ckpt, speech_init
@@ -59,7 +60,7 @@ def build_pipeline(ckpt: str, codec_dir: Optional[str] = None,
     tok = get_world_tokenizer(n_spct=48)
     return SparkPipeline(
         cfg, params, tok, audio_tokenizer=codec, quantize_int8=int8,
-        quantize_int4=int4,
+        quantize_int4=int4, fuse_projections=fuse_projections,
     )
 
 
@@ -237,6 +238,11 @@ def main(argv=None):
         log.info("dp>1: disabling the packed decode state (single-device-only)")
         packed = False
     if args.family == "cosy":
+        if args.mega:
+            # the B=64 megakernel pool is a spark-family engine; the cosy
+            # streaming hub runs an 8-slot pool — fail loudly rather than
+            # silently serving the XLA hub under a --mega flag
+            raise SystemExit("--mega is spark-family only (64-slot pool)")
         from rwkvtts_tpu.serving import http_server, service as svc
 
         pipeline = build_cosy_pipeline(
@@ -287,6 +293,9 @@ def main(argv=None):
     pipeline = build_pipeline(
         args.ckpt, args.codec_dir, packed_wkv=packed, int8=args.int8,
         int4=args.int4, state_bf16=args.state_bf16,
+        # the mega pool packs its own int8 stream; keeping the fused
+        # decode pair would strand ~1.3 GB of dead HBM at 1.4B
+        fuse_projections=not args.mega,
     )
     tts = build_service(
         pipeline, args.demo_dir, continuous=not args.grouped,

@@ -314,25 +314,27 @@ def test_mega_insert_matches_full_pack():
     from rwkvtts_tpu.ops import decode_mega_b64 as dmb
     from rwkvtts_tpu.serving import continuous as cont
 
+    # hidden 256 -> H=4 heads, P=2 pairs: a P=1 config cannot distinguish
+    # the head-pair split (head = 2p+h vs strided) between the two layouts
     cfg = spark.default_config(
-        hidden_size=128, num_layers=2, dtype=jnp.float32,
+        hidden_size=256, num_layers=2, dtype=jnp.float32,
         wkv_chunk=16, remat=False, dropout=0.0,
     )
     bb = cfg.backbone
     k = jax.random.PRNGKey(3)
     ks = jax.random.split(k, 4)
     raw = {
-        "att_x": jax.random.normal(ks[0], (2, 64, 128), jnp.float32),
-        "wkv": jax.random.normal(ks[1], (2, 64, 2, 64, 64), jnp.float32),
-        "ffn_x": jax.random.normal(ks[2], (2, 64, 128), jnp.float32),
+        "att_x": jax.random.normal(ks[0], (2, 64, 256), jnp.float32),
+        "wkv": jax.random.normal(ks[1], (2, 64, 4, 64, 64), jnp.float32),
+        "ffn_x": jax.random.normal(ks[2], (2, 64, 256), jnp.float32),
     }
-    hk = jax.random.normal(ks[3], (64, 128), jnp.float32)
+    hk = jax.random.normal(ks[3], (64, 256), jnp.float32)
 
     expected = dmb.pack_mega_state_b64(raw, bb)
 
     fresh = dmb.pack_mega_state_b64(rwkv7.init_model_state(bb, 64), bb)
     carry = (
-        jnp.zeros((64, 128), jnp.float32),
+        jnp.zeros((64, 256), jnp.float32),
         fresh,
         jnp.ones((64,), bool),
         jnp.zeros((64,), jnp.int32),
