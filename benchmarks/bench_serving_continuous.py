@@ -124,7 +124,11 @@ def main():
         lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
     )
     pipe = SparkPipeline(cfg, params, BenchTok(), quantize_int8=args.int8,
-                         quantize_int4=args.int4)
+                         quantize_int4=args.int4,
+                         # the mega pool packs its own int8 stream; the
+                         # fused decode pair would be dead HBM (~1.3 GB
+                         # at 2048x24)
+                         fuse_projections=not args.mega)
 
     reqs = make_requests(args.requests)
     same_voice = make_requests(args.requests, seed=1, n_voices=1)
