@@ -61,4 +61,9 @@ run() {
 # the xla comparator was already jitted) + xy B=64 re-verify
 run python benchmarks/bench_generate_mega_ab.py --family cosy \
   --hidden 2048 --layers 24 --variants xla,mega
+# 0.4B kernel tile sweep (bench.py ships tile 512; 1024 won at C=2048)
+run python benchmarks/bench_decode_mega_b64.py --hidden 1024 --layers 24 \
+  --variants mega --tile-n 256
+run python benchmarks/bench_decode_mega_b64.py --hidden 1024 --layers 24 \
+  --variants mega --tile-n 1024
 echo "QUEUE R5K DONE $(date)" >> "$L"
