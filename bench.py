@@ -64,7 +64,9 @@ def main():
     if use_mega:
         from rwkvtts_tpu.ops import decode_mega_b64 as dmb
 
-        mega = dmb.pack_mega_b64(params, cfg.backbone, tile_n=512)
+        # tile_n 1024: r5k sweep measured 1.489 ms/step vs 1.567 at 512
+        # (tile 1024 also won at C=2048, PERF.md r5a)
+        mega = dmb.pack_mega_b64(params, cfg.backbone, tile_n=1024)
         spec = mega.pop("spec")
 
         def run(key):
